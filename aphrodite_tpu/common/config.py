@@ -1,0 +1,268 @@
+"""Engine configuration dataclasses.
+
+TPU-native counterpart of the reference's 11 config objects
+(``aphrodite/common/config.py:76-2018``). The set is smaller because whole
+subsystems collapse under XLA (no CUDA-graph config, no NCCL backend
+selection); parallelism is described as a device-mesh shape instead of
+per-backend process groups.
+"""
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+from aphrodite_tpu.common.logger import init_logger
+from aphrodite_tpu.common.utils import cdiv
+
+logger = init_logger(__name__)
+
+_SUPPORTED_DTYPES = ("bfloat16", "float16", "float32")
+# KV-cache dtypes: reference supports auto/fp8(_e4m3)/fp8_e5m2
+# (common/config.py:772-782) plus int8 at the kernel level.
+_SUPPORTED_KV_DTYPES = ("auto", "bfloat16", "fp8", "fp8_e4m3", "fp8_e5m2",
+                        "int8")
+
+
+def _read_hf_config(model: str) -> Dict[str, Any]:
+    """Read a HuggingFace config.json from a local directory."""
+    path = os.path.join(model, "config.json")
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"Could not find config.json under {model!r}. Only local model "
+            "directories are supported in this environment (no network).")
+    with open(path) as f:
+        return json.load(f)
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture + checkpoint description.
+
+    Reference: ModelConfig (common/config.py:76).
+    """
+
+    model: str
+    tokenizer: Optional[str] = None
+    dtype: str = "bfloat16"
+    seed: int = 0
+    max_model_len: Optional[int] = None
+    quantization: Optional[str] = None
+    kv_cache_quant_targets: Optional[Tuple[int, int]] = None
+    trust_remote_code: bool = False
+    revision: Optional[str] = None
+    enforce_eager: bool = False
+    # Populated from config.json:
+    hf_config: Dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.tokenizer is None:
+            self.tokenizer = self.model
+        if not self.hf_config:
+            self.hf_config = _read_hf_config(self.model)
+        if self.dtype == "auto":
+            self.dtype = str(self.hf_config.get("torch_dtype", "bfloat16"))
+            if self.dtype.startswith("torch."):
+                self.dtype = self.dtype[len("torch."):]
+            if self.dtype == "float16":
+                # On TPU, bf16 is the native 16-bit type; fp16 checkpoints
+                # are loaded and run as bf16 (same as reference TPU path).
+                self.dtype = "bfloat16"
+        if self.dtype not in _SUPPORTED_DTYPES:
+            raise ValueError(f"unsupported dtype {self.dtype!r}")
+        derived_max = int(
+            self.hf_config.get(
+                "max_position_embeddings",
+                self.hf_config.get("n_positions", 2048)))
+        if self.max_model_len is None:
+            self.max_model_len = derived_max
+        elif self.max_model_len > derived_max:
+            rope_scaling = self.hf_config.get("rope_scaling")
+            if not rope_scaling:
+                logger.warning(
+                    "max_model_len %d exceeds the model's "
+                    "max_position_embeddings %d", self.max_model_len,
+                    derived_max)
+        if self.quantization is None:
+            qcfg = self.hf_config.get("quantization_config")
+            if qcfg:
+                self.quantization = str(qcfg.get("quant_method", "")) or None
+
+    # ---- derived architecture accessors ------------------------------------
+
+    @property
+    def architecture(self) -> str:
+        archs = self.hf_config.get("architectures") or ["LlamaForCausalLM"]
+        return archs[0]
+
+    def get_hidden_size(self) -> int:
+        return int(self.hf_config["hidden_size"])
+
+    def get_num_layers(self) -> int:
+        return int(self.hf_config.get("num_hidden_layers",
+                                      self.hf_config.get("n_layer")))
+
+    def get_num_attention_heads(self) -> int:
+        return int(self.hf_config["num_attention_heads"])
+
+    def get_total_num_kv_heads(self) -> int:
+        return int(
+            self.hf_config.get("num_key_value_heads",
+                               self.get_num_attention_heads()))
+
+    def get_num_kv_heads(self, tp_size: int = 1) -> int:
+        """KV heads per model-parallel shard (>=1; heads are replicated when
+        tp_size exceeds total kv heads, as in the reference)."""
+        return max(1, self.get_total_num_kv_heads() // tp_size)
+
+    def get_head_size(self) -> int:
+        if "head_dim" in self.hf_config and self.hf_config["head_dim"]:
+            return int(self.hf_config["head_dim"])
+        return self.get_hidden_size() // self.get_num_attention_heads()
+
+    def get_vocab_size(self) -> int:
+        return int(self.hf_config["vocab_size"])
+
+    def get_sliding_window(self) -> Optional[int]:
+        if self.hf_config.get("use_sliding_window") is False:
+            return None
+        return self.hf_config.get("sliding_window")
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV cache configuration (reference CacheConfig,
+    common/config.py:607)."""
+
+    block_size: int = 16
+    hbm_utilization: float = 0.9
+    cache_dtype: str = "auto"
+    num_device_blocks: Optional[int] = None  # set after memory profiling
+    enable_prefix_caching: bool = False
+    # Override the profiled block count (useful for tests / CPU runs).
+    num_device_blocks_override: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.block_size <= 0:
+            raise ValueError("block_size must be positive")
+        if not 0.0 < self.hbm_utilization <= 1.0:
+            raise ValueError("hbm_utilization must be in (0, 1]")
+        if self.cache_dtype not in _SUPPORTED_KV_DTYPES:
+            raise ValueError(
+                f"unsupported kv cache dtype {self.cache_dtype!r}; choose "
+                f"from {_SUPPORTED_KV_DTYPES}")
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh description.
+
+    Replaces the reference's process-group plumbing
+    (aphrodite/distributed/parallel_state.py): parallelism is a
+    `jax.sharding.Mesh` over axes ("data", "model"); XLA inserts the
+    collectives the reference implements with NCCL/custom all-reduce.
+    """
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    # Pipeline parallelism maps to an additional mesh axis / stage sharding;
+    # kept in the config surface for parity, wired up in later stages.
+    pipeline_parallel_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return (self.tensor_parallel_size * self.data_parallel_size *
+                self.pipeline_parallel_size)
+
+    def mesh_shape(self) -> Dict[str, int]:
+        return {
+            "data": self.data_parallel_size,
+            "model": self.tensor_parallel_size,
+        }
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching policy knobs (reference SchedulerConfig,
+    common/config.py:1066)."""
+
+    max_num_batched_tokens: Optional[int] = None
+    max_num_seqs: int = 256
+    max_model_len: int = 2048
+    enable_chunked_prefill: bool = True
+    # Upper bound of scheduler steps executed per schedule() call
+    # (multi-step decoding). 1 = classic per-token scheduling.
+    num_scheduler_steps: int = 1
+    preemption_mode: str = "recompute"
+
+    def __post_init__(self) -> None:
+        if self.max_num_batched_tokens is None:
+            if self.enable_chunked_prefill:
+                self.max_num_batched_tokens = max(512, self.max_num_seqs)
+            else:
+                self.max_num_batched_tokens = max(self.max_model_len, 2048)
+        if not self.enable_chunked_prefill:
+            # Without chunked prefill, a whole prompt must fit in a step.
+            self.max_num_batched_tokens = max(self.max_num_batched_tokens,
+                                              self.max_model_len)
+        if self.max_num_batched_tokens < self.max_num_seqs:
+            logger.warning(
+                "max_num_batched_tokens (%d) < max_num_seqs (%d); decode "
+                "batches will be capped by the token budget",
+                self.max_num_batched_tokens, self.max_num_seqs)
+        if self.preemption_mode != "recompute":
+            raise ValueError(
+                "only preemption_mode='recompute' is supported on TPU")
+
+
+@dataclass
+class DeviceConfig:
+    """Target platform: 'tpu' for real chips, 'cpu' for tests
+    (XLA host platform, optionally with a forced virtual device count)."""
+
+    device: str = "auto"
+
+    def __post_init__(self) -> None:
+        if self.device == "auto":
+            import jax
+
+            platform = jax.default_backend()
+            self.device = "tpu" if platform in ("tpu", "axon") else "cpu"
+
+
+@dataclass
+class LoadConfig:
+    """Weight-loading strategy (reference model_loader/loader.py:1120)."""
+
+    load_format: str = "auto"  # auto | safetensors | dummy
+
+    def __post_init__(self) -> None:
+        if self.load_format not in ("auto", "safetensors", "dummy"):
+            raise ValueError(f"unknown load_format {self.load_format!r}")
+
+
+@dataclass
+class EngineConfig:
+    model_config: ModelConfig
+    cache_config: CacheConfig
+    parallel_config: ParallelConfig
+    scheduler_config: SchedulerConfig
+    device_config: DeviceConfig
+    load_config: LoadConfig
+
+    def __post_init__(self) -> None:
+        # Cross-validation (reference EngineConfig.__post_init__ verify
+        # chain, common/config.py:1980-2018).
+        self.scheduler_config.max_model_len = min(
+            self.scheduler_config.max_model_len,
+            self.model_config.max_model_len)
+        tp = self.parallel_config.tensor_parallel_size
+        heads = self.model_config.get_num_attention_heads()
+        if heads % tp != 0:
+            raise ValueError(
+                f"num_attention_heads ({heads}) must be divisible by "
+                f"tensor_parallel_size ({tp})")
+
+    def max_pages_per_seq(self) -> int:
+        return cdiv(self.model_config.max_model_len,
+                    self.cache_config.block_size)

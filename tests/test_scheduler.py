@@ -1,0 +1,190 @@
+"""Scheduler unit tests (pure Python, no device) — mirrors the reference's
+tests/core/test_scheduler.py style: fake sequence groups, assert policy."""
+
+import pytest
+
+from aphrodite_tpu.common.config import CacheConfig, SchedulerConfig
+from aphrodite_tpu.common.sampling_params import SamplingParams
+from aphrodite_tpu.common.sequence import (Sequence, SequenceGroup,
+                                           SequenceStatus)
+from aphrodite_tpu.processing.scheduler import Scheduler
+
+BLOCK = 4
+
+
+def make_scheduler(num_blocks=64, max_num_seqs=8, max_tokens=64,
+                   chunked=True, prefix_caching=False):
+    sched_cfg = SchedulerConfig(
+        max_num_batched_tokens=max_tokens,
+        max_num_seqs=max_num_seqs,
+        max_model_len=128,
+        enable_chunked_prefill=chunked,
+    )
+    cache_cfg = CacheConfig(block_size=BLOCK,
+                            enable_prefix_caching=prefix_caching)
+    cache_cfg.num_device_blocks = num_blocks
+    return Scheduler(sched_cfg, cache_cfg)
+
+
+_seq_counter = iter(range(10_000))
+
+
+def make_group(request_id, prompt_len, **sp_kwargs):
+    sp = SamplingParams(max_tokens=16, **sp_kwargs)
+    seq = Sequence(seq_id=next(_seq_counter),
+                   prompt_token_ids=list(range(prompt_len)),
+                   block_size=BLOCK)
+    return SequenceGroup(request_id=request_id, seqs=[seq],
+                         sampling_params=sp)
+
+
+def run_step(scheduler, sample_token=7):
+    """Schedule one step and simulate its execution."""
+    out = scheduler.schedule()
+    scheduler.mark_step_computed(out)
+    for ss in out.scheduled:
+        if ss.do_sample:
+            ss.seq.append_token_id(sample_token)
+    return out
+
+
+def test_simple_prefill_then_decode():
+    s = make_scheduler()
+    g = make_group("r0", prompt_len=10)
+    s.add_seq_group(g)
+    out = run_step(s)
+    assert out.num_prefill_tokens == 10
+    assert out.num_decode_tokens == 0
+    assert out.scheduled[0].do_sample
+    assert g.seqs[0].get_output_len() == 1
+    # Next step is a decode of 1 token.
+    out = run_step(s)
+    assert out.num_prefill_tokens == 0
+    assert out.num_decode_tokens == 1
+
+
+def test_chunked_prefill_splits_long_prompt():
+    s = make_scheduler(max_tokens=16)
+    g = make_group("r0", prompt_len=40)
+    s.add_seq_group(g)
+    out = run_step(s)
+    assert out.num_prefill_tokens == 16
+    assert not out.scheduled[0].do_sample
+    out = run_step(s)
+    assert out.num_prefill_tokens == 16
+    out = run_step(s)
+    assert out.num_prefill_tokens == 8
+    assert out.scheduled[0].do_sample
+    assert g.seqs[0].get_output_len() == 1
+
+
+def test_mixed_prefill_and_decode_in_one_step():
+    s = make_scheduler(max_tokens=16)
+    g1 = make_group("r1", prompt_len=8)
+    s.add_seq_group(g1)
+    run_step(s)  # g1 prefill done, 1 token sampled
+    g2 = make_group("r2", prompt_len=12)
+    s.add_seq_group(g2)
+    out = run_step(s)
+    # One decode token for g1 + 12 prefill tokens for g2, same step.
+    assert out.num_decode_tokens == 1
+    assert out.num_prefill_tokens == 12
+
+
+def test_token_budget_caps_admission():
+    s = make_scheduler(max_tokens=16, chunked=False)
+    # Without chunked prefill the budget is raised to max_model_len by the
+    # config; use chunked=True and small budget instead.
+    s = make_scheduler(max_tokens=8, chunked=True)
+    g1 = make_group("r1", prompt_len=8)
+    g2 = make_group("r2", prompt_len=8)
+    s.add_seq_group(g1)
+    s.add_seq_group(g2)
+    out = run_step(s)
+    assert out.num_batched_tokens == 8  # only g1 fits
+    assert len(out.scheduled) == 1
+
+
+def test_max_num_seqs_cap():
+    s = make_scheduler(max_num_seqs=2, max_tokens=64)
+    for i in range(4):
+        s.add_seq_group(make_group(f"r{i}", prompt_len=4))
+    out = run_step(s)
+    assert len(out.scheduled) == 2
+
+
+def test_preemption_by_recompute_on_block_exhaustion():
+    # 8 blocks of 4 = 32 token slots total.
+    s = make_scheduler(num_blocks=8, max_tokens=64, max_num_seqs=4)
+    g1 = make_group("r1", prompt_len=15)
+    g2 = make_group("r2", prompt_len=13)
+    s.add_seq_group(g1)
+    s.add_seq_group(g2)
+    run_step(s)  # both prefill: 15+13=28 tokens in 4+4 blocks — full
+    # Decode steps force block growth; one group must be preempted.
+    preempted_any = False
+    for _ in range(8):
+        out = run_step(s)
+        if out.preempted:
+            preempted_any = True
+            break
+    assert preempted_any
+    # The preempted group is back in waiting, WAITING status, 0 computed.
+    victim = out.preempted[0]
+    assert victim.seqs[0].status == SequenceStatus.WAITING
+    assert victim.seqs[0].num_computed_tokens == 0
+    # Engine keeps making progress for the survivor.
+    out2 = run_step(s)
+    assert not out2.is_empty()
+
+
+def test_ignored_too_long_prompt():
+    s = make_scheduler()
+    g = make_group("r0", prompt_len=500)  # > max_model_len 128
+    s.add_seq_group(g)
+    out = s.schedule()
+    assert out.ignored and out.ignored[0] is g
+    assert g.seqs[0].status == SequenceStatus.FINISHED_IGNORED
+    assert not s.has_unfinished_seqs()
+
+
+def test_abort():
+    s = make_scheduler()
+    g = make_group("r0", prompt_len=8)
+    s.add_seq_group(g)
+    run_step(s)
+    s.abort_seq_group("r0")
+    assert not s.has_unfinished_seqs()
+    assert g.seqs[0].status == SequenceStatus.FINISHED_ABORTED
+    # Blocks were freed.
+    assert s.block_manager.get_num_free_blocks() == 64
+
+
+def test_prefix_cache_skips_computed_prefix():
+    s = make_scheduler(prefix_caching=True, max_tokens=64)
+    g1 = make_group("r1", prompt_len=16)
+    s.add_seq_group(g1)
+    run_step(s)
+    # Same prompt again: prefill should only need the uncached remainder.
+    g2 = make_group("r2", prompt_len=16)
+    g2.seqs[0].prompt_token_ids = list(range(16))  # identical
+    s.add_seq_group(g2)
+    out = run_step(s)
+    sched_g2 = [ss for ss in out.scheduled if ss.group is g2]
+    assert len(sched_g2) == 1
+    # 16 tokens = 4 full blocks; cache serves 3 (last must recompute).
+    assert sched_g2[0].num_tokens == 4
+    assert sched_g2[0].first_token_idx == 12
+
+
+def test_decode_priority_over_new_prefill():
+    s = make_scheduler(max_tokens=8)
+    g1 = make_group("r1", prompt_len=8)
+    s.add_seq_group(g1)
+    run_step(s)
+    g2 = make_group("r2", prompt_len=8)
+    s.add_seq_group(g2)
+    out = run_step(s)
+    # Budget 8: decode (1) + 7 of g2's prefill chunk.
+    assert out.num_decode_tokens == 1
+    assert out.num_prefill_tokens == 7
