@@ -1,0 +1,31 @@
+"""Model <-> runner interface types."""
+
+from typing import NamedTuple, Optional
+
+import jax
+
+
+class ForwardBatch(NamedTuple):
+    """Flat, static-shape inputs for one step (T padded tokens, S padded
+    sequences). This is the TPU-native analog of the reference's
+    ModelInput + AttentionMetadata pair (worker/model_runner.py:179,
+    attention/backends/abstract.py)."""
+
+    # [T] token ids (padding: 0).
+    token_ids: jax.Array
+    # [T] absolute position of each token in its sequence (padding: 0).
+    positions: jax.Array
+    # [T] flat KV slot (= page * page_size + offset); padding rows point
+    # into the reserved trash page.
+    slot_mapping: jax.Array
+    # [S] post-step KV length per sequence (padding: 0).
+    kv_lens: jax.Array
+    # [S, pages_per_seq] physical page ids per sequence (padding: 0).
+    page_indices: jax.Array
+    # [S+1] cumulative query lengths (padding: repeated last value).
+    cu_q_lens: jax.Array
+    # [1] actual number of sequences.
+    num_seqs: jax.Array
+    # [S] index into [T] of the last token of each sequence (for logits
+    # extraction; padding: 0).
+    logits_indices: jax.Array

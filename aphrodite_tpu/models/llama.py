@@ -1,0 +1,310 @@
+"""Llama-family causal LM (also serves Mistral, Qwen2, and other
+pre-norm/RoPE/SwiGLU decoders via config flags).
+
+TPU-first re-design of the reference exemplar model
+(aphrodite/modeling/models/llama.py:344): instead of nn.Modules with
+TP-aware Linear classes (modeling/layers/linear.py), the model is a pure
+function over a params pytree. All layers are stacked on a leading [L]
+axis and the forward is a single `lax.scan` — compile time is O(1) in
+depth and XLA fuses the layer body once. Tensor parallelism is expressed
+as `PartitionSpec`s on the stacked params (Megatron sharding: QKV/gate/up
+column-wise, O/down row-wise); XLA inserts the all-reduces the reference
+does via NCCL (communication_op.py:10-32).
+"""
+
+import functools
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aphrodite_tpu.common.config import ModelConfig, ParallelConfig
+from aphrodite_tpu.common.logger import init_logger
+from aphrodite_tpu.models.interface import ForwardBatch
+from aphrodite_tpu.models.layers import (apply_rope, compute_rope_tables,
+                                         rms_norm, silu_and_mul)
+from aphrodite_tpu.ops.attention import ragged_paged_attention
+from aphrodite_tpu.ops.kv_cache import write_kv
+
+logger = init_logger(__name__)
+
+
+class LlamaForCausalLM:
+    """Functional Llama. Params are a dict pytree; see `param_shardings`."""
+
+    # Flags overridden by subclasses (e.g. Qwen2 adds attention bias).
+    attention_bias: bool = False
+    tie_word_embeddings_default: bool = False
+
+    def __init__(self, model_config: ModelConfig,
+                 parallel_config: Optional[ParallelConfig] = None) -> None:
+        self.config = model_config
+        self.parallel_config = parallel_config or ParallelConfig()
+        hf = model_config.hf_config
+        self.hidden_size = model_config.get_hidden_size()
+        self.num_layers = model_config.get_num_layers()
+        self.num_heads = model_config.get_num_attention_heads()
+        self.num_kv_heads = model_config.get_total_num_kv_heads()
+        self.head_dim = model_config.get_head_size()
+        self.intermediate_size = int(hf["intermediate_size"])
+        self.vocab_size = model_config.get_vocab_size()
+        self.rms_eps = float(hf.get("rms_norm_eps", 1e-6))
+        self.rope_theta = float(hf.get("rope_theta", 10000.0))
+        self.rope_scaling = hf.get("rope_scaling")
+        self.max_position = model_config.max_model_len
+        self.tie_word_embeddings = bool(
+            hf.get("tie_word_embeddings", self.tie_word_embeddings_default))
+        self.attention_bias = bool(
+            hf.get("attention_bias", self.attention_bias))
+        self.sliding_window = model_config.get_sliding_window()
+        self.dtype = jnp.dtype(model_config.dtype)
+        self.sm_scale = self.head_dim**-0.5
+
+        tp = self.parallel_config.tensor_parallel_size
+        if self.num_kv_heads % tp != 0 and tp % self.num_kv_heads != 0:
+            raise ValueError(
+                f"kv heads ({self.num_kv_heads}) vs tp ({tp}) mismatch")
+        # When tp > num_kv_heads, KV heads are replicated onto shards
+        # (reference: modeling/layers/linear.py QKVParallelLinear replicates
+        # kv heads when tp exceeds them).
+        self.num_kv_heads_padded = max(self.num_kv_heads, tp)
+
+        self._cos, self._sin = compute_rope_tables(
+            self.head_dim,
+            self.max_position,
+            base=self.rope_theta,
+            rope_scaling=self.rope_scaling,
+            dtype=jnp.float32,
+        )
+
+    # ------------------------------------------------------------------
+    # Params: shapes + shardings
+    # ------------------------------------------------------------------
+
+    def param_shapes(self) -> Dict[str, Any]:
+        H, L = self.hidden_size, self.num_layers
+        NH, NKV, D = self.num_heads, self.num_kv_heads_padded, self.head_dim
+        F, V = self.intermediate_size, self.vocab_size
+        shapes = {
+            "embed": (V, H),
+            "final_norm": (H,),
+            "layers": {
+                "input_norm": (L, H),
+                "wq": (L, H, NH * D),
+                "wk": (L, H, NKV * D),
+                "wv": (L, H, NKV * D),
+                "wo": (L, NH * D, H),
+                "post_norm": (L, H),
+                "gate": (L, H, F),
+                "up": (L, H, F),
+                "down": (L, F, H),
+            },
+        }
+        if self.attention_bias:
+            shapes["layers"]["bq"] = (L, NH * D)
+            shapes["layers"]["bk"] = (L, NKV * D)
+            shapes["layers"]["bv"] = (L, NKV * D)
+        if not self.tie_word_embeddings:
+            shapes["lm_head"] = (H, V)
+        return shapes
+
+    def param_shardings(self) -> Dict[str, Any]:
+        specs = {
+            "embed": P(None, None),
+            "final_norm": P(),
+            "layers": {
+                "input_norm": P(),
+                "wq": P(None, None, "model"),
+                "wk": P(None, None, "model"),
+                "wv": P(None, None, "model"),
+                "wo": P(None, "model", None),
+                "post_norm": P(),
+                "gate": P(None, None, "model"),
+                "up": P(None, None, "model"),
+                "down": P(None, "model", None),
+            },
+        }
+        if self.attention_bias:
+            specs["layers"]["bq"] = P(None, "model")
+            specs["layers"]["bk"] = P(None, "model")
+            specs["layers"]["bv"] = P(None, "model")
+        if not self.tie_word_embeddings:
+            specs["lm_head"] = P(None, "model")
+        return specs
+
+    def kv_cache_spec(self) -> P:
+        """Sharding of each layer-stacked kv_pages array
+        [L, num_pages, page_size, 2*KV, D]: KV heads over "model"."""
+        return P(None, None, None, "model", None)
+
+    @property
+    def kv_cache_shape_suffix(self) -> Tuple[int, int]:
+        return (2 * self.num_kv_heads_padded, self.head_dim)
+
+    # ------------------------------------------------------------------
+    # Weight loading
+    # ------------------------------------------------------------------
+
+    def random_params(self, seed: int = 0) -> Dict[str, Any]:
+        """Random-init params (DummyModelLoader equivalent,
+        model_loader/loader.py:373) as host numpy arrays."""
+        rng = np.random.default_rng(seed)
+
+        def make(shape):
+            scale = 1.0 / np.sqrt(shape[-1] if len(shape) > 1 else 1)
+            arr = rng.standard_normal(size=shape, dtype=np.float32) * scale
+            return arr.astype(jnp.dtype(self.dtype).type
+                              if self.dtype != jnp.bfloat16 else np.float32)
+
+        def walk(shapes):
+            out = {}
+            for k, v in shapes.items():
+                if isinstance(v, dict):
+                    out[k] = walk(v)
+                elif k.endswith("norm") or "norm" in k:
+                    out[k] = np.ones(v, dtype=np.float32)
+                else:
+                    out[k] = make(v)
+            return out
+
+        return walk(self.param_shapes())
+
+    def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:
+        """(hf_template, our_path, transpose) for per-layer weights.
+
+        HF stores Linear weights [out, in]; ours are [in, out] (transpose).
+        """
+        maps = [
+            ("model.layers.{i}.input_layernorm.weight",
+             "layers.input_norm", False),
+            ("model.layers.{i}.self_attn.q_proj.weight", "layers.wq", True),
+            ("model.layers.{i}.self_attn.k_proj.weight", "layers.wk", True),
+            ("model.layers.{i}.self_attn.v_proj.weight", "layers.wv", True),
+            ("model.layers.{i}.self_attn.o_proj.weight", "layers.wo", True),
+            ("model.layers.{i}.post_attention_layernorm.weight",
+             "layers.post_norm", False),
+            ("model.layers.{i}.mlp.gate_proj.weight", "layers.gate", True),
+            ("model.layers.{i}.mlp.up_proj.weight", "layers.up", True),
+            ("model.layers.{i}.mlp.down_proj.weight", "layers.down", True),
+        ]
+        if self.attention_bias:
+            maps += [
+                ("model.layers.{i}.self_attn.q_proj.bias", "layers.bq",
+                 False),
+                ("model.layers.{i}.self_attn.k_proj.bias", "layers.bk",
+                 False),
+                ("model.layers.{i}.self_attn.v_proj.bias", "layers.bv",
+                 False),
+            ]
+        return maps
+
+    def hf_global_mappings(self) -> List[Tuple[str, str, bool]]:
+        maps = [
+            ("model.embed_tokens.weight", "embed", False),
+            ("model.norm.weight", "final_norm", False),
+        ]
+        if not self.tie_word_embeddings:
+            maps.append(("lm_head.weight", "lm_head", True))
+        return maps
+
+    def maybe_pad_kv_weight(self, our_path: str,
+                            arr: np.ndarray) -> np.ndarray:
+        """Replicate KV-projection outputs when tp > num_kv_heads."""
+        if self.num_kv_heads_padded == self.num_kv_heads:
+            return arr
+        if our_path in ("layers.wk", "layers.wv"):
+            reps = self.num_kv_heads_padded // self.num_kv_heads
+            # arr: [..., in, kv*D] -> tile head groups.
+            in_dim = arr.shape[0]
+            arr = arr.reshape(in_dim, self.num_kv_heads, self.head_dim)
+            arr = np.tile(arr, (1, reps, 1))
+            return arr.reshape(in_dim, -1)
+        if our_path in ("layers.bk", "layers.bv"):
+            reps = self.num_kv_heads_padded // self.num_kv_heads
+            arr = arr.reshape(self.num_kv_heads, self.head_dim)
+            arr = np.tile(arr, (reps, 1))
+            return arr.reshape(-1)
+        return arr
+
+    # ------------------------------------------------------------------
+    # Forward
+    # ------------------------------------------------------------------
+
+    def forward(
+        self,
+        params: Dict[str, Any],
+        kv_pages: jax.Array,  # [L, num_pages, page_size, 2*KV, D]
+        batch: ForwardBatch,
+        *,
+        mesh: Optional[Mesh] = None,
+        use_attention_kernel: Optional[bool] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Run the decoder. Returns (new_kv_pages, hidden[T, H])."""
+        NH, NKV, D = (self.num_heads, self.num_kv_heads_padded,
+                      self.head_dim)
+        x = params["embed"][batch.token_ids]  # [T, H]
+        x = x.astype(self.dtype)
+        cos = self._cos[batch.positions]  # [T, D/2]
+        sin = self._sin[batch.positions]
+
+        layer_params = params["layers"]
+        has_bias = "bq" in layer_params
+
+        def layer_fn(x, scanned):
+            lp, pages = scanned
+            h, _ = rms_norm(x, lp["input_norm"], self.rms_eps)
+            q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.float32)
+            k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.float32)
+            v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.float32)
+            if has_bias:
+                q = q + lp["bq"]
+                k = k + lp["bk"]
+                v = v + lp["bv"]
+            q = q.astype(self.dtype).reshape(-1, NH, D)
+            k = k.astype(self.dtype).reshape(-1, NKV, D)
+            v = v.astype(self.dtype).reshape(-1, NKV, D)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            pages = write_kv(pages, k, v, batch.slot_mapping)
+            attn = ragged_paged_attention(
+                q,
+                pages,
+                batch.kv_lens,
+                batch.page_indices,
+                batch.cu_q_lens,
+                batch.num_seqs,
+                sm_scale=self.sm_scale,
+                sliding_window=self.sliding_window,
+                mesh=mesh,
+                use_kernel=use_attention_kernel,
+            )
+            attn = attn.reshape(-1, NH * D)
+            o = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32)
+            x = x + o.astype(self.dtype)
+            h, _ = rms_norm(x, lp["post_norm"], self.rms_eps)
+            gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32)
+            up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32)
+            act = silu_and_mul(gate.astype(self.dtype), up.astype(self.dtype))
+            down = jnp.dot(act, lp["down"],
+                           preferred_element_type=jnp.float32)
+            x = x + down.astype(self.dtype)
+            return x, pages
+
+        x, new_kv_pages = jax.lax.scan(layer_fn, x,
+                                       (layer_params, kv_pages))
+        x, _ = rms_norm(x, params["final_norm"], self.rms_eps)
+        return new_kv_pages, x
+
+    def compute_logits(self, params: Dict[str, Any],
+                       hidden: jax.Array) -> jax.Array:
+        """hidden [S, H] -> logits [S, V] in float32 (reference
+        layers/logits_processor.py: gather + TP-gathered LM head)."""
+        if self.tie_word_embeddings:
+            logits = jnp.dot(hidden, params["embed"].T,
+                             preferred_element_type=jnp.float32)
+        else:
+            logits = jnp.dot(hidden, params["lm_head"],
+                             preferred_element_type=jnp.float32)
+        return logits

@@ -1,0 +1,199 @@
+"""Ragged paged attention.
+
+The unified attention op behind every model: one flat stream of query tokens
+(mixed prefill chunks + decode tokens), paged KV cache with per-sequence
+block tables. This single op replaces the reference's split world of
+`flash_attention` (prefill) + `paged_attention` (decode) + the Triton
+`prefix_prefill` chunked-context kernel (aphrodite/attention/ops/
+prefix_prefill.py, backends/pallas.py:124-237) — and lifts the reference
+TPU backend's all-prefill-or-all-decode restriction (pallas.py:62-63).
+
+Two implementations:
+  - ``ref_ragged_paged_attention``: pure-jnp, obviously-correct oracle; used
+    on CPU (tests, virtual meshes) and as the numerics reference.
+  - TPU: the Pallas ragged-paged-attention kernel (dispatched in
+    ``ragged_paged_attention``), run per-model-shard under ``shard_map``
+    (attention is embarrassingly parallel over heads).
+
+KV cache layout (shared with the kernel):
+  kv_pages: [num_pages, page_size, 2 * num_kv_heads, head_dim]
+  with K at even and V at odd combined-head indices.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def ref_ragged_paged_attention(
+    q: jax.Array,  # [T, num_q_heads, head_dim]
+    kv_pages: jax.Array,  # [num_pages, page_size, 2*num_kv_heads, head_dim]
+    kv_lens: jax.Array,  # i32[S]
+    page_indices: jax.Array,  # i32[S, pages_per_seq]
+    cu_q_lens: jax.Array,  # i32[S+1]
+    num_seqs: jax.Array,  # i32[1]
+    *,
+    sm_scale: float = 1.0,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Pure-jnp ragged paged attention (static shapes, jit-friendly).
+
+    Memory cost is O(T * max_kv_len) — fine for tests/CPU, not the serving
+    path. Rows belonging to padding (beyond cu_q_lens[num_seqs]) produce
+    garbage that callers must ignore.
+    """
+    T, num_q_heads, head_dim = q.shape
+    S, pages_per_seq = page_indices.shape
+    num_pages, page_size, num_combined, _ = kv_pages.shape
+    num_kv_heads = num_combined // 2
+    assert num_q_heads % num_kv_heads == 0
+    q_per_kv = num_q_heads // num_kv_heads
+    max_kv_len = pages_per_seq * page_size
+
+    # Token -> sequence mapping. searchsorted over the cumulative query
+    # lens: token t belongs to seq i iff cu_q_lens[i] <= t < cu_q_lens[i+1].
+    tok = jnp.arange(T, dtype=jnp.int32)
+    tok_seq = jnp.searchsorted(cu_q_lens[1:], tok, side="right")
+    tok_seq = jnp.minimum(tok_seq, S - 1).astype(jnp.int32)
+    q_start = cu_q_lens[tok_seq]
+    q_len = cu_q_lens[tok_seq + 1] - q_start
+    kv_len_t = kv_lens[tok_seq]
+    # Absolute position of each query token within its sequence.
+    q_abs = kv_len_t - q_len + (tok - q_start)
+
+    # Gather each sequence's full (padded) KV: [S, max_kv_len, K, D].
+    pages = kv_pages[page_indices]  # [S, pages_per_seq, page_size, 2K, D]
+    k_cache = pages[:, :, :, 0::2, :]
+    v_cache = pages[:, :, :, 1::2, :]
+    k = k_cache.reshape(S, max_kv_len, num_kv_heads, head_dim)
+    v = v_cache.reshape(S, max_kv_len, num_kv_heads, head_dim)
+    if k_scale is not None:
+        k = (k.astype(jnp.float32) * k_scale).astype(q.dtype)
+    else:
+        k = k.astype(q.dtype)
+    if v_scale is not None:
+        v = (v.astype(jnp.float32) * v_scale).astype(q.dtype)
+    else:
+        v = v.astype(q.dtype)
+
+    # Per-token KV: [T, max_kv_len, K, D].
+    k_t = k[tok_seq]
+    v_t = v[tok_seq]
+
+    # Scores: [T, Hq, max_kv_len].
+    qf = q.astype(jnp.float32) * sm_scale
+    kf = k_t.astype(jnp.float32)
+    # GQA: repeat kv heads across query head groups.
+    kf = jnp.repeat(kf, q_per_kv, axis=2)  # [T, L, Hq, D]
+    scores = jnp.einsum("thd,tlhd->thl", qf, kf)
+    if soft_cap is not None:
+        scores = soft_cap * jnp.tanh(scores / soft_cap)
+
+    kv_pos = jnp.arange(max_kv_len, dtype=jnp.int32)[None, None, :]
+    mask = kv_pos <= q_abs[:, None, None]
+    mask &= kv_pos < kv_len_t[:, None, None]
+    if sliding_window is not None:
+        mask &= kv_pos > (q_abs[:, None, None] - sliding_window)
+    scores = jnp.where(mask, scores, DEFAULT_MASK_VALUE)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    vf = jnp.repeat(v_t.astype(jnp.float32), q_per_kv, axis=2)
+    out = jnp.einsum("thl,tlhd->thd", probs, vf)
+    return out.astype(q.dtype)
+
+
+def ragged_paged_attention(
+    q: jax.Array,
+    kv_pages: jax.Array,
+    kv_lens: jax.Array,
+    page_indices: jax.Array,
+    cu_q_lens: jax.Array,
+    num_seqs: jax.Array,
+    *,
+    sm_scale: float = 1.0,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    k_scale: Optional[float] = None,
+    v_scale: Optional[float] = None,
+    mesh: Optional[Mesh] = None,
+    use_kernel: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatching wrapper: Pallas kernel on TPU, jnp reference elsewhere.
+
+    Dispatch is a *trace-time* decision (this op is called from inside a
+    jitted step program): `use_kernel=None` selects the Pallas kernel iff
+    the default backend is a TPU.
+
+    When a mesh is provided, the op runs under shard_map with q/kv sharded
+    over the "model" axis on the head dimensions (no collectives needed:
+    attention is head-parallel).
+    """
+    if use_kernel is None:
+        use_kernel = jax.default_backend() in ("tpu", "axon")
+    if use_kernel and not _kernel_supports(q, kv_pages):
+        # The Pallas kernel has alignment requirements (e.g. head_dim
+        # tiling); tiny test models fall back to the jnp reference.
+        use_kernel = False
+    impl = _kernel_attention if use_kernel else ref_ragged_paged_attention
+
+    kwargs = dict(sm_scale=sm_scale, sliding_window=sliding_window,
+                  soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
+
+    if mesh is None:
+        return impl(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+                    **kwargs)
+
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        functools.partial(impl, **kwargs),
+        mesh=mesh,
+        in_specs=(
+            P(None, "model", None),  # q: heads sharded
+            P(None, None, "model", None),  # kv_pages: kv heads sharded
+            P(), P(), P(), P(),
+        ),
+        out_specs=P(None, "model", None),
+        check_rep=False,
+    )
+    return fn(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs)
+
+
+def _kernel_supports(q, kv_pages) -> bool:
+    """Static shape gate for the Pallas kernel (alignment constraints)."""
+    head_dim = q.shape[-1]
+    page_size = kv_pages.shape[1]
+    # MXU/VPU lane alignment: head_dim and page-size tiles must fit the
+    # (sublane, 128)-lane layout; small test shapes use the reference impl.
+    return head_dim % 128 == 0 or (head_dim in (64, 96, 128, 256)
+                                   and page_size % 8 == 0)
+
+
+def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
+                      num_seqs, *, sm_scale, sliding_window, soft_cap,
+                      k_scale, v_scale):
+    """TPU Pallas path (the JAX-bundled ragged paged attention kernel)."""
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+        ragged_paged_attention as rpa_kernel)
+
+    return rpa_kernel(
+        q,
+        kv_pages,
+        kv_lens,
+        page_indices,
+        cu_q_lens,
+        num_seqs,
+        sm_scale=sm_scale,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )

@@ -1,0 +1,107 @@
+"""Test helpers: tiny local HF checkpoints (no network), batch builders.
+
+Mirrors the reference's HfRunner-vs-AphroditeRunner strategy
+(tests/conftest.py:239,588): HuggingFace transformers on CPU is the ground
+truth; our engine must match its greedy tokens / logits.
+"""
+
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+TINY_LLAMA_KWARGS = dict(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    max_position_embeddings=128,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    tie_word_embeddings=False,
+)
+
+
+def make_tiny_tokenizer(save_dir: str, vocab_size: int = 256) -> None:
+    """Train a tiny byte-level BPE tokenizer offline and save HF files."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size,
+        special_tokens=["<s>", "</s>", "<pad>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "hello world, this is a tiny tokenizer",
+        "one two three four five six seven eight nine ten",
+    ] * 10
+    tok.train_from_iterator(corpus, trainer)
+    tok.save(os.path.join(save_dir, "tokenizer.json"))
+    with open(os.path.join(save_dir, "tokenizer_config.json"), "w") as f:
+        json.dump(
+            {
+                "tokenizer_class": "PreTrainedTokenizerFast",
+                "bos_token": "<s>",
+                "eos_token": "</s>",
+                "pad_token": "<pad>",
+                "model_max_length": 128,
+            }, f)
+    with open(os.path.join(save_dir, "special_tokens_map.json"), "w") as f:
+        json.dump({"bos_token": "<s>", "eos_token": "</s>",
+                   "pad_token": "<pad>"}, f)
+
+
+def make_tiny_llama_checkpoint(save_dir: str, seed: int = 0,
+                               **overrides) -> None:
+    """Create a random-weight tiny Llama HF checkpoint (safetensors)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    kwargs = dict(TINY_LLAMA_KWARGS)
+    kwargs.update(overrides)
+    torch.manual_seed(seed)
+    config = LlamaConfig(**kwargs)
+    model = LlamaForCausalLM(config)
+    model = model.to(torch.float32)
+    model.save_pretrained(save_dir, safe_serialization=True)
+    make_tiny_tokenizer(save_dir, vocab_size=kwargs["vocab_size"])
+
+
+def hf_greedy_generate(model_dir: str, prompt_ids: List[int],
+                       max_new_tokens: int) -> List[int]:
+    import torch
+    from transformers import LlamaForCausalLM
+
+    model = LlamaForCausalLM.from_pretrained(model_dir,
+                                             torch_dtype=torch.float32)
+    model.eval()
+    input_ids = torch.tensor([prompt_ids], dtype=torch.long)
+    with torch.no_grad():
+        out = model.generate(
+            input_ids,
+            max_new_tokens=max_new_tokens,
+            do_sample=False,
+            num_beams=1,
+            pad_token_id=2,
+        )
+    return out[0, len(prompt_ids):].tolist()
+
+
+def hf_full_logits(model_dir: str, token_ids: List[int]) -> np.ndarray:
+    import torch
+    from transformers import LlamaForCausalLM
+
+    model = LlamaForCausalLM.from_pretrained(model_dir,
+                                             torch_dtype=torch.float32)
+    model.eval()
+    input_ids = torch.tensor([token_ids], dtype=torch.long)
+    with torch.no_grad():
+        logits = model(input_ids).logits
+    return logits[0].float().numpy()
