@@ -27,7 +27,7 @@ def __getattr__(name):
     # Lazy imports so that `import aphrodite_tpu` stays cheap and does not
     # pull in jax/transformers until an engine is actually constructed.
     if name == "LLM":
-        from aphrodite_tpu.entrypoints.llm import LLM
+        from aphrodite_tpu.endpoints.llm import LLM
 
         return LLM
     if name == "AphroditeEngine":

@@ -52,6 +52,9 @@ class ModelConfig:
     trust_remote_code: bool = False
     revision: Optional[str] = None
     enforce_eager: bool = False
+    # Skip tokenizer loading; requests must pass prompt_token_ids
+    # (reference ModelConfig.skip_tokenizer_init).
+    skip_tokenizer_init: bool = False
     # Populated from config.json:
     hf_config: Dict[str, Any] = field(default_factory=dict)
 

@@ -1,0 +1,118 @@
+"""Offline batch inference API (reference: aphrodite/endpoints/llm.py:30).
+
+`LLM(model=...).generate(prompts, sampling_params)` — the same surface the
+reference exposes, driving the engine's hot loop directly (call stack
+SURVEY.md §3.3) with no RPC layer.
+"""
+
+from typing import List, Optional, Sequence, Union
+
+from aphrodite_tpu.common.logger import init_logger
+from aphrodite_tpu.common.outputs import RequestOutput
+from aphrodite_tpu.common.sampling_params import SamplingParams
+from aphrodite_tpu.engine.args import EngineArgs
+from aphrodite_tpu.engine.engine import AphroditeEngine
+
+logger = init_logger(__name__)
+
+
+class LLM:
+    def __init__(
+        self,
+        model: str,
+        tokenizer: Optional[str] = None,
+        dtype: str = "auto",
+        seed: int = 0,
+        max_model_len: Optional[int] = None,
+        quantization: Optional[str] = None,
+        kv_cache_dtype: str = "auto",
+        block_size: int = 16,
+        hbm_utilization: float = 0.9,
+        enable_prefix_caching: bool = False,
+        tensor_parallel_size: int = 1,
+        max_num_seqs: int = 256,
+        max_num_batched_tokens: Optional[int] = None,
+        enable_chunked_prefill: bool = True,
+        num_device_blocks_override: Optional[int] = None,
+        load_format: str = "auto",
+        trust_remote_code: bool = False,
+        **kwargs,
+    ) -> None:
+        engine_args = EngineArgs(
+            model=model,
+            tokenizer=tokenizer,
+            dtype=dtype,
+            seed=seed,
+            max_model_len=max_model_len,
+            quantization=quantization,
+            kv_cache_dtype=kv_cache_dtype,
+            block_size=block_size,
+            hbm_utilization=hbm_utilization,
+            enable_prefix_caching=enable_prefix_caching,
+            tensor_parallel_size=tensor_parallel_size,
+            max_num_seqs=max_num_seqs,
+            max_num_batched_tokens=max_num_batched_tokens,
+            enable_chunked_prefill=enable_chunked_prefill,
+            num_device_blocks_override=num_device_blocks_override,
+            load_format=load_format,
+            trust_remote_code=trust_remote_code,
+            **kwargs,
+        )
+        self.engine = AphroditeEngine.from_engine_args(engine_args)
+        self._request_counter = 0
+
+    def get_tokenizer(self):
+        return self.engine.tokenizer
+
+    def generate(
+        self,
+        prompts: Union[str, Sequence[str], None] = None,
+        sampling_params: Union[SamplingParams, Sequence[SamplingParams],
+                               None] = None,
+        prompt_token_ids: Optional[Sequence[List[int]]] = None,
+        use_tqdm: bool = False,
+    ) -> List[RequestOutput]:
+        if prompts is not None and isinstance(prompts, str):
+            prompts = [prompts]
+        num = len(prompts) if prompts is not None else len(prompt_token_ids)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * num
+        if len(sampling_params) != num:
+            raise ValueError("sampling_params length mismatch")
+
+        request_ids = []
+        for i in range(num):
+            self._request_counter += 1
+            rid = str(self._request_counter)
+            request_ids.append(rid)
+            self.engine.add_request(
+                request_id=rid,
+                prompt=prompts[i] if prompts is not None else None,
+                sampling_params=sampling_params[i],
+                prompt_token_ids=(prompt_token_ids[i]
+                                  if prompt_token_ids is not None else None),
+            )
+        return self._run_engine(request_ids, use_tqdm)
+
+    def _run_engine(self, request_ids: List[str],
+                    use_tqdm: bool) -> List[RequestOutput]:
+        pbar = None
+        if use_tqdm:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=len(request_ids), desc="generating")
+        results = {}
+        while self.engine.has_unfinished_requests():
+            for out in self.engine.step():
+                if out.finished:
+                    results[out.request_id] = out
+                    if pbar is not None:
+                        pbar.update(1)
+        if pbar is not None:
+            pbar.close()
+        missing = [rid for rid in request_ids if rid not in results]
+        if missing:
+            raise RuntimeError(f"requests never finished: {missing[:4]}")
+        return [results[rid] for rid in request_ids]

@@ -1,0 +1,405 @@
+"""OpenAI-compatible HTTP server.
+
+Re-design of the reference api_server (aphrodite/endpoints/openai/
+api_server.py:315-982, default port 2242). Built on aiohttp (this
+environment has no fastapi/uvicorn); routes and request/response schemas
+match the reference: /health, /v1/models, /v1/completions,
+/v1/chat/completions (both with SSE streaming), /v1/tokenize,
+/v1/detokenize, /metrics (Prometheus).
+
+The engine runs in-process (single-controller JAX); the reference's
+frontend<->engine ZeroMQ split (engine/multiprocessing/) is unnecessary —
+the asyncio loop + thread executor fills the same role without IPC.
+"""
+
+import asyncio
+import json
+from typing import AsyncIterator, List, Optional, Union
+
+from aiohttp import web
+
+from aphrodite_tpu.common.logger import init_logger
+from aphrodite_tpu.common.outputs import RequestOutput
+from aphrodite_tpu.common.sampling_params import SamplingParams
+from aphrodite_tpu.engine.args import EngineArgs
+from aphrodite_tpu.engine.async_engine import AsyncAphrodite
+from aphrodite_tpu.endpoints.openai.protocol import (
+    ChatCompletionChoice, ChatCompletionRequest, ChatCompletionResponse,
+    ChatCompletionResponseMessage, ChatCompletionStreamChoice,
+    ChatCompletionStreamResponse, ChatMessage, CompletionChoice,
+    CompletionRequest, CompletionResponse, DeltaMessage, DetokenizeRequest,
+    DetokenizeResponse, ErrorResponse, LogProbsPart, ModelCard, ModelList,
+    TokenizeRequest, TokenizeResponse, UsageInfo, random_uuid)
+
+logger = init_logger(__name__)
+
+DEFAULT_PORT = 2242
+
+
+def _error(message: str, status: int = 400,
+           err_type: str = "invalid_request_error") -> web.Response:
+    body = ErrorResponse(message=message, type=err_type,
+                         code=status).model_dump()
+    return web.json_response({"error": body}, status=status)
+
+
+class OpenAIServer:
+    def __init__(self, async_engine: AsyncAphrodite,
+                 served_model_names: Optional[List[str]] = None,
+                 api_keys: Optional[List[str]] = None) -> None:
+        self.async_engine = async_engine
+        self.engine = async_engine.engine
+        self.tokenizer = self.engine.tokenizer
+        self.model_config = self.engine.model_config
+        names = served_model_names or [self.model_config.model]
+        self.served_model_names = names
+        self.api_keys = api_keys
+
+    # ------------------------------------------------------------------
+    # App wiring
+    # ------------------------------------------------------------------
+
+    def build_app(self) -> web.Application:
+        app = web.Application(middlewares=[self._auth_middleware])
+        app.router.add_get("/health", self.health)
+        app.router.add_get("/v1/models", self.show_models)
+        app.router.add_post("/v1/completions", self.create_completion)
+        app.router.add_post("/v1/chat/completions",
+                            self.create_chat_completion)
+        app.router.add_post("/v1/tokenize", self.tokenize)
+        app.router.add_post("/v1/detokenize", self.detokenize)
+        app.router.add_get("/metrics", self.metrics)
+        app.router.add_get("/version", self.version)
+        return app
+
+    @web.middleware
+    async def _auth_middleware(self, request: web.Request, handler):
+        if self.api_keys and request.path.startswith("/v1"):
+            auth = request.headers.get("Authorization", "")
+            token = auth.removeprefix("Bearer ").strip()
+            if token not in self.api_keys:
+                return _error("invalid API key", status=401,
+                              err_type="authentication_error")
+        return await handler(request)
+
+    # ------------------------------------------------------------------
+    # Simple routes
+    # ------------------------------------------------------------------
+
+    async def health(self, request: web.Request) -> web.Response:
+        try:
+            await self.async_engine.check_health()
+        except Exception as e:
+            return web.json_response({"status": "dead", "error": str(e)},
+                                     status=500)
+        return web.Response(status=200)
+
+    async def version(self, request: web.Request) -> web.Response:
+        import aphrodite_tpu
+
+        return web.json_response({"version": aphrodite_tpu.__version__})
+
+    async def show_models(self, request: web.Request) -> web.Response:
+        cards = [ModelCard(id=n, root=self.model_config.model)
+                 for n in self.served_model_names]
+        return web.json_response(ModelList(data=cards).model_dump())
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        try:
+            import prometheus_client
+
+            data = prometheus_client.generate_latest()
+            return web.Response(body=data,
+                                content_type="text/plain",
+                                charset="utf-8")
+        except ImportError:
+            return web.Response(text="", content_type="text/plain")
+
+    async def tokenize(self, request: web.Request) -> web.Response:
+        try:
+            req = TokenizeRequest(**await request.json())
+        except Exception as e:
+            return _error(str(e))
+        if req.messages is not None:
+            text = self._apply_chat_template(req.messages,
+                                             req.add_generation_prompt)
+            ids = self.tokenizer.encode(text, add_special_tokens=False)
+        else:
+            ids = self.tokenizer.encode(
+                req.prompt or "", add_special_tokens=req.add_special_tokens)
+        resp = TokenizeResponse(tokens=ids, count=len(ids),
+                                max_model_len=self.model_config.max_model_len)
+        return web.json_response(resp.model_dump())
+
+    async def detokenize(self, request: web.Request) -> web.Response:
+        try:
+            req = DetokenizeRequest(**await request.json())
+        except Exception as e:
+            return _error(str(e))
+        text = self.tokenizer.decode(req.tokens)
+        return web.json_response(DetokenizeResponse(prompt=text).model_dump())
+
+    # ------------------------------------------------------------------
+    # Completions
+    # ------------------------------------------------------------------
+
+    def _normalize_prompts(self, prompt) -> List[Union[str, List[int]]]:
+        if isinstance(prompt, str):
+            return [prompt]
+        if isinstance(prompt, list):
+            if not prompt:
+                raise ValueError("empty prompt")
+            if isinstance(prompt[0], int):
+                return [prompt]
+            return list(prompt)
+        raise ValueError("invalid prompt type")
+
+    async def create_completion(self, request: web.Request) -> web.Response:
+        try:
+            req = CompletionRequest(**await request.json())
+            prompts = self._normalize_prompts(req.prompt)
+        except Exception as e:
+            return _error(str(e))
+        model_name = req.model or self.served_model_names[0]
+
+        streams = []
+        request_id = f"cmpl-{random_uuid()}"
+        try:
+            for i, p in enumerate(prompts):
+                if isinstance(p, str):
+                    prompt_ids = self.tokenizer.encode(p)
+                    prompt_text: Optional[str] = p
+                else:
+                    prompt_ids = list(p)
+                    prompt_text = None
+                sp = req.to_sampling_params(
+                    self.model_config.max_model_len - len(prompt_ids))
+                stream = await self.async_engine.add_request(
+                    f"{request_id}-{i}", prompt=prompt_text,
+                    sampling_params=sp, prompt_token_ids=prompt_ids)
+                streams.append((f"{request_id}-{i}", stream, prompt_ids, sp))
+        except Exception as e:
+            return _error(str(e))
+
+        if req.stream:
+            return await self._stream_completion(request, req, request_id,
+                                                 model_name, streams)
+
+        try:
+            finals = await asyncio.gather(
+                *[self._collect(stream) for _, stream, _, _ in streams])
+        except Exception as e:
+            return _error(str(e), status=500, err_type="internal_error")
+        choices = []
+        usage = UsageInfo()
+        for gi, out in enumerate(finals):
+            prompt_ids = streams[gi][2]
+            usage.prompt_tokens += len(prompt_ids)
+            for comp in out.outputs:
+                text = comp.text
+                if req.echo:
+                    prefix = (out.prompt if out.prompt is not None else
+                              self.tokenizer.decode(prompt_ids))
+                    text = prefix + text
+                choices.append(
+                    CompletionChoice(
+                        index=len(choices),
+                        text=text,
+                        finish_reason=comp.finish_reason,
+                        stop_reason=comp.stop_reason,
+                        logprobs=self._format_logprobs(comp, req.logprobs),
+                    ))
+                usage.completion_tokens += len(comp.token_ids)
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        resp = CompletionResponse(id=request_id, model=model_name,
+                                  choices=choices, usage=usage)
+        return web.json_response(resp.model_dump())
+
+    def _format_logprobs(self, comp, num_logprobs) -> Optional[LogProbsPart]:
+        if num_logprobs is None or comp.logprobs is None:
+            return None
+        part = LogProbsPart(top_logprobs=[])
+        offset = 0
+        for tid, entry in zip(comp.token_ids, comp.logprobs):
+            tok_text = self.tokenizer.decode([tid])
+            part.tokens.append(tok_text)
+            lp = entry.get(tid)
+            part.token_logprobs.append(lp.logprob if lp else None)
+            part.text_offset.append(offset)
+            offset += len(tok_text)
+            part.top_logprobs.append({
+                self.tokenizer.decode([t]): e.logprob
+                for t, e in entry.items()
+            })
+        return part
+
+    async def _collect(self, stream) -> RequestOutput:
+        final = None
+        async for out in stream:
+            final = out
+        assert final is not None
+        return final
+
+    async def _stream_completion(self, request, req, request_id, model_name,
+                                 streams) -> web.StreamResponse:
+        response = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await response.prepare(request)
+
+        async def pump(gi, rid, stream, prompt_ids):
+            sent_len = [0] * (streams[gi][3].n or 1)
+            async for out in stream:
+                for ci, comp in enumerate(out.outputs):
+                    delta = comp.text[sent_len[ci]:]
+                    sent_len[ci] = len(comp.text)
+                    if not delta and not comp.finish_reason:
+                        continue
+                    chunk = CompletionResponse(
+                        id=request_id,
+                        model=model_name,
+                        choices=[
+                            CompletionChoice(
+                                index=gi * (streams[gi][3].n or 1) + ci,
+                                text=delta,
+                                finish_reason=comp.finish_reason,
+                                stop_reason=comp.stop_reason,
+                            )
+                        ],
+                    ).model_dump(exclude_unset=False)
+                    await response.write(
+                        f"data: {json.dumps(chunk)}\n\n".encode())
+
+        for gi, (rid, stream, prompt_ids, _) in enumerate(streams):
+            await pump(gi, rid, stream, prompt_ids)
+        await response.write(b"data: [DONE]\n\n")
+        await response.write_eof()
+        return response
+
+    # ------------------------------------------------------------------
+    # Chat completions
+    # ------------------------------------------------------------------
+
+    def _apply_chat_template(self, messages: List[ChatMessage],
+                             add_generation_prompt: bool = True,
+                             chat_template: Optional[str] = None) -> str:
+        conversation = []
+        for m in messages:
+            content = m.content
+            if isinstance(content, list):
+                # Multimodal-style content parts: concatenate text parts.
+                content = "".join(
+                    part.get("text", "") for part in content
+                    if isinstance(part, dict))
+            conversation.append({"role": m.role, "content": content or ""})
+        if getattr(self.tokenizer, "chat_template", None) or chat_template:
+            return self.tokenizer.apply_chat_template(
+                conversation,
+                tokenize=False,
+                add_generation_prompt=add_generation_prompt,
+                chat_template=chat_template,
+            )
+        # Fallback template for tokenizers without one.
+        text = ""
+        for m in conversation:
+            text += f"<|{m['role']}|>\n{m['content']}\n"
+        if add_generation_prompt:
+            text += "<|assistant|>\n"
+        return text
+
+    async def create_chat_completion(self,
+                                     request: web.Request) -> web.Response:
+        try:
+            req = ChatCompletionRequest(**await request.json())
+            prompt_text = self._apply_chat_template(
+                req.messages, req.add_generation_prompt or True,
+                req.chat_template)
+        except Exception as e:
+            return _error(str(e))
+        model_name = req.model or self.served_model_names[0]
+        prompt_ids = self.tokenizer.encode(prompt_text)
+        sp = req.to_sampling_params(
+            self.model_config.max_model_len - len(prompt_ids))
+        request_id = f"chatcmpl-{random_uuid()}"
+        try:
+            stream = await self.async_engine.add_request(
+                request_id, prompt=prompt_text, sampling_params=sp,
+                prompt_token_ids=prompt_ids)
+        except Exception as e:
+            return _error(str(e))
+
+        if req.stream:
+            return await self._stream_chat(request, request_id, model_name,
+                                           stream, sp)
+
+        try:
+            final = await self._collect(stream)
+        except Exception as e:
+            return _error(str(e), status=500, err_type="internal_error")
+        choices = [
+            ChatCompletionChoice(
+                index=i,
+                message=ChatCompletionResponseMessage(content=comp.text),
+                finish_reason=comp.finish_reason,
+                stop_reason=comp.stop_reason,
+            ) for i, comp in enumerate(final.outputs)
+        ]
+        usage = UsageInfo(
+            prompt_tokens=len(prompt_ids),
+            completion_tokens=sum(
+                len(c.token_ids) for c in final.outputs),
+        )
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        resp = ChatCompletionResponse(id=request_id, model=model_name,
+                                      choices=choices, usage=usage)
+        return web.json_response(resp.model_dump())
+
+    async def _stream_chat(self, request, request_id, model_name, stream,
+                           sp) -> web.StreamResponse:
+        response = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await response.prepare(request)
+        first = ChatCompletionStreamResponse(
+            id=request_id, model=model_name,
+            choices=[ChatCompletionStreamChoice(
+                index=0, delta=DeltaMessage(role="assistant", content=""))])
+        await response.write(
+            f"data: {json.dumps(first.model_dump())}\n\n".encode())
+        sent_len = [0] * (sp.n or 1)
+        async for out in stream:
+            for ci, comp in enumerate(out.outputs):
+                delta = comp.text[sent_len[ci]:]
+                sent_len[ci] = len(comp.text)
+                if not delta and not comp.finish_reason:
+                    continue
+                chunk = ChatCompletionStreamResponse(
+                    id=request_id, model=model_name,
+                    choices=[
+                        ChatCompletionStreamChoice(
+                            index=ci,
+                            delta=DeltaMessage(content=delta),
+                            finish_reason=comp.finish_reason,
+                        )
+                    ])
+                await response.write(
+                    f"data: {json.dumps(chunk.model_dump())}\n\n".encode())
+        await response.write(b"data: [DONE]\n\n")
+        await response.write_eof()
+        return response
+
+
+async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
+                     port: int = DEFAULT_PORT,
+                     served_model_names: Optional[List[str]] = None,
+                     api_keys: Optional[List[str]] = None) -> None:
+    async_engine = AsyncAphrodite.from_engine_args(engine_args)
+    server = OpenAIServer(async_engine, served_model_names, api_keys)
+    app = server.build_app()
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, host, port)
+    await site.start()
+    logger.info("aphrodite-tpu API server listening on %s:%d", host, port)
+    while True:
+        await asyncio.sleep(3600)

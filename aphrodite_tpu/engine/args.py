@@ -1,0 +1,112 @@
+"""EngineArgs: flat user-facing knobs -> typed config objects.
+
+Reference: aphrodite/engine/args_tools.py:60 (EngineArgs with 87 CLI flags,
+create_engine_config). The surface here keeps the same names where the
+concept carries over to TPU; CUDA-specific flags (gpu-memory-utilization ->
+hbm-utilization, enforce-eager, CUDA graph sizing) are either renamed or
+intentionally absent.
+"""
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+from aphrodite_tpu.common.config import (CacheConfig, DeviceConfig,
+                                         EngineConfig, LoadConfig,
+                                         ModelConfig, ParallelConfig,
+                                         SchedulerConfig)
+
+
+@dataclass
+class EngineArgs:
+    model: str
+    tokenizer: Optional[str] = None
+    dtype: str = "auto"
+    seed: int = 0
+    max_model_len: Optional[int] = None
+    quantization: Optional[str] = None
+    trust_remote_code: bool = False
+    skip_tokenizer_init: bool = False
+    load_format: str = "auto"
+    # KV cache.
+    block_size: int = 16
+    hbm_utilization: float = 0.9
+    kv_cache_dtype: str = "auto"
+    num_device_blocks_override: Optional[int] = None
+    enable_prefix_caching: bool = False
+    # Parallelism.
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    # Scheduling.
+    max_num_batched_tokens: Optional[int] = None
+    max_num_seqs: int = 256
+    enable_chunked_prefill: bool = True
+    num_scheduler_steps: int = 1
+    # Device.
+    device: str = "auto"
+
+    def create_engine_config(self) -> EngineConfig:
+        model_config = ModelConfig(
+            model=self.model,
+            tokenizer=self.tokenizer,
+            dtype=self.dtype,
+            seed=self.seed,
+            max_model_len=self.max_model_len,
+            quantization=self.quantization,
+            trust_remote_code=self.trust_remote_code,
+            skip_tokenizer_init=self.skip_tokenizer_init,
+        )
+        cache_config = CacheConfig(
+            block_size=self.block_size,
+            hbm_utilization=self.hbm_utilization,
+            cache_dtype=self.kv_cache_dtype,
+            enable_prefix_caching=self.enable_prefix_caching,
+            num_device_blocks_override=self.num_device_blocks_override,
+        )
+        parallel_config = ParallelConfig(
+            tensor_parallel_size=self.tensor_parallel_size,
+            data_parallel_size=self.data_parallel_size,
+            pipeline_parallel_size=self.pipeline_parallel_size,
+        )
+        scheduler_config = SchedulerConfig(
+            max_num_batched_tokens=self.max_num_batched_tokens,
+            max_num_seqs=self.max_num_seqs,
+            max_model_len=model_config.max_model_len,
+            enable_chunked_prefill=self.enable_chunked_prefill,
+            num_scheduler_steps=self.num_scheduler_steps,
+        )
+        return EngineConfig(
+            model_config=model_config,
+            cache_config=cache_config,
+            parallel_config=parallel_config,
+            scheduler_config=scheduler_config,
+            device_config=DeviceConfig(device=self.device),
+            load_config=LoadConfig(load_format=self.load_format),
+        )
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser
+                     ) -> argparse.ArgumentParser:
+        for f in dataclasses.fields(EngineArgs):
+            if f.name == "model":
+                continue  # the CLI provides `model` as a positional
+            name = "--" + f.name.replace("_", "-")
+            ftype = str(f.type)
+            if "bool" in ftype:
+                parser.add_argument(name, action="store_true",
+                                    default=f.default)
+            elif "int" in ftype:
+                parser.add_argument(name, type=int, default=f.default)
+            elif "float" in ftype:
+                parser.add_argument(name, type=float, default=f.default)
+            else:
+                parser.add_argument(name, type=str, default=f.default)
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{
+            k: v for k, v in vars(args).items() if k in fields})

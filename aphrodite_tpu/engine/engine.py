@@ -1,0 +1,286 @@
+"""The synchronous engine: request intake -> schedule -> execute -> outputs.
+
+Re-design of the reference AphroditeEngine (aphrodite/engine/
+aphrodite_engine.py:116): `add_request()` tokenizes and enqueues,
+`step()` runs one scheduler+device iteration and returns `RequestOutput`s
+for every request touched this step. There is no executor/worker process
+tree — JAX's single-controller model drives all chips of the mesh from this
+process, so the reference's layers 6-8 (executor, worker, RPC broadcast)
+collapse into the ModelRunner (SURVEY.md §2.5 TPU-native mapping).
+"""
+
+import time
+from typing import Any, Dict, Iterable, List, Optional, Union
+
+from aphrodite_tpu.common.config import EngineConfig
+from aphrodite_tpu.common.logger import init_logger
+from aphrodite_tpu.common.outputs import RequestOutput
+from aphrodite_tpu.common.sampling_params import SamplingParams
+from aphrodite_tpu.common.sequence import (Logprob, Sequence, SequenceGroup,
+                                           SequenceStatus)
+from aphrodite_tpu.engine.args import EngineArgs
+from aphrodite_tpu.engine.metrics import StatLogger, Stats
+from aphrodite_tpu.engine.stop_checker import StopChecker
+from aphrodite_tpu.processing.scheduler import Scheduler
+from aphrodite_tpu.transformers_utils.detokenizer import (
+    detokenize_incrementally)
+from aphrodite_tpu.transformers_utils.tokenizer import get_tokenizer
+from aphrodite_tpu.worker.model_runner import ModelRunner
+
+logger = init_logger(__name__)
+
+
+class AphroditeEngine:
+    def __init__(self, engine_config: EngineConfig) -> None:
+        self.config = engine_config
+        self.model_config = engine_config.model_config
+        self.scheduler_config = engine_config.scheduler_config
+
+        if self.model_config.skip_tokenizer_init:
+            self.tokenizer = None
+            self.eos_token_id = None
+        else:
+            self.tokenizer = get_tokenizer(
+                self.model_config.tokenizer,
+                trust_remote_code=self.model_config.trust_remote_code)
+            self.eos_token_id = self.tokenizer.eos_token_id
+
+        self.runner = ModelRunner(engine_config)
+        self.runner.load_model()
+        self.runner.initialize_cache()
+
+        self.scheduler = Scheduler(engine_config.scheduler_config,
+                                   engine_config.cache_config)
+        self.stop_checker = StopChecker(self.model_config.max_model_len)
+
+        self._seq_counter = 0
+        self._groups: Dict[str, SequenceGroup] = {}
+        self._generation_config = self._load_generation_config()
+        self.stat_logger = StatLogger(self.model_config.model)
+
+    @classmethod
+    def from_engine_args(cls, engine_args: EngineArgs) -> "AphroditeEngine":
+        return cls(engine_args.create_engine_config())
+
+    def _load_generation_config(self) -> Dict[str, Any]:
+        import json
+        import os
+
+        path = os.path.join(self.model_config.model,
+                            "generation_config.json")
+        if os.path.isfile(path):
+            with open(path) as f:
+                return json.load(f)
+        return {}
+
+    def _next_seq_id(self) -> int:
+        self._seq_counter += 1
+        return self._seq_counter
+
+    # ------------------------------------------------------------------
+    # Request intake
+    # ------------------------------------------------------------------
+
+    def add_request(
+        self,
+        request_id: str,
+        prompt: Optional[str] = None,
+        sampling_params: Optional[SamplingParams] = None,
+        prompt_token_ids: Optional[List[int]] = None,
+        arrival_time: Optional[float] = None,
+    ) -> None:
+        if request_id in self._groups:
+            raise ValueError(f"duplicate request_id {request_id!r}")
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if sampling_params.use_beam_search:
+            raise NotImplementedError(
+                "beam search is not implemented yet in aphrodite-tpu")
+        if prompt_token_ids is None:
+            if prompt is None:
+                raise ValueError("either prompt or prompt_token_ids required")
+            prompt_token_ids = self.tokenizer.encode(prompt)
+        if sampling_params.truncate_prompt_tokens is not None:
+            prompt_token_ids = prompt_token_ids[
+                -sampling_params.truncate_prompt_tokens:]
+        sampling_params = sampling_params.clone()
+        sampling_params.update_from_generation_config(
+            self._generation_config, self.eos_token_id)
+
+        # best_of sequences run independently from the first token
+        # (the reference forks post-prefill; with prefix caching enabled
+        # the prompt KV is shared anyway).
+        seqs = []
+        for _ in range(sampling_params.best_of):
+            seqs.append(
+                Sequence(
+                    seq_id=self._next_seq_id(),
+                    prompt_token_ids=prompt_token_ids,
+                    block_size=self.config.cache_config.block_size,
+                    eos_token_id=self.eos_token_id,
+                    prompt=prompt,
+                ))
+        group = SequenceGroup(
+            request_id=request_id,
+            seqs=seqs,
+            sampling_params=sampling_params,
+            arrival_time=arrival_time,
+        )
+        self._groups[request_id] = group
+        if len(seqs) == 1:
+            self.scheduler.add_seq_group(group)
+        else:
+            # Each sequence is scheduled as its own single-seq group sharing
+            # the parent SequenceGroup bookkeeping.
+            for seq in seqs:
+                sub = SequenceGroup(
+                    request_id=request_id,
+                    seqs=[seq],
+                    sampling_params=sampling_params,
+                    arrival_time=arrival_time,
+                )
+                sub.metrics = group.metrics
+                self.scheduler.add_seq_group(sub)
+
+    def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
+        ids = [request_id] if isinstance(request_id, str) else \
+            list(request_id)
+        self.scheduler.abort_seq_group(ids)
+        for rid in ids:
+            self._groups.pop(rid, None)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_seqs()
+
+    def get_num_unfinished_requests(self) -> int:
+        return sum(1 for g in self._groups.values() if not g.is_finished())
+
+    # ------------------------------------------------------------------
+    # The hot loop
+    # ------------------------------------------------------------------
+
+    def step(self) -> List[RequestOutput]:
+        scheduler_outputs = self.scheduler.schedule()
+        now = time.monotonic()
+        if scheduler_outputs.is_empty():
+            return self._make_outputs(scheduler_outputs.ignored, set())
+
+        for ss in scheduler_outputs.scheduled:
+            ss.group.maybe_set_first_scheduled_time(now)
+
+        result = self.runner.execute(scheduler_outputs)
+
+        # Advance computed-token counters BEFORE appending new tokens (the
+        # appended token's KV is computed by the next step).
+        self.scheduler.mark_step_computed(scheduler_outputs)
+
+        touched = set()
+        now = time.monotonic()
+        for i, ss in enumerate(scheduler_outputs.scheduled):
+            seq = ss.seq
+            group = self._groups.get(ss.group.request_id)
+            touched.add(ss.group.request_id)
+            if not ss.do_sample:
+                continue  # mid-prefill chunk: no token produced
+            token_id = int(result.sampled[i])
+            logprob_val = float(result.sampled_logprob[i])
+            seq.append_token_id(token_id, logprob_val)
+            sp = ss.group.sampling_params
+            if sp.logprobs is not None:
+                entry = {
+                    token_id: Logprob(logprob=logprob_val,
+                                      rank=int(result.sampled_rank[i]))
+                }
+                for k in range(min(sp.logprobs, result.topk_ids.shape[1])):
+                    tid = int(result.topk_ids[i, k])
+                    entry.setdefault(
+                        tid,
+                        Logprob(logprob=float(result.topk_logprobs[i, k]),
+                                rank=k + 1))
+                seq.output_logprobs.append(entry)
+
+            new_text = ""
+            if sp.detokenize and self.tokenizer is not None:
+                new_text = self._decode_sequence(seq, sp)
+            self.stop_checker.maybe_stop_sequence(seq, new_text, sp)
+            if seq.is_finished():
+                self.scheduler.free_seq(seq)
+            ss.group.maybe_set_first_token_time(now)
+            if group is not None:
+                group.maybe_set_first_token_time(now)
+
+        self.scheduler.free_finished_seq_groups()
+        self._log_stats(scheduler_outputs, now)
+        ignored = scheduler_outputs.ignored
+        return self._make_outputs(ignored, touched)
+
+    def _log_stats(self, scheduler_outputs, now: float) -> None:
+        bm = self.scheduler.block_manager
+        kv_usage = 1.0 - bm.get_num_free_blocks() / max(bm.num_blocks, 1)
+        stats = Stats(
+            now=now,
+            num_running=len(self.scheduler.running),
+            num_waiting=len(self.scheduler.waiting),
+            kv_usage=kv_usage,
+            prefix_cache_hit_rate=bm.get_prefix_cache_hit_rate(),
+            num_preemptions_iter=len(scheduler_outputs.preempted),
+            num_prompt_tokens_iter=scheduler_outputs.num_prefill_tokens,
+            num_generation_tokens_iter=scheduler_outputs.num_decode_tokens,
+        )
+        for ss in scheduler_outputs.scheduled:
+            m = ss.group.metrics
+            if not ss.do_sample:
+                continue
+            if ss.seq.get_output_len() == 1 and m.first_scheduled_time:
+                stats.time_to_first_tokens_iter.append(
+                    now - m.arrival_time)
+            elif ss.seq.get_output_len() > 1:
+                if m.last_token_time:
+                    stats.time_per_output_tokens_iter.append(
+                        now - m.last_token_time)
+            m.last_token_time = now
+            if ss.seq.is_finished():
+                stats.time_e2e_requests.append(now - m.arrival_time)
+                reason = SequenceStatus.get_finished_reason(ss.seq.status)
+                if reason:
+                    stats.finished_reason_iter.append(reason)
+        self.stat_logger.log(stats)
+
+    def _decode_sequence(self, seq: Sequence,
+                         sampling_params: SamplingParams) -> str:
+        new_tokens, new_text, prefix_offset, read_offset = \
+            detokenize_incrementally(
+                self.tokenizer,
+                all_token_ids=seq.get_token_ids(),
+                prev_tokens=seq.tokens,
+                prefix_offset=seq.prefix_offset,
+                read_offset=seq.read_offset,
+                skip_special_tokens=sampling_params.skip_special_tokens,
+                spaces_between_special_tokens=(
+                    sampling_params.spaces_between_special_tokens),
+            )
+        if seq.tokens is None:
+            seq.tokens = new_tokens
+        else:
+            seq.tokens.extend(new_tokens)
+        seq.prefix_offset = prefix_offset
+        seq.read_offset = read_offset
+        seq.output_text += new_text
+        return new_text
+
+    def _make_outputs(self, ignored_groups, touched_ids
+                      ) -> List[RequestOutput]:
+        outputs: List[RequestOutput] = []
+        now = time.monotonic()
+        for g in ignored_groups:
+            touched_ids = set(touched_ids) | {g.request_id}
+        for rid in sorted(touched_ids):
+            group = self._groups.get(rid)
+            if group is None:
+                continue
+            if group.is_finished():
+                group.set_finished_time(now)
+            outputs.append(RequestOutput.from_seq_group(group))
+            if group.is_finished():
+                self._groups.pop(rid, None)
+        return outputs

@@ -144,20 +144,47 @@ def _check_shapes(expected, got, prefix: str) -> None:
                     f"expected {v}")
 
 
+_CONTAINER_KEYS = ("q", "q4")
+
+
+def _is_quant_container(node) -> bool:
+    return isinstance(node, dict) and any(k in node
+                                          for k in _CONTAINER_KEYS)
+
+
+def _container_child_spec(base_spec, child_key: str, arr: np.ndarray):
+    """Sharding spec for a quantized-container member, derived from the
+    dense weight's spec: quantized values shard like the weight; scales/
+    zeros shard the same way except axes their (possibly size-1 grouped)
+    shape can't split — those are replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = tuple(base_spec) + (None,) * (arr.ndim - len(tuple(base_spec)))
+    fixed = []
+    for axis_spec, size in zip(spec, arr.shape):
+        # Singleton axes (per-channel scale's K dim of 1) can't split.
+        fixed.append(None if size == 1 else axis_spec)
+    return P(*fixed)
+
+
 def place_params_on_mesh(
     model,
     host_params: Dict[str, Any],
     mesh: Optional[Mesh],
     dtype,
 ) -> Dict[str, Any]:
-    """Cast + transfer the host pytree to (sharded) device arrays."""
+    """Cast + transfer the host pytree to (sharded) device arrays.
+
+    Quantized containers keep their member dtypes (int8/fp8 values, f32
+    scales); dense float weights are cast to the model dtype.
+    """
     import jax.numpy as jnp
 
     shardings = model.param_shardings()
 
-    def place(path, arr, spec):
+    def place(arr, spec, cast):
         arr = np.asarray(arr)
-        target = jnp.asarray(arr, dtype=dtype)
+        target = jnp.asarray(arr, dtype=dtype) if cast else jnp.asarray(arr)
         if mesh is not None:
             return jax.device_put(target, NamedSharding(mesh, spec))
         return jax.device_put(target)
@@ -165,13 +192,145 @@ def place_params_on_mesh(
     def walk(hp, sp, path=""):
         out = {}
         for k, v in hp.items():
-            if isinstance(v, dict):
+            if _is_quant_container(v):
+                base_spec = sp[k]
+                out[k] = {
+                    ck: place(cv, _container_child_spec(base_spec, ck, cv),
+                              cast=False)
+                    for ck, cv in v.items()
+                }
+            elif isinstance(v, dict):
                 out[k] = walk(v, sp[k], path=f"{path}{k}.")
             else:
-                out[k] = place(f"{path}{k}", v, sp[k])
+                out[k] = place(v, sp[k], cast=True)
         return out
 
     return walk(host_params, shardings)
+
+
+def quantize_params_at_load(model, host_params: Dict[str, Any],
+                            method) -> Dict[str, Any]:
+    """Runtime weight quantization of a full-precision checkpoint
+    (reference tpu_int8.py:93-100 pattern, generalized)."""
+    for path in model.quantizable_weights():
+        w = _get_path(host_params, path)
+        _set_path(host_params, path, method.quantize_from_float(w))
+        logger.info("quantized %s at load (%s)", path, method.NAME)
+    return host_params
+
+
+def _checkpoint_has_packed_tensors(model_dir: str) -> bool:
+    """True when the safetensors files carry GPTQ/AWQ packed tensors."""
+    from safetensors import safe_open
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            names = json.load(f)["weight_map"].keys()
+        return any(n.endswith(".qweight") for n in names)
+    for fn in os.listdir(model_dir):
+        if fn.endswith(".safetensors"):
+            with safe_open(os.path.join(model_dir, fn),
+                           framework="np") as f:
+                if any(n.endswith(".qweight") for n in f.keys()):
+                    return True
+    return False
+
+
+def load_quantized_hf_params_to_host(
+    model,
+    model_dir: str,
+    quant_method: str,
+) -> Dict[str, Any]:
+    """Load a GPTQ/AWQ checkpoint: packed int32 tensors -> containers.
+
+    GPTQ/AWQ store Linear tensors as `<prefix>.qweight/.qzeros/.scales`
+    (+ optional `g_idx`) already laid out [in, out] — no transpose
+    (unlike dense HF Linear weights). Per-layer containers are unpacked
+    then stacked on the leading layer axis for the lax.scan forward.
+    """
+    from aphrodite_tpu.quantization import int4 as int4_mod
+
+    is_awq = quant_method.startswith("awq")
+    num_layers = model.num_layers
+    per_layer_maps = model.hf_param_mappings()
+    global_maps = model.hf_global_mappings()
+    quantizable = set(model.quantizable_weights())
+
+    # weight-name templates for quantized linears: strip ".weight".
+    linear_prefix: Dict[str, str] = {}  # our_path -> hf prefix template
+    dense_lookup: Dict[str, Tuple[str, bool, Optional[int]]] = {}
+    for template, our_path, transpose in per_layer_maps:
+        if our_path in quantizable:
+            assert template.endswith(".weight"), template
+            linear_prefix[our_path] = template[:-len(".weight")]
+        else:
+            for i in range(num_layers):
+                dense_lookup[template.format(i=i)] = (our_path, transpose,
+                                                      i)
+    for hf_name, our_path, transpose in global_maps:
+        dense_lookup[hf_name] = (our_path, transpose, None)
+
+    # Collect all tensors (quantized checkpoints are small enough to
+    # gather the packed pieces before unpacking).
+    raw: Dict[str, np.ndarray] = {}
+    params: Dict[str, Any] = {}
+    pieces: Dict[str, List[Optional[np.ndarray]]] = {
+        our_path: [None] * num_layers
+        for _, our_path, _ in per_layer_maps
+        if our_path not in quantizable
+    }
+    for name, arr in safetensors_weight_iterator(model_dir):
+        info = dense_lookup.get(name)
+        if info is not None:
+            our_path, transpose, layer_idx = info
+            arr = np.asarray(arr)
+            if transpose:
+                arr = arr.T
+            if hasattr(model, "maybe_pad_kv_weight"):
+                arr = model.maybe_pad_kv_weight(our_path, arr)
+            if layer_idx is None:
+                _set_path(params, our_path, arr)
+            else:
+                pieces[our_path][layer_idx] = arr
+        else:
+            raw[name] = np.asarray(arr)
+
+    for our_path, layer_list in pieces.items():
+        missing = [i for i, a in enumerate(layer_list) if a is None]
+        if missing:
+            raise ValueError(f"missing layers {missing[:4]} for {our_path}")
+        _set_path(params, our_path, np.stack(layer_list, axis=0))
+
+    # Unpack + stack the quantized linears.
+    for our_path, prefix_t in linear_prefix.items():
+        containers = []
+        for i in range(num_layers):
+            prefix = prefix_t.format(i=i)
+            try:
+                qweight = raw[f"{prefix}.qweight"]
+                qzeros = raw[f"{prefix}.qzeros"]
+                scales = raw[f"{prefix}.scales"]
+            except KeyError as e:
+                raise ValueError(
+                    f"quantized checkpoint is missing {e} for {prefix}")
+            if is_awq:
+                c = int4_mod.load_awq_tensors(qweight, qzeros, scales)
+            else:
+                g_idx = raw.get(f"{prefix}.g_idx")
+                c = int4_mod.load_gptq_tensors(qweight, qzeros, scales,
+                                               g_idx)
+            containers.append(c)
+        stacked = {
+            k: np.stack([c[k] for c in containers], axis=0)
+            for k in containers[0]
+        }
+        if model.num_kv_heads_padded != model.num_kv_heads and \
+                our_path in ("layers.wk", "layers.wv"):
+            raise NotImplementedError(
+                "tp > num_kv_heads with int4 checkpoints not supported yet")
+        _set_path(params, our_path, stacked)
+    return params
 
 
 def load_model_params(
@@ -182,6 +341,10 @@ def load_model_params(
 ) -> Dict[str, Any]:
     import jax.numpy as jnp
 
+    from aphrodite_tpu.quantization import get_quantization_method
+
+    quant = model_config.quantization
+    method = get_quantization_method(quant)
     fmt = load_config.load_format
     if fmt == "auto":
         has_st = any(
@@ -190,10 +353,36 @@ def load_model_params(
         fmt = "safetensors" if has_st else "dummy"
     if fmt == "safetensors":
         logger.info("loading weights from %s", model_config.model)
-        host = load_hf_params_to_host(model, model_config.model)
+        if (method is not None and not method.RUNTIME_QUANTIZE
+                and _checkpoint_has_packed_tensors(model_config.model)):
+            # Checkpoint itself is quantized (GPTQ/AWQ packed tensors).
+            host = load_quantized_hf_params_to_host(model,
+                                                    model_config.model,
+                                                    quant.lower())
+        else:
+            host = load_hf_params_to_host(model, model_config.model)
+            if method is not None and method.RUNTIME_QUANTIZE:
+                host = quantize_params_at_load(model, host, method)
+            elif method is not None:
+                # int4 requested on a dense checkpoint: runtime 4-bit
+                # group quantization (benches / ablations).
+                from aphrodite_tpu.quantization import int4 as int4_mod
+
+                for path in model.quantizable_weights():
+                    w = _get_path(host, path)
+                    _set_path(host, path,
+                              int4_mod.quantize_from_float(w))
     elif fmt == "dummy":
         logger.info("using dummy (random) weights")
         host = model.random_params(seed=model_config.seed)
+        if method is not None and method.RUNTIME_QUANTIZE:
+            host = quantize_params_at_load(model, host, method)
+        elif method is not None:
+            from aphrodite_tpu.quantization import int4 as int4_mod
+
+            for path in model.quantizable_weights():
+                w = _get_path(host, path)
+                _set_path(host, path, int4_mod.quantize_from_float(w))
     else:
         raise ValueError(f"unknown load format {fmt}")
     return place_params_on_mesh(model, host, mesh,

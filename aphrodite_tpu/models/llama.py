@@ -27,6 +27,7 @@ from aphrodite_tpu.models.layers import (apply_rope, compute_rope_tables,
                                          rms_norm, silu_and_mul)
 from aphrodite_tpu.ops.attention import ragged_paged_attention
 from aphrodite_tpu.ops.kv_cache import write_kv
+from aphrodite_tpu.quantization.qlinear import qmatmul
 
 logger = init_logger(__name__)
 
@@ -133,6 +134,13 @@ class LlamaForCausalLM:
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
         return specs
+
+    def quantizable_weights(self) -> List[str]:
+        """Param paths eligible for weight quantization (the Linear-layer
+        set; embeddings/norms/lm_head stay full precision, matching the
+        reference's LinearMethod scope)."""
+        return ["layers.wq", "layers.wk", "layers.wv", "layers.wo",
+                "layers.gate", "layers.up", "layers.down"]
 
     def kv_cache_spec(self) -> P:
         """Sharding of each layer-stacked kv_pages array
@@ -255,9 +263,9 @@ class LlamaForCausalLM:
         def layer_fn(x, scanned):
             lp, pages = scanned
             h, _ = rms_norm(x, lp["input_norm"], self.rms_eps)
-            q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.float32)
-            k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.float32)
-            v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.float32)
+            q = qmatmul(h, lp["wq"])
+            k = qmatmul(h, lp["wk"])
+            v = qmatmul(h, lp["wv"])
             if has_bias:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
@@ -281,14 +289,13 @@ class LlamaForCausalLM:
                 use_kernel=use_attention_kernel,
             )
             attn = attn.reshape(-1, NH * D)
-            o = jnp.dot(attn, lp["wo"], preferred_element_type=jnp.float32)
+            o = qmatmul(attn, lp["wo"])
             x = x + o.astype(self.dtype)
             h, _ = rms_norm(x, lp["post_norm"], self.rms_eps)
-            gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32)
-            up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32)
+            gate = qmatmul(h, lp["gate"])
+            up = qmatmul(h, lp["up"])
             act = silu_and_mul(gate.astype(self.dtype), up.astype(self.dtype))
-            down = jnp.dot(act, lp["down"],
-                           preferred_element_type=jnp.float32)
+            down = qmatmul(act, lp["down"])
             x = x + down.astype(self.dtype)
             return x, pages
 

@@ -180,9 +180,36 @@ def _kernel_supports(q, kv_pages) -> bool:
 def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
                       num_seqs, *, sm_scale, sliding_window, soft_cap,
                       k_scale, v_scale):
-    """TPU Pallas path (the JAX-bundled ragged paged attention kernel)."""
+    """TPU Pallas path (the JAX-bundled ragged paged attention kernel).
+
+    Block sizes must be chosen explicitly: the kernel's internal default
+    takes the whole token batch as one q block, which blows the 16 MB
+    VMEM budget on v5e for T >= 2k (observed: bf16[2048,16,128] q block
+    = 16.8 MB). Use the kernel's own tuned-table lookup, which caps
+    blocks at VMEM-safe sizes.
+    """
     from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
-        ragged_paged_attention as rpa_kernel)
+        get_tuned_block_sizes, ragged_paged_attention as rpa_kernel)
+
+    T, num_q_heads, head_dim = q.shape
+    num_pages, page_size, num_combined, _ = kv_pages.shape
+    pages_per_seq = page_indices.shape[1]
+    try:
+        bkv, bq = get_tuned_block_sizes(
+            q.dtype, kv_pages.dtype, num_q_heads, num_combined // 2,
+            head_dim, page_size, T, pages_per_seq)
+    except Exception:
+        bkv, bq = min(pages_per_seq, 128), min(T, 32)
+    # Clamp the KV block so the kernel's double-buffered KV scratch
+    # (2 x bkv x page_size x combined_heads x head_dim) stays within
+    # ~8 MB of the 16 MB v5e VMEM (the tuned table assumes fewer
+    # combined heads per block than small-GQA models have; observed
+    # 16.79 MB scoped-vmem OOM at bkv=128 with 16 combined heads).
+    kv_item = jnp.dtype(kv_pages.dtype).itemsize
+    per_page_bytes = 2 * page_size * num_combined * head_dim * kv_item
+    max_bkv = max(1, (8 * 1024 * 1024) // per_page_bytes)
+    bkv = max(1, min(bkv, max_bkv))
+    bq = min(bq, T)
 
     return rpa_kernel(
         q,
@@ -196,4 +223,6 @@ def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
         soft_cap=soft_cap,
         k_scale=k_scale,
         v_scale=v_scale,
+        num_kv_pages_per_block=bkv,
+        num_queries_per_block=bq,
     )

@@ -1,0 +1,128 @@
+"""Fused dequant-matmul for group-quantized int4 weights (GPTQ/AWQ).
+
+TPU-native answer to the reference's Marlin / Machete / GPTQ CUDA GEMMs
+(kernels/quantization/{marlin,machete,gptq_marlin}/*, ~10k LoC C++):
+weights are stored int4-in-int8 [K, N] with per-group scales/zeros
+[K/G, N]; the kernel dequantizes tiles in VMEM and feeds the MXU, so HBM
+traffic is the *quantized* bytes (the whole point of weight-only quant:
+decode is HBM-bandwidth-bound).
+
+Two implementations:
+- `int4_matmul_ref`: jnp reference (dequant-then-matmul; XLA fuses the
+  dequant into the operand read). Used on CPU and as the numerics oracle.
+- `int4_matmul_pallas`: tiled Pallas kernel (grid over [T/bt, N/bn],
+  K-loop in VMEM with per-group scaling).
+
+Layout notes (MXU/VPU tiling, pallas_guide.md):
+- N tiles are multiples of 128 (lane dim), K tiles multiples of the
+  group size; int8 sublane tile is 32 so K tiles are >= 32.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def int4_matmul_ref(x, q4, scale, zero, group: int):
+    """[T, K] @ dequant(q4[K, N]) via XLA. q4 int8 values, zero-point
+    form: w = (q - zero) * scale with per-group scale/zero."""
+    K, N = q4.shape[-2], q4.shape[-1]
+    qf = q4.astype(jnp.float32)
+    s = jnp.repeat(scale, group, axis=-2)[..., :K, :]
+    z = jnp.repeat(zero, group, axis=-2)[..., :K, :]
+    w = ((qf - z) * s).astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group: int,
+            block_k: int):
+    """One [bt, bk] x [bk, bn] tile: dequant q in VMEM, matmul on MXU.
+
+    Grid: (T/bt, N/bn, K/bk); K is the innermost (sequential) axis and
+    accumulates into acc_ref (f32 VMEM scratch).
+    """
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:].astype(jnp.float32)  # [bk, bn]
+    # Per-group scale/zero: block_k is a multiple of `group`, so the
+    # scale rows for this block are s_ref[bk/group, bn] repeated.
+    s = jnp.repeat(s_ref[:], group, axis=0)  # [bk, bn]
+    z = jnp.repeat(z_ref[:], group, axis=0)
+    w = ((q - z) * s).astype(x_ref.dtype)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def int4_matmul_pallas(x, q4, scale, zero, group: int,
+                       block_t: int = 256, block_n: int = 512,
+                       block_k: Optional[int] = None):
+    """Tiled fused dequant-matmul. x[T, K] f32/bf16, q4[K, N] int8."""
+    T, K = x.shape
+    N = q4.shape[-1]
+    if block_k is None:
+        block_k = max(group, 128)
+        while K % block_k != 0:
+            block_k //= 2
+            if block_k < group:
+                block_k = group
+                break
+    assert K % block_k == 0 and block_k % group == 0, (K, block_k, group)
+    block_t = min(block_t, T)
+    block_n = min(block_n, N)
+    grid = (pl.cdiv(T, block_t), pl.cdiv(N, block_n), K // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, group=group, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, block_k), lambda t, n, k: (t, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda t, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k // group, block_n),
+                         lambda t, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k // group, block_n),
+                         lambda t, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, block_n), lambda t, n, k: (t, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * N * K,
+            bytes_accessed=T * K * 2 + K * N + T * N * 4,
+            transcendentals=0,
+        ),
+    )(x, q4, scale, zero)
+    return out
+
+
+def int4_matmul_dispatch(x, q4, scale, zero, group: int):
+    """Trace-time dispatch: Pallas on TPU for aligned shapes, ref else.
+
+    Handles stacked-layer leading dims by flattening x's leading axes.
+    """
+    if x.ndim > 2:
+        lead = x.shape[:-1]
+        out = int4_matmul_dispatch(x.reshape(-1, x.shape[-1]), q4, scale,
+                                   zero, group)
+        return out.reshape(*lead, -1)
+    use_kernel = jax.default_backend() in ("tpu", "axon")
+    T, K = x.shape
+    N = q4.shape[-1]
+    if use_kernel and N % 128 == 0 and K % group == 0 and T >= 16:
+        return int4_matmul_pallas(x, q4, scale, zero, group)
+    return int4_matmul_ref(x, q4, scale, zero, group)

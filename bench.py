@@ -1,0 +1,123 @@
+"""Benchmark: offline decode throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures steady-state decode tokens/sec of a ~1.4B-parameter Llama-shaped
+model (dummy weights — the metric is kernel/engine speed, not checkpoint
+I/O) under continuous batching on whatever single device is available
+(TPU chip, else CPU). The reference publishes no absolute numbers
+(BASELINE.md); vs_baseline is measured against the north-star target of
+BASELINE.json scaled to this synthetic config: 4000 decode tok/s/chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+NORTH_STAR_TOKS_PER_S = 4000.0
+
+# Keep a single-chip footprint; silence verbose logs.
+os.environ.setdefault("APHRODITE_TPU_LOG_LEVEL", "WARNING")
+
+
+def build_model_dir(tmpdir: str, small: bool) -> str:
+    """Write a config.json for a Llama-like model (no weights —
+    load_format='dummy'). ~1.4B params on TPU; tiny on CPU smoke runs."""
+    cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "hidden_size": 2048,
+        "intermediate_size": 5632,
+        "num_hidden_layers": 24,
+        "num_attention_heads": 16,
+        "num_key_value_heads": 8,
+        "head_dim": 128,
+        "vocab_size": 32000,
+        "max_position_embeddings": 2048,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "tie_word_embeddings": False,
+        "torch_dtype": "bfloat16",
+    }
+    if small:
+        cfg.update(hidden_size=256, intermediate_size=512,
+                   num_hidden_layers=4, num_attention_heads=8,
+                   num_key_value_heads=4, head_dim=32, vocab_size=2048)
+    with open(os.path.join(tmpdir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return tmpdir
+
+
+def main() -> None:
+    import tempfile
+
+    import numpy as np
+
+    from aphrodite_tpu import LLM, SamplingParams
+
+    import jax
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        batch, prompt_len, decode_len = 64, 128, 128
+        dtype = "bfloat16"
+        blocks_override = None  # profile HBM
+    else:
+        batch, prompt_len, decode_len = 8, 32, 16
+        dtype = "float32"
+        blocks_override = 1024
+
+    with tempfile.TemporaryDirectory() as td:
+        model_dir = build_model_dir(td, small=not on_tpu)
+        llm = LLM(
+            model=model_dir,
+            dtype=dtype,
+            load_format="dummy",
+            skip_tokenizer_init=True,
+            max_num_seqs=batch,
+            max_num_batched_tokens=2048,
+            num_device_blocks_override=blocks_override,
+            block_size=16,
+        )
+        rng = np.random.default_rng(0)
+        vocab = 32000 if on_tpu else 2048
+        prompts = [
+            rng.integers(0, vocab, size=(prompt_len,)).tolist()
+            for _ in range(batch)
+        ]
+        sp = SamplingParams(temperature=0.0, max_tokens=decode_len,
+                            ignore_eos=True, detokenize=False)
+
+        # Warmup: compile prefill+decode buckets.
+        warm = [p[:prompt_len] for p in prompts[:batch]]
+        llm.generate(prompt_token_ids=warm,
+                     sampling_params=SamplingParams(
+                         temperature=0.0, max_tokens=4, ignore_eos=True,
+                         detokenize=False))
+
+        t0 = time.monotonic()
+        outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        elapsed = time.monotonic() - t0
+        total_decode_tokens = sum(
+            len(o.outputs[0].token_ids) for o in outs)
+        # Subtract an estimated prefill share by timing a prefill-only run.
+        t1 = time.monotonic()
+        llm.generate(prompt_token_ids=prompts,
+                     sampling_params=SamplingParams(
+                         temperature=0.0, max_tokens=1, ignore_eos=True,
+                         detokenize=False))
+        prefill_time = time.monotonic() - t1
+        decode_time = max(elapsed - prefill_time, 1e-6)
+        toks_per_s = total_decode_tokens / decode_time
+
+    print(json.dumps({
+        "metric": "decode_throughput_1p4b_bf16" if on_tpu else
+                  "decode_throughput_1p4b_cpu_smoke",
+        "value": round(toks_per_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(toks_per_s / NORTH_STAR_TOKS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,143 @@
+"""Quantization tests: numerics oracles + packed-format roundtrips + e2e.
+
+Mirrors the reference's kernel-vs-native tests (tests/kernels/
+test_marlin_gemm.py, test_int8_quant.py, test_fp8_quant.py) and
+load-and-generate smokes (tests/quantization/*).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aphrodite_tpu.quantization import int4, int8, fp8
+from aphrodite_tpu.quantization.qlinear import dequantize, qmatmul
+
+RNG = np.random.default_rng(42)
+
+
+def test_int8_quant_roundtrip_error():
+    w = RNG.standard_normal((64, 128)).astype(np.float32)
+    c = int8.quantize_from_float(w)
+    assert c["q"].dtype == np.int8
+    wd = np.asarray(dequantize(c, jnp.float32))
+    err = np.abs(wd - w).max() / np.abs(w).max()
+    assert err < 0.01  # 8-bit per-channel: <1% of range
+
+
+def test_int8_matmul_matches_dequant():
+    w = RNG.standard_normal((64, 128)).astype(np.float32)
+    x = RNG.standard_normal((8, 64)).astype(np.float32)
+    c = jax.tree.map(jnp.asarray, int8.quantize_from_float(w))
+    got = np.asarray(qmatmul(jnp.asarray(x), c))
+    want = x @ np.asarray(dequantize(c, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_fp8_matmul_close_to_dense():
+    w = RNG.standard_normal((64, 128)).astype(np.float32) * 0.1
+    x = RNG.standard_normal((8, 64)).astype(np.float32)
+    c = jax.tree.map(jnp.asarray, fp8.quantize_from_float(w))
+    got = np.asarray(qmatmul(jnp.asarray(x), c))
+    want = x @ w
+    # W8A8 e4m3: both operands quantized; tolerance is loose.
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    assert rel < 0.1, rel
+
+
+def test_int4_quant_roundtrip_error():
+    w = RNG.standard_normal((256, 128)).astype(np.float32)
+    c = int4.quantize_from_float(w, group=64)
+    assert c["q4"].min() >= 0 and c["q4"].max() <= 15
+    wd = np.asarray(dequantize(c, jnp.float32))
+    err = np.abs(wd - w).max()
+    # 4-bit asymmetric with 64-wide groups: max err ~ scale/2.
+    scales = c["scale"]
+    assert err <= scales.max() * 0.51 + 1e-6
+
+
+def test_int4_matmul_matches_dequant():
+    w = RNG.standard_normal((256, 128)).astype(np.float32)
+    x = RNG.standard_normal((8, 256)).astype(np.float32)
+    c = jax.tree.map(jnp.asarray, int4.quantize_from_float(w, group=64))
+    got = np.asarray(qmatmul(jnp.asarray(x), c))
+    want = x @ np.asarray(dequantize(c, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def _pack_rows_int4(q: np.ndarray) -> np.ndarray:
+    """Reference GPTQ row packing (quant_utils.py pack_rows): 8 rows per
+    int32, low nibble = first row."""
+    K, N = q.shape
+    out = np.zeros((K // 8, N), dtype=np.uint32)
+    for i in range(8):
+        out |= q[i::8].astype(np.uint32) << (4 * i)
+    return out.astype(np.int32)
+
+
+def _pack_cols_int4(q: np.ndarray) -> np.ndarray:
+    """Column packing: 8 cols per int32, low nibble = first col."""
+    K, N = q.shape
+    out = np.zeros((K, N // 8), dtype=np.uint32)
+    for i in range(8):
+        out |= q[:, i::8].astype(np.uint32) << (4 * i)
+    return out.astype(np.int32)
+
+
+def test_gptq_unpack_roundtrip():
+    K, N, G = 64, 32, 16
+    q = RNG.integers(0, 16, size=(K, N)).astype(np.uint8)
+    zeros = RNG.integers(1, 15, size=(K // G, N)).astype(np.uint8)
+    scales = (RNG.random((K // G, N)).astype(np.float32) + 0.1)
+    qweight = _pack_rows_int4(q)
+    qzeros = _pack_cols_int4(zeros - 1)  # AutoGPTQ stores zero-1
+    c = int4.load_gptq_tensors(qweight, qzeros, scales)
+    np.testing.assert_array_equal(c["q4"], q)
+    np.testing.assert_array_equal(c["zero"], zeros.astype(np.float32))
+    np.testing.assert_allclose(c["scale"], scales)
+
+
+def test_awq_unpack_roundtrip():
+    K, N, G = 32, 64, 16
+    q = RNG.integers(0, 16, size=(K, N)).astype(np.uint8)
+    zeros = RNG.integers(0, 16, size=(K // G, N)).astype(np.uint8)
+    scales = (RNG.random((K // G, N)).astype(np.float32) + 0.1)
+    interleave = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+    def awq_pack(arr):
+        il = arr.reshape(-1, 8)[:, interleave].ravel().reshape(arr.shape)
+        return _pack_cols_int4(il)
+
+    c = int4.load_awq_tensors(awq_pack(q), awq_pack(zeros), scales)
+    np.testing.assert_array_equal(c["q4"], q)
+    np.testing.assert_array_equal(c["zero"], zeros.astype(np.float32))
+
+
+@pytest.mark.parametrize("method", ["int8", "fp8"])
+def test_e2e_quantized_generation(tiny_llama_dir, method):
+    """Quantized engine must generate and stay close to the dense engine
+    (token-level agreement is not guaranteed on a random tiny model, but
+    the run must be finite and produce the full token budget)."""
+    from aphrodite_tpu import LLM, SamplingParams
+
+    llm = LLM(model=tiny_llama_dir, dtype="float32", quantization=method,
+              max_num_seqs=4, num_device_blocks_override=64, block_size=8)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                        logprobs=1)
+    out = llm.generate(["the quick brown fox"], sp)[0].outputs[0]
+    assert len(out.token_ids) == 8
+    for lp in out.logprobs:
+        for e in lp.values():
+            assert np.isfinite(e.logprob)
+
+
+def test_e2e_int4_dummy_weights(tiny_llama_dir):
+    """GPTQ-style int4 via runtime quantization of the tiny checkpoint."""
+    from aphrodite_tpu import LLM, SamplingParams
+
+    llm = LLM(model=tiny_llama_dir, dtype="float32", quantization="gptq",
+              max_num_seqs=4, num_device_blocks_override=64, block_size=8)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    out = llm.generate(["hello world"], sp)[0].outputs[0]
+    assert len(out.token_ids) == 8

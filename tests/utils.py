@@ -28,10 +28,12 @@ TINY_LLAMA_KWARGS = dict(
 
 def make_tiny_tokenizer(save_dir: str, vocab_size: int = 256) -> None:
     """Train a tiny byte-level BPE tokenizer offline and save HF files."""
-    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from tokenizers import (Tokenizer, decoders, models, pre_tokenizers,
+                            trainers)
 
     tok = Tokenizer(models.BPE(unk_token=None))
     tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
     trainer = trainers.BpeTrainer(
         vocab_size=vocab_size,
         special_tokens=["<s>", "</s>", "<pad>"],
