@@ -142,6 +142,9 @@ class CacheConfig:
     cache_dtype: str = "auto"
     num_device_blocks: Optional[int] = None  # set after memory profiling
     enable_prefix_caching: bool = False
+    # JSON file of per-layer KV scales (reference --quantization-param-path,
+    # weight_utils.py:504 kv_cache_scales_loader schema).
+    quantization_param_path: Optional[str] = None
     # Override the profiled block count (useful for tests / CPU runs).
     num_device_blocks_override: Optional[int] = None
 
@@ -219,6 +222,32 @@ class SchedulerConfig:
 
 
 @dataclass
+class SpeculativeConfig:
+    """Speculative decoding (reference aphrodite/spec_decode/, §2.10).
+
+    Round-1 scope: n-gram prompt-lookup proposals ("[ngram]",
+    reference NGramWorker) verified by the target model in one ragged
+    forward with in-graph rejection sampling. Draft-model proposers slot
+    into the same verify path later.
+    """
+
+    method: str = "ngram"
+    num_speculative_tokens: int = 5
+    ngram_prompt_lookup_max: int = 4
+    ngram_prompt_lookup_min: int = 1
+
+    def __post_init__(self) -> None:
+        if self.method not in ("ngram",):
+            raise ValueError(
+                f"speculative method {self.method!r} not supported (yet); "
+                "use 'ngram'")
+        if self.num_speculative_tokens < 1:
+            raise ValueError("num_speculative_tokens must be >= 1")
+        if self.ngram_prompt_lookup_min > self.ngram_prompt_lookup_max:
+            raise ValueError("ngram_prompt_lookup_min > max")
+
+
+@dataclass
 class DeviceConfig:
     """Target platform: 'tpu' for real chips, 'cpu' for tests
     (XLA host platform, optionally with a forced virtual device count)."""
@@ -252,8 +281,14 @@ class EngineConfig:
     scheduler_config: SchedulerConfig
     device_config: DeviceConfig
     load_config: LoadConfig
+    speculative_config: Optional["SpeculativeConfig"] = None
 
     def __post_init__(self) -> None:
+        if (self.speculative_config is not None
+                and self.scheduler_config.num_scheduler_steps > 1):
+            raise ValueError(
+                "speculative decoding and multi-step scheduling are "
+                "mutually exclusive (reference behaves the same)")
         # Cross-validation (reference EngineConfig.__post_init__ verify
         # chain, common/config.py:1980-2018).
         self.scheduler_config.max_model_len = min(

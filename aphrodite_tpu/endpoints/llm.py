@@ -96,6 +96,31 @@ class LLM:
             )
         return self._run_engine(request_ids, use_tqdm)
 
+    def encode(
+        self,
+        prompts: Union[str, Sequence[str], None] = None,
+        prompt_token_ids: Optional[Sequence[List[int]]] = None,
+        pooling: str = "last",
+    ):
+        """Embeddings (reference LLM.encode, endpoints/llm.py:433)."""
+        from aphrodite_tpu.common.outputs import EmbeddingRequestOutput
+
+        if prompts is not None and isinstance(prompts, str):
+            prompts = [prompts]
+        if prompt_token_ids is None:
+            tok = self.engine.tokenizer
+            prompt_token_ids = [tok.encode(p) for p in prompts]
+        embeddings = self.engine.encode(list(prompt_token_ids),
+                                        pooling=pooling)
+        return [
+            EmbeddingRequestOutput(
+                request_id=str(i),
+                prompt_token_ids=list(ids),
+                embedding=[float(x) for x in emb],
+            ) for i, (ids, emb) in enumerate(
+                zip(prompt_token_ids, embeddings))
+        ]
+
     def _run_engine(self, request_ids: List[str],
                     use_tqdm: bool) -> List[RequestOutput]:
         pbar = None

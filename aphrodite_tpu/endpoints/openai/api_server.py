@@ -66,6 +66,7 @@ class OpenAIServer:
         app.router.add_post("/v1/completions", self.create_completion)
         app.router.add_post("/v1/chat/completions",
                             self.create_chat_completion)
+        app.router.add_post("/v1/embeddings", self.create_embeddings)
         app.router.add_post("/v1/tokenize", self.tokenize)
         app.router.add_post("/v1/detokenize", self.detokenize)
         app.router.add_get("/metrics", self.metrics)
@@ -114,6 +115,41 @@ class OpenAIServer:
                                 charset="utf-8")
         except ImportError:
             return web.Response(text="", content_type="text/plain")
+
+    async def create_embeddings(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            inputs = body.get("input")
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            if not inputs:
+                return _error("input is required")
+            if isinstance(inputs[0], int):
+                inputs = [inputs]
+        except Exception as e:
+            return _error(str(e))
+        loop = asyncio.get_event_loop()
+        try:
+            token_lists = [
+                self.tokenizer.encode(p) if isinstance(p, str) else list(p)
+                for p in inputs
+            ]
+            embeddings = await loop.run_in_executor(
+                None, lambda: self.engine.encode(token_lists))
+        except Exception as e:
+            return _error(str(e), status=500, err_type="internal_error")
+        data = [{
+            "object": "embedding",
+            "index": i,
+            "embedding": [float(x) for x in emb],
+        } for i, emb in enumerate(embeddings)]
+        total = sum(len(t) for t in token_lists)
+        return web.json_response({
+            "object": "list",
+            "data": data,
+            "model": body.get("model") or self.served_model_names[0],
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        })
 
     async def tokenize(self, request: web.Request) -> web.Response:
         try:

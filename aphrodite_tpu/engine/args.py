@@ -15,7 +15,7 @@ from typing import Optional
 from aphrodite_tpu.common.config import (CacheConfig, DeviceConfig,
                                          EngineConfig, LoadConfig,
                                          ModelConfig, ParallelConfig,
-                                         SchedulerConfig)
+                                         SchedulerConfig, SpeculativeConfig)
 
 
 @dataclass
@@ -33,6 +33,7 @@ class EngineArgs:
     block_size: int = 16
     hbm_utilization: float = 0.9
     kv_cache_dtype: str = "auto"
+    quantization_param_path: Optional[str] = None
     num_device_blocks_override: Optional[int] = None
     enable_prefix_caching: bool = False
     # Parallelism.
@@ -44,6 +45,11 @@ class EngineArgs:
     max_num_seqs: int = 256
     enable_chunked_prefill: bool = True
     num_scheduler_steps: int = 1
+    # Speculative decoding.
+    speculative_model: Optional[str] = None  # "[ngram]"
+    num_speculative_tokens: int = 5
+    ngram_prompt_lookup_max: int = 4
+    ngram_prompt_lookup_min: int = 1
     # Device.
     device: str = "auto"
 
@@ -64,6 +70,7 @@ class EngineArgs:
             cache_dtype=self.kv_cache_dtype,
             enable_prefix_caching=self.enable_prefix_caching,
             num_device_blocks_override=self.num_device_blocks_override,
+            quantization_param_path=self.quantization_param_path,
         )
         parallel_config = ParallelConfig(
             tensor_parallel_size=self.tensor_parallel_size,
@@ -77,6 +84,17 @@ class EngineArgs:
             enable_chunked_prefill=self.enable_chunked_prefill,
             num_scheduler_steps=self.num_scheduler_steps,
         )
+        speculative_config = None
+        if self.speculative_model is not None:
+            if self.speculative_model != "[ngram]":
+                raise ValueError(
+                    "only '[ngram]' speculation is supported for now")
+            speculative_config = SpeculativeConfig(
+                method="ngram",
+                num_speculative_tokens=self.num_speculative_tokens,
+                ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
+                ngram_prompt_lookup_min=self.ngram_prompt_lookup_min,
+            )
         return EngineConfig(
             model_config=model_config,
             cache_config=cache_config,
@@ -84,6 +102,7 @@ class EngineArgs:
             scheduler_config=scheduler_config,
             device_config=DeviceConfig(device=self.device),
             load_config=LoadConfig(load_format=self.load_format),
+            speculative_config=speculative_config,
         )
 
     @staticmethod

@@ -51,6 +51,11 @@ class AphroditeEngine:
 
         self.scheduler = Scheduler(engine_config.scheduler_config,
                                    engine_config.cache_config)
+        if engine_config.speculative_config is not None:
+            # Decodes must reserve room for k speculative tokens.
+            self.scheduler.num_lookahead_slots = max(
+                self.scheduler.num_lookahead_slots,
+                engine_config.speculative_config.num_speculative_tokens)
         self.stop_checker = StopChecker(self.model_config.max_model_len)
 
         self._seq_counter = 0
@@ -168,10 +173,14 @@ class AphroditeEngine:
         for ss in scheduler_outputs.scheduled:
             ss.group.maybe_set_first_scheduled_time(now)
 
-        result = self.runner.execute(scheduler_outputs)
+        result = self.runner.execute(
+            scheduler_outputs,
+            num_steps=self.scheduler_config.num_scheduler_steps)
+        num_steps_done = result.sampled.shape[0]
 
         # Advance computed-token counters BEFORE appending new tokens (the
-        # appended token's KV is computed by the next step).
+        # appended token's KV is computed by the next step — or, for
+        # multi-step, was already computed in-graph).
         self.scheduler.mark_step_computed(scheduler_outputs)
 
         touched = set()
@@ -182,27 +191,41 @@ class AphroditeEngine:
             touched.add(ss.group.request_id)
             if not ss.do_sample:
                 continue  # mid-prefill chunk: no token produced
-            token_id = int(result.sampled[i])
-            logprob_val = float(result.sampled_logprob[i])
-            seq.append_token_id(token_id, logprob_val)
             sp = ss.group.sampling_params
-            if sp.logprobs is not None:
-                entry = {
-                    token_id: Logprob(logprob=logprob_val,
-                                      rank=int(result.sampled_rank[i]))
-                }
-                for k in range(min(sp.logprobs, result.topk_ids.shape[1])):
-                    tid = int(result.topk_ids[i, k])
-                    entry.setdefault(
-                        tid,
-                        Logprob(logprob=float(result.topk_logprobs[i, k]),
-                                rank=k + 1))
-                seq.output_logprobs.append(entry)
+            for k in range(num_steps_done):
+                if seq.is_finished():
+                    break  # later multi-step tokens are discarded
+                if (result.valid_lens is not None
+                        and k >= result.valid_lens[i]):
+                    break  # speculative proposals beyond acceptance
+                if k > 0:
+                    # KV of the token appended at step k-1 was computed
+                    # on-device during the fused multi-step program.
+                    seq.num_computed_tokens += 1
+                token_id = int(result.sampled[k, i])
+                logprob_val = float(result.sampled_logprob[k, i])
+                seq.append_token_id(token_id, logprob_val)
+                if sp.logprobs is not None:
+                    entry = {
+                        token_id: Logprob(
+                            logprob=logprob_val,
+                            rank=int(result.sampled_rank[k, i]))
+                    }
+                    for j in range(min(sp.logprobs,
+                                       result.topk_ids.shape[2])):
+                        tid = int(result.topk_ids[k, i, j])
+                        entry.setdefault(
+                            tid,
+                            Logprob(
+                                logprob=float(result.topk_logprobs[k, i,
+                                                                   j]),
+                                rank=j + 1))
+                    seq.output_logprobs.append(entry)
 
-            new_text = ""
-            if sp.detokenize and self.tokenizer is not None:
-                new_text = self._decode_sequence(seq, sp)
-            self.stop_checker.maybe_stop_sequence(seq, new_text, sp)
+                new_text = ""
+                if sp.detokenize and self.tokenizer is not None:
+                    new_text = self._decode_sequence(seq, sp)
+                self.stop_checker.maybe_stop_sequence(seq, new_text, sp)
             if seq.is_finished():
                 self.scheduler.free_seq(seq)
             ss.group.maybe_set_first_token_time(now)
@@ -245,6 +268,63 @@ class AphroditeEngine:
                 if reason:
                     stats.finished_reason_iter.append(reason)
         self.stat_logger.log(stats)
+
+    def encode(self, prompts_token_ids: List[List[int]],
+               pooling: str = "last") -> List[Any]:
+        """Embedding path (reference embedding_model_runner +
+        LLM.encode): prefill-only forwards, pooled + L2-normalized.
+        Prompts are packed greedily under the token budget."""
+        import numpy as np
+
+        from aphrodite_tpu.common.sampling_params import SamplingParams
+        from aphrodite_tpu.common.sequence import (ScheduledSequence,
+                                                   SchedulerOutputs)
+
+        budget = self.scheduler_config.max_num_batched_tokens
+        results: List[np.ndarray] = [None] * len(prompts_token_ids)
+        bm = self.scheduler.block_manager
+        i = 0
+        while i < len(prompts_token_ids):
+            group = []
+            used = 0
+            while i < len(prompts_token_ids):
+                ids = prompts_token_ids[i]
+                if len(ids) > budget:
+                    raise ValueError(
+                        f"prompt of {len(ids)} tokens exceeds the "
+                        f"max_num_batched_tokens budget ({budget}) for "
+                        "embedding")
+                if used + len(ids) > budget or len(
+                        group) >= self.scheduler_config.max_num_seqs:
+                    break
+                group.append((i, ids))
+                used += len(ids)
+                i += 1
+            seqs = []
+            scheduled = []
+            sp = SamplingParams(max_tokens=1)
+            for idx, ids in group:
+                seq = Sequence(self._next_seq_id(), ids,
+                               self.config.cache_config.block_size)
+                bm.allocate(seq)
+                seqs.append((idx, seq))
+                scheduled.append(
+                    ScheduledSequence(
+                        seq=seq,
+                        group=SequenceGroup(f"emb-{seq.seq_id}", [seq], sp),
+                        num_tokens=len(ids),
+                        first_token_idx=0,
+                        block_ids=bm.get_block_table(seq),
+                        do_sample=False,
+                    ))
+            outs = SchedulerOutputs(scheduled=scheduled,
+                                    num_prefill_tokens=used,
+                                    num_decode_tokens=0)
+            pooled = self.runner.execute_pooling(outs, pooling=pooling)
+            for row, (idx, seq) in enumerate(seqs):
+                results[idx] = pooled[row]
+                bm.free(seq)
+        return results
 
     def _decode_sequence(self, seq: Sequence,
                          sampling_params: SamplingParams) -> str:

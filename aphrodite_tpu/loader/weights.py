@@ -78,43 +78,77 @@ def load_hf_params_to_host(
     model,  # LlamaForCausalLM-like
     model_dir: str,
 ) -> Dict[str, Any]:
-    """Assemble the model's host-side params pytree from an HF checkpoint."""
+    """Assemble the model's host-side params pytree from an HF checkpoint.
+
+    Mapping sources (all optional beyond the first two):
+    - hf_param_mappings(): one tensor per (layer, path), stacked on [L]
+    - hf_global_mappings(): layer-independent tensors
+    - hf_expert_mappings(): per-(layer, expert) tensors, stacked [L, E]
+      (MoE models; requires `num_experts`)
+    - hf_split_mappings(): fused tensors split along the output dim into
+      several paths (e.g. Phi-3 qkv_proj / gate_up_proj)
+    """
     num_layers = model.num_layers
     per_layer_maps = model.hf_param_mappings()
     global_maps = model.hf_global_mappings()
+    expert_maps = getattr(model, "hf_expert_mappings", lambda: [])()
+    split_maps = getattr(model, "hf_split_mappings", lambda: [])()
+    num_experts = getattr(model, "num_experts", 0)
 
-    # hf name -> (our_path, transpose, layer_idx or None)
-    lookup: Dict[str, Tuple[str, bool, Optional[int]]] = {}
+    # hf name -> ("layer"|"global"|"expert"|"split", ...)
+    lookup: Dict[str, Tuple] = {}
     for template, our_path, transpose in per_layer_maps:
         for i in range(num_layers):
-            lookup[template.format(i=i)] = (our_path, transpose, i)
+            lookup[template.format(i=i)] = ("layer", our_path, transpose, i)
     for hf_name, our_path, transpose in global_maps:
-        lookup[hf_name] = (our_path, transpose, None)
+        lookup[hf_name] = ("global", our_path, transpose, None)
+    for template, our_path, transpose in expert_maps:
+        for i in range(num_layers):
+            for e in range(num_experts):
+                lookup[template.format(i=i, e=e)] = ("expert", our_path,
+                                                     transpose, (i, e))
+    for template, slices, transpose in split_maps:
+        for i in range(num_layers):
+            lookup[template.format(i=i)] = ("split", slices, transpose, i)
 
-    # Collect per-layer pieces, then stack.
     pieces: Dict[str, List[Optional[np.ndarray]]] = {
         our_path: [None] * num_layers
         for _, our_path, _ in per_layer_maps
     }
+    for template, slices, _ in split_maps:
+        for our_path, _, _ in slices:
+            pieces[our_path] = [None] * num_layers
+    expert_pieces: Dict[str, List[List[Optional[np.ndarray]]]] = {
+        our_path: [[None] * num_experts for _ in range(num_layers)]
+        for _, our_path, _ in expert_maps
+    }
     params: Dict[str, Any] = {}
-    seen = set()
     for name, arr in safetensors_weight_iterator(model_dir):
         info = lookup.get(name)
         if info is None:
             if "rotary_emb" not in name:
                 logger.debug("skipping unmapped weight %s", name)
             continue
-        our_path, transpose, layer_idx = info
+        kind, target, transpose, idx = info
         arr = np.asarray(arr)
         if transpose:
             arr = arr.T
+        if kind == "split":
+            for our_path, start, end in target:
+                part = arr[..., start:end]
+                if hasattr(model, "maybe_pad_kv_weight"):
+                    part = model.maybe_pad_kv_weight(our_path, part)
+                pieces[our_path][idx] = part
+            continue
         if hasattr(model, "maybe_pad_kv_weight"):
-            arr = model.maybe_pad_kv_weight(our_path, arr)
-        if layer_idx is None:
-            _set_path(params, our_path, arr)
-        else:
-            pieces[our_path][layer_idx] = arr
-        seen.add(name)
+            arr = model.maybe_pad_kv_weight(target, arr)
+        if kind == "global":
+            _set_path(params, target, arr)
+        elif kind == "layer":
+            pieces[target][idx] = arr
+        else:  # expert
+            i, e = idx
+            expert_pieces[target][i][e] = arr
 
     for our_path, layer_list in pieces.items():
         missing = [i for i, a in enumerate(layer_list) if a is None]
@@ -123,6 +157,10 @@ def load_hf_params_to_host(
                 f"checkpoint is missing layers {missing[:4]}... for "
                 f"{our_path}")
         _set_path(params, our_path, np.stack(layer_list, axis=0))
+    for our_path, grid in expert_pieces.items():
+        stacked = np.stack(
+            [np.stack(layer, axis=0) for layer in grid], axis=0)
+        _set_path(params, our_path, stacked)  # [L, E, ...]
 
     # Tied embeddings: nothing to do (forward uses embed.T).
     expected = model.param_shapes()
@@ -217,6 +255,53 @@ def quantize_params_at_load(model, host_params: Dict[str, Any],
         _set_path(host_params, path, method.quantize_from_float(w))
         logger.info("quantized %s at load (%s)", path, method.NAME)
     return host_params
+
+
+def load_kv_cache_scales(
+    model_dir: str,
+    num_layers: int,
+    quantization_param_path: Optional[str] = None,
+    tp_rank: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-layer (k_scale[L], v_scale[L]) for a quantized KV cache.
+
+    Sources, in priority order (reference semantics):
+    1. `--quantization-param-path` JSON: {"kv_cache": {"scaling_factor":
+       {tp_rank: {layer: scale}}}} (weight_utils.py:504; one scale per
+       layer, applied to both K and V as the reference does).
+    2. checkpoint tensors `model.layers.{i}.self_attn.{k,v}_scale`
+       (fp8 checkpoints, weight_utils.py:632 remapping).
+    3. all-ones fallback (correct for fp8_e5m2; e4m3 benefits from
+       calibrated scales, reference kv_cache.py:37-76 warns likewise).
+    """
+    k_scales = np.ones((num_layers,), np.float32)
+    v_scales = np.ones((num_layers,), np.float32)
+    if quantization_param_path:
+        with open(quantization_param_path) as f:
+            schema = json.load(f)
+        factors = schema["kv_cache"]["scaling_factor"]
+        layer_map = factors.get(str(tp_rank), factors.get(tp_rank, {}))
+        for layer_str, scale in layer_map.items():
+            idx = int(layer_str)
+            if 0 <= idx < num_layers:
+                k_scales[idx] = float(scale)
+                v_scales[idx] = float(scale)
+        return k_scales, v_scales
+    try:
+        for name, arr in safetensors_weight_iterator(model_dir):
+            if name.endswith(".k_scale") or name.endswith(".v_scale"):
+                parts = name.split(".")
+                try:
+                    idx = int(parts[parts.index("layers") + 1])
+                except (ValueError, IndexError):
+                    continue
+                if name.endswith(".k_scale"):
+                    k_scales[idx] = float(np.asarray(arr).reshape(()))
+                else:
+                    v_scales[idx] = float(np.asarray(arr).reshape(()))
+    except FileNotFoundError:
+        pass
+    return k_scales, v_scales
 
 
 def _checkpoint_has_packed_tensors(model_dir: str) -> bool:

@@ -1,0 +1,140 @@
+"""Gemma / Gemma2 decoders.
+
+Reference: aphrodite/modeling/models/gemma.py, gemma2.py. Differences
+from Llama handled here: (1+w) RMSNorm weights, sqrt(H)-scaled token
+embeddings, GeGLU MLP, always-tied LM head; Gemma2 adds sandwich norms
+(post-attention + pre/post-feedforward), query scaling by
+query_pre_attn_scalar, attention + final-logit soft-capping, and
+alternating local(sliding)/global attention layers (handled with a
+lax.cond inside the layer scan: both attention variants are compiled,
+a scanned per-layer flag picks one).
+"""
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aphrodite_tpu.common.config import ModelConfig, ParallelConfig
+from aphrodite_tpu.models.interface import ForwardBatch
+from aphrodite_tpu.models.llama import LlamaForCausalLM
+from aphrodite_tpu.models.layers import apply_rope
+from aphrodite_tpu.ops.attention import ragged_paged_attention
+from aphrodite_tpu.ops.kv_cache import write_kv
+from aphrodite_tpu.quantization.qlinear import qmatmul
+
+
+class GemmaForCausalLM(LlamaForCausalLM):
+    tie_word_embeddings_default = True
+    norm_weight_offset = 1.0
+    scale_embeddings = True
+    hidden_act = "gelu_tanh"
+
+
+class Gemma2ForCausalLM(GemmaForCausalLM):
+    def __init__(self, model_config: ModelConfig,
+                 parallel_config: Optional[ParallelConfig] = None) -> None:
+        super().__init__(model_config, parallel_config)
+        hf = model_config.hf_config
+        self.logit_softcap = float(hf.get("final_logit_softcapping") or 0.0)
+        self.attn_softcap = float(hf.get("attn_logit_softcapping") or 0.0)
+        qs = hf.get("query_pre_attn_scalar")
+        if qs:
+            self.sm_scale = float(qs)**-0.5
+        # Even layers use sliding-window (local) attention, odd global
+        # (HF Gemma2 convention: layer_types / sliding_window pattern).
+        self.sliding_window_size = hf.get("sliding_window", 4096)
+        self.sliding_window = None  # handled per-layer, not globally
+
+    def param_shapes(self) -> Dict[str, Any]:
+        shapes = super().param_shapes()
+        L, H = self.num_layers, self.hidden_size
+        shapes["layers"]["post_attn_norm"] = (L, H)
+        shapes["layers"]["post_ff_norm"] = (L, H)
+        return shapes
+
+    def param_shardings(self) -> Dict[str, Any]:
+        specs = super().param_shardings()
+        specs["layers"]["post_attn_norm"] = P()
+        specs["layers"]["post_ff_norm"] = P()
+        return specs
+
+    def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:
+        maps = super().hf_param_mappings()
+        # HF Gemma2 names: post_attention_layernorm is the *post* norm of
+        # the attention block; pre/post_feedforward_layernorm wrap the MLP.
+        maps = [m for m in maps
+                if m[0] != "model.layers.{i}.post_attention_layernorm.weight"]
+        maps += [
+            ("model.layers.{i}.post_attention_layernorm.weight",
+             "layers.post_attn_norm", False),
+            ("model.layers.{i}.pre_feedforward_layernorm.weight",
+             "layers.post_norm", False),
+            ("model.layers.{i}.post_feedforward_layernorm.weight",
+             "layers.post_ff_norm", False),
+        ]
+        return maps
+
+    def forward(
+        self,
+        params: Dict[str, Any],
+        kv_pages: jax.Array,
+        batch: ForwardBatch,
+        *,
+        mesh: Optional[Mesh] = None,
+        use_attention_kernel: Optional[bool] = None,
+        kv_scales=None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        NH, NKV, D = (self.num_heads, self.num_kv_heads_padded,
+                      self.head_dim)
+        x = params["embed"][batch.token_ids].astype(self.dtype)
+        x = x * jnp.asarray(self.hidden_size**0.5, self.dtype)
+        cos = self._cos[batch.positions]
+        sin = self._sin[batch.positions]
+        layer_params = params["layers"]
+        is_local = (jnp.arange(self.num_layers) % 2 == 0)
+
+        def attention(q, pages, window):
+            return ragged_paged_attention(
+                q[0], pages, batch.kv_lens, batch.page_indices,
+                batch.cu_q_lens, batch.num_seqs, sm_scale=self.sm_scale,
+                sliding_window=window, soft_cap=self.attn_softcap or None,
+                mesh=mesh, use_kernel=use_attention_kernel)
+
+        def layer_fn(x, scanned):
+            lp, pages, local, k_scale, v_scale = scanned
+            h = self._norm(x, lp["input_norm"])
+            q = qmatmul(h, lp["wq"]).astype(self.dtype).reshape(-1, NH, D)
+            k = qmatmul(h, lp["wk"]).astype(self.dtype).reshape(-1, NKV, D)
+            v = qmatmul(h, lp["wv"]).astype(self.dtype).reshape(-1, NKV, D)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            pages = write_kv(pages, k, v, batch.slot_mapping,
+                             k_scale=k_scale, v_scale=v_scale)
+            if k_scale is not None:
+                q = q * k_scale.astype(q.dtype)
+            attn = jax.lax.cond(
+                local,
+                lambda operands: attention(operands[0], operands[1],
+                                           self.sliding_window_size),
+                lambda operands: attention(operands[0], operands[1], None),
+                ((q[None], pages)),
+            )
+            if v_scale is not None:
+                attn = attn * v_scale.astype(attn.dtype)
+            attn = attn.reshape(-1, NH * D)
+            o = qmatmul(attn, lp["wo"]).astype(self.dtype)
+            x = x + self._norm(o, lp["post_attn_norm"])
+            h = self._norm(x, lp["post_norm"])
+            ff = self.mlp(lp, h, mesh=mesh).astype(self.dtype)
+            x = x + self._norm(ff, lp["post_ff_norm"])
+            return x, pages
+
+        k_scales, v_scales = kv_scales if kv_scales is not None else (None,
+                                                                      None)
+        x, new_kv_pages = jax.lax.scan(layer_fn, x,
+                                       (layer_params, kv_pages, is_local,
+                                        k_scales, v_scales))
+        x = self._norm(x, params["final_norm"])
+        return new_kv_pages, x

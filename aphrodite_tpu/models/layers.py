@@ -145,6 +145,22 @@ def compute_rope_tables(
 
                 attn_factor = (yarn_get_mscale(factor, mscale) /
                                yarn_get_mscale(factor, mscale_all_dim))
+        elif rope_type in ("longrope", "su"):
+            # Phi-3 LongRoPE (reference Phi3LongRoPEScaledRotaryEmbedding,
+            # rotary_embedding.py:433): per-dim frequency factors, chosen
+            # by whether we serve beyond the original training length.
+            orig_max = int(
+                rope_scaling.get("original_max_position_embeddings",
+                                 max_position))
+            factors = (rope_scaling.get("long_factor")
+                       if max_position > orig_max else
+                       rope_scaling.get("short_factor"))
+            if factors:
+                inv_freq = inv_freq / np.asarray(factors, dtype=np.float64)
+            scale = max_position / orig_max
+            if scale > 1.0:
+                attn_factor = math.sqrt(
+                    1.0 + math.log(scale) / math.log(orig_max))
         elif rope_type == "llama3":
             low_freq_factor = float(rope_scaling.get("low_freq_factor", 1.0))
             high_freq_factor = float(

@@ -24,7 +24,8 @@ from aphrodite_tpu.common.config import ModelConfig, ParallelConfig
 from aphrodite_tpu.common.logger import init_logger
 from aphrodite_tpu.models.interface import ForwardBatch
 from aphrodite_tpu.models.layers import (apply_rope, compute_rope_tables,
-                                         rms_norm, silu_and_mul)
+                                         gelu_and_mul, rms_norm,
+                                         silu_and_mul)
 from aphrodite_tpu.ops.attention import ragged_paged_attention
 from aphrodite_tpu.ops.kv_cache import write_kv
 from aphrodite_tpu.quantization.qlinear import qmatmul
@@ -33,11 +34,27 @@ logger = init_logger(__name__)
 
 
 class LlamaForCausalLM:
-    """Functional Llama. Params are a dict pytree; see `param_shardings`."""
+    """Functional Llama. Params are a dict pytree; see `param_shardings`.
+
+    Subclass knobs cover the pre-norm/RoPE decoder family: Qwen2 (bias),
+    Mistral (sliding window), Gemma ((1+w) norms, embed scaling, gelu),
+    Gemma2 (soft-caps, extra norms), Phi-3 (fused qkv/gate_up weights),
+    Mixtral (MoE MLP) — mirroring the reference's per-arch model files
+    (modeling/models/*.py) without duplicating the decoder loop.
+    """
 
     # Flags overridden by subclasses (e.g. Qwen2 adds attention bias).
     attention_bias: bool = False
     tie_word_embeddings_default: bool = False
+    # RMSNorm computes x * (offset + w): llama 0 + w, gemma 1 + w.
+    norm_weight_offset: float = 0.0
+    # Multiply token embeddings by sqrt(hidden) (gemma).
+    scale_embeddings: bool = False
+    # MLP activation: "silu" (llama) or "gelu_tanh" (gemma).
+    hidden_act: str = "silu"
+    # Gemma2-style logit/attention soft-capping (0 = off).
+    logit_softcap: float = 0.0
+    attn_softcap: float = 0.0
 
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
@@ -248,12 +265,23 @@ class LlamaForCausalLM:
         *,
         mesh: Optional[Mesh] = None,
         use_attention_kernel: Optional[bool] = None,
+        kv_scales: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Run the decoder. Returns (new_kv_pages, hidden[T, H])."""
+        """Run the decoder. Returns (new_kv_pages, hidden[T, H]).
+
+        kv_scales: optional per-layer (k_scale[L], v_scale[L]) for a
+        quantized KV cache (fp8/int8). Dequant never happens inside the
+        attention kernel: k_scale folds into q (q·(s·K) == (s·q)·K) and
+        v_scale into the attention output — the TPU equivalent of the
+        reference's in-kernel scale multiplies
+        (kernels/attention/attention_kernels.cu fp8/int8 paths).
+        """
         NH, NKV, D = (self.num_heads, self.num_kv_heads_padded,
                       self.head_dim)
         x = params["embed"][batch.token_ids]  # [T, H]
         x = x.astype(self.dtype)
+        if self.scale_embeddings:
+            x = x * jnp.asarray(self.hidden_size**0.5, self.dtype)
         cos = self._cos[batch.positions]  # [T, D/2]
         sin = self._sin[batch.positions]
 
@@ -261,8 +289,8 @@ class LlamaForCausalLM:
         has_bias = "bq" in layer_params
 
         def layer_fn(x, scanned):
-            lp, pages = scanned
-            h, _ = rms_norm(x, lp["input_norm"], self.rms_eps)
+            lp, pages, k_scale, v_scale = scanned
+            h = self._norm(x, lp["input_norm"])
             q = qmatmul(h, lp["wq"])
             k = qmatmul(h, lp["wk"])
             v = qmatmul(h, lp["wv"])
@@ -275,7 +303,10 @@ class LlamaForCausalLM:
             v = v.astype(self.dtype).reshape(-1, NKV, D)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            pages = write_kv(pages, k, v, batch.slot_mapping)
+            pages = write_kv(pages, k, v, batch.slot_mapping,
+                             k_scale=k_scale, v_scale=v_scale)
+            if k_scale is not None:
+                q = q * k_scale.astype(q.dtype)
             attn = ragged_paged_attention(
                 q,
                 pages,
@@ -285,24 +316,44 @@ class LlamaForCausalLM:
                 batch.num_seqs,
                 sm_scale=self.sm_scale,
                 sliding_window=self.sliding_window,
+                soft_cap=self.attn_softcap or None,
                 mesh=mesh,
                 use_kernel=use_attention_kernel,
             )
+            if v_scale is not None:
+                attn = attn * v_scale.astype(attn.dtype)
             attn = attn.reshape(-1, NH * D)
             o = qmatmul(attn, lp["wo"])
             x = x + o.astype(self.dtype)
-            h, _ = rms_norm(x, lp["post_norm"], self.rms_eps)
-            gate = qmatmul(h, lp["gate"])
-            up = qmatmul(h, lp["up"])
-            act = silu_and_mul(gate.astype(self.dtype), up.astype(self.dtype))
-            down = qmatmul(act, lp["down"])
-            x = x + down.astype(self.dtype)
+            h = self._norm(x, lp["post_norm"])
+            x = x + self.mlp(lp, h, mesh=mesh).astype(self.dtype)
             return x, pages
 
+        k_scales, v_scales = kv_scales if kv_scales is not None else (None,
+                                                                      None)
         x, new_kv_pages = jax.lax.scan(layer_fn, x,
-                                       (layer_params, kv_pages))
-        x, _ = rms_norm(x, params["final_norm"], self.rms_eps)
+                                       (layer_params, kv_pages, k_scales,
+                                        v_scales))
+        x = self._norm(x, params["final_norm"])
         return new_kv_pages, x
+
+    def _norm(self, x: jax.Array, weight: jax.Array) -> jax.Array:
+        w = weight + self.norm_weight_offset if self.norm_weight_offset \
+            else weight
+        out, _ = rms_norm(x, w, self.rms_eps)
+        return out
+
+    def mlp(self, lp: Dict[str, Any], h: jax.Array, *,
+            mesh: Optional[Mesh] = None) -> jax.Array:
+        gate = qmatmul(h, lp["gate"])
+        up = qmatmul(h, lp["up"])
+        if self.hidden_act == "gelu_tanh":
+            act = gelu_and_mul(gate.astype(self.dtype),
+                               up.astype(self.dtype))
+        else:
+            act = silu_and_mul(gate.astype(self.dtype),
+                               up.astype(self.dtype))
+        return qmatmul(act, lp["down"])
 
     def compute_logits(self, params: Dict[str, Any],
                        hidden: jax.Array) -> jax.Array:
@@ -314,4 +365,7 @@ class LlamaForCausalLM:
         else:
             logits = jnp.dot(hidden, params["lm_head"],
                              preferred_element_type=jnp.float32)
+        if self.logit_softcap:
+            cap = self.logit_softcap
+            logits = cap * jnp.tanh(logits / cap)
         return logits

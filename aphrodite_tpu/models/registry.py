@@ -21,10 +21,28 @@ class MistralForCausalLM(LlamaForCausalLM):
     """Mistral: Llama topology + sliding-window attention via config."""
 
 
+def _lazy(module: str, cls: str):
+    def load():
+        import importlib
+
+        return getattr(
+            importlib.import_module(f"aphrodite_tpu.models.{module}"), cls)
+
+    return load
+
+
 _MODEL_REGISTRY: Dict[str, Type[LlamaForCausalLM]] = {
     "LlamaForCausalLM": LlamaForCausalLM,
     "MistralForCausalLM": MistralForCausalLM,
     "Qwen2ForCausalLM": Qwen2ForCausalLM,
+}
+
+# Lazily imported architectures (reference models/__init__.py lazy import).
+_LAZY_REGISTRY = {
+    "MixtralForCausalLM": _lazy("mixtral", "MixtralForCausalLM"),
+    "GemmaForCausalLM": _lazy("gemma", "GemmaForCausalLM"),
+    "Gemma2ForCausalLM": _lazy("gemma", "Gemma2ForCausalLM"),
+    "Phi3ForCausalLM": _lazy("phi3", "Phi3ForCausalLM"),
 }
 
 
@@ -33,13 +51,15 @@ def register_model(arch: str, cls) -> None:
 
 
 def get_supported_archs():
-    return sorted(_MODEL_REGISTRY)
+    return sorted(set(_MODEL_REGISTRY) | set(_LAZY_REGISTRY))
 
 
 def get_model_class(model_config: ModelConfig):
     arch = model_config.architecture
-    if arch not in _MODEL_REGISTRY:
-        raise ValueError(
-            f"model architecture {arch!r} is not supported yet. "
-            f"Supported: {get_supported_archs()}")
-    return _MODEL_REGISTRY[arch]
+    if arch in _MODEL_REGISTRY:
+        return _MODEL_REGISTRY[arch]
+    if arch in _LAZY_REGISTRY:
+        return _LAZY_REGISTRY[arch]()
+    raise ValueError(
+        f"model architecture {arch!r} is not supported yet. "
+        f"Supported: {get_supported_archs()}")

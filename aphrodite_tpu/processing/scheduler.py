@@ -74,6 +74,10 @@ class Scheduler:
         )
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: Deque[SequenceGroup] = deque()
+        # Extra KV slots reserved per decode for multi-step execution
+        # (reference lookahead slots, SchedulerOutputs:115).
+        self.num_lookahead_slots = max(
+            0, scheduler_config.num_scheduler_steps - 1)
         self.num_cumulative_preemption = 0
         self._artificial_preempt_cnt = (ARTIFICIAL_PREEMPTION_PROB
                                         if ENABLE_ARTIFICIAL_PREEMPT else 0)
@@ -258,8 +262,10 @@ class Scheduler:
                 num_new = 1
                 if not budget.can_schedule(1, 1):
                     return scheds, preempted
-            # Ensure block capacity, preempting LIFO if needed.
-            while not self.block_manager.can_append_slots(seq, num_new):
+            lookahead = 0 if seq.is_prefill else self.num_lookahead_slots
+            # Ensure block capacity (incl. lookahead), preempting LIFO.
+            while not self.block_manager.can_append_slots(
+                    seq, num_new + lookahead):
                 victim = self._pick_preemption_victim(group,
                                                       already_preempted +
                                                       preempted)
@@ -269,7 +275,7 @@ class Scheduler:
                     return [], preempted + [group]
                 self._preempt(victim)
                 preempted.append(victim)
-            self.block_manager.append_slots(seq, num_new)
+            self.block_manager.append_slots(seq, num_new + lookahead)
             budget.add(num_new, 1)
             scheds.append(
                 ScheduledSequence(

@@ -54,6 +54,30 @@ _KV_DTYPES = {
 }
 
 
+_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (reference parity:
+    APHRODITE_XLA_CACHE_PATH, tpu_worker.py:66ff). First compiles of the
+    big bucketed programs take minutes on TPU; subsequent engine starts
+    reuse them from disk."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    import os
+
+    path = os.environ.get("APHRODITE_TPU_XLA_CACHE_PATH",
+                          os.path.expanduser("~/.cache/aphrodite_tpu/xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        logger.warning("compilation cache disabled: %s", e)
+    _CACHE_ENABLED = True
+
+
 def _buckets(max_value: int, start: int) -> List[int]:
     """Power-of-two buckets from `start` up to (and including) max_value."""
     out = []
@@ -73,19 +97,28 @@ def _pad_to_bucket(n: int, buckets: List[int]) -> int:
 
 
 class StepResult(NamedTuple):
-    """Host-side (numpy) results for the scheduled rows of one step."""
+    """Host-side (numpy) results for the scheduled rows of one execute.
 
-    sampled: np.ndarray  # i32[num_rows]
-    sampled_logprob: np.ndarray  # f32[num_rows]
-    sampled_rank: np.ndarray  # i32[num_rows]
-    topk_ids: np.ndarray  # i32[num_rows, K]
-    topk_logprobs: np.ndarray  # f32[num_rows, K]
+    All arrays carry a leading step axis: [num_steps, num_rows, ...].
+    Single-step execution returns num_steps == 1; multi-step decode
+    returns num_scheduler_steps sampled tokens per row.
+    """
+
+    sampled: np.ndarray  # i32[steps, num_rows]
+    sampled_logprob: np.ndarray  # f32[steps, num_rows]
+    sampled_rank: np.ndarray  # i32[steps, num_rows]
+    topk_ids: np.ndarray  # i32[steps, num_rows, K]
+    topk_logprobs: np.ndarray  # f32[steps, num_rows, K]
+    # Per-row count of valid steps (speculative decode accepts a variable
+    # prefix); None = all steps valid for every row.
+    valid_lens: Optional[np.ndarray] = None
 
 
 class ModelRunner:
     """Owns device state and executes scheduler outputs."""
 
     def __init__(self, engine_config: EngineConfig) -> None:
+        _enable_compilation_cache()
         self.config = engine_config
         self.model_config = engine_config.model_config
         self.cache_config = engine_config.cache_config
@@ -116,8 +149,19 @@ class ModelRunner:
         kv_dtype = _KV_DTYPES[self.cache_config.cache_dtype]
         self.kv_dtype = kv_dtype if kv_dtype is not None else jnp.dtype(
             self.model_config.dtype)
+        # Per-layer KV dequant scales, used only for narrow cache dtypes
+        # (reference BaseKVCacheMethod scales, quantization/kv_cache.py).
+        self.kv_scales: Optional[Any] = None
+        if self.kv_dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
+            from aphrodite_tpu.loader.weights import load_kv_cache_scales
+
+            k_s, v_s = load_kv_cache_scales(
+                self.model_config.model, self.model.num_layers,
+                self.cache_config.quantization_param_path)
+            self.kv_scales = (jnp.asarray(k_s), jnp.asarray(v_s))
 
         self._step_fns: Dict[SamplingFlags, Any] = {}
+        self._multi_step_fns: Dict[Any, Any] = {}
         # Engine-visible stats.
         self.num_compilations = 0
 
@@ -201,8 +245,9 @@ class ModelRunner:
 
         def step(params, kv_pages, batch: ForwardBatch, tensors, history,
                  history_lens, prompt_lens):
-            kv_pages, hidden = self.model.forward(params, kv_pages, batch,
-                                                  mesh=self.mesh)
+            kv_pages, hidden = self.model.forward(
+                params, kv_pages, batch, mesh=self.mesh,
+                kv_scales=self.kv_scales)
             hs = hidden[batch.logits_indices]  # [S, H]
             logits = self.model.compute_logits(params, hs)
             out = sample(logits, tensors, flags, history, history_lens,
@@ -211,6 +256,71 @@ class ModelRunner:
 
         fn = jax.jit(step, donate_argnums=(1,))
         self._step_fns[flags] = fn
+        return fn
+
+    def _get_multi_step_fn(self, flags: SamplingFlags, num_steps: int):
+        """N decode iterations fused into one device program.
+
+        This is the TPU answer to per-token host overhead (reference:
+        multi-step decode, tpu_model_runner.py:622-660 recomputes slot
+        mappings on-device; worker/multi_step_model_runner.py on GPU):
+        a lax.scan advances token ids / positions / slot mapping in-graph
+        and samples every step, so the host syncs once per N tokens.
+        """
+        key = (flags, num_steps)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+        block_size = self.block_size
+
+        def one_iteration(carry, step_idx, params, page_indices,
+                          kv_capacity, num_seqs, tensors):
+            kv_pages, token_ids, positions = carry
+            S = token_ids.shape[0]
+            rows = jnp.arange(S, dtype=jnp.int32)
+            valid = rows < num_seqs[0]
+            pos = jnp.maximum(positions, 0)
+            in_cap = pos < kv_capacity
+            page_idx = jnp.take_along_axis(
+                page_indices, (pos // block_size)[:, None],
+                axis=1)[:, 0]
+            slot = page_idx * block_size + pos % block_size
+            trash = self.num_pages * block_size + rows % block_size
+            slot = jnp.where(valid & in_cap, slot, trash)
+            batch = ForwardBatch(
+                token_ids=token_ids,
+                positions=pos,
+                slot_mapping=slot,
+                kv_lens=jnp.where(valid, pos + 1, 0),
+                page_indices=page_indices,
+                cu_q_lens=jnp.arange(S + 1, dtype=jnp.int32),
+                num_seqs=num_seqs,
+                logits_indices=rows,
+            )
+            kv_pages, hidden = self.model.forward(
+                params, kv_pages, batch, mesh=self.mesh,
+                kv_scales=self.kv_scales)
+            logits = self.model.compute_logits(params, hidden)
+            # Fresh per-step randomness: fold the step index into keys.
+            step_tensors = tensors._replace(
+                key_data=_fold_key_data(tensors.key_data, step_idx))
+            out = sample(logits, step_tensors, flags)
+            return (kv_pages, out.sampled, positions + 1), out
+
+        def multi_step(params, kv_pages, token_ids, positions,
+                       page_indices, kv_capacity, num_seqs, tensors):
+            body = functools.partial(one_iteration, params=params,
+                                     page_indices=page_indices,
+                                     kv_capacity=kv_capacity,
+                                     num_seqs=num_seqs, tensors=tensors)
+            (kv_pages, _, _), outs = jax.lax.scan(
+                lambda c, i: body(c, i),
+                (kv_pages, token_ids, positions),
+                jnp.arange(num_steps, dtype=jnp.int32))
+            return kv_pages, outs
+
+        fn = jax.jit(multi_step, donate_argnums=(1,))
+        self._multi_step_fns[key] = fn
         return fn
 
     # ------------------------------------------------------------------
@@ -277,14 +387,11 @@ class ModelRunner:
     # Execute
     # ------------------------------------------------------------------
 
-    def execute(self, outputs: SchedulerOutputs) -> StepResult:
+    def execute(self, outputs: SchedulerOutputs,
+                num_steps: int = 1) -> StepResult:
         scheduled = outputs.scheduled
         assert scheduled, "execute() called with empty schedule"
-        total_tokens = sum(ss.num_tokens for ss in scheduled)
-        T = _pad_to_bucket(total_tokens, self.token_buckets)
         S = _pad_to_bucket(len(scheduled), self.seq_buckets)
-
-        batch = self.build_forward_batch(scheduled, T, S)
 
         rows = []
         for ss in scheduled:
@@ -304,6 +411,29 @@ class ModelRunner:
         H = _pad_to_bucket(max_hist, self.history_buckets)
         tensors, flags, history, hl = build_sampling_tensors(
             rows, S, self.model_config.get_vocab_size(), history_pad=H)
+        tensors_dev = jax.tree.map(jnp.asarray, tensors)
+
+        # Multi-step decode: pure-decode batch whose sampler stages don't
+        # depend on per-step host state (token history / min_tokens).
+        multi_ok = (num_steps > 1 and outputs.num_prefill_tokens == 0
+                    and not flags.needs_history
+                    and not flags.do_min_tokens)
+        if multi_ok:
+            return self._execute_multi(scheduled, S, tensors_dev, flags,
+                                       num_steps)
+
+        # Speculative (n-gram) decode: greedy pure-decode batches.
+        spec = self.config.speculative_config
+        if (spec is not None and outputs.num_prefill_tokens == 0
+                and flags.all_greedy and not flags.needs_history
+                and not flags.do_min_tokens and not flags.do_banned_tokens):
+            result = self._execute_spec(scheduled, S, spec)
+            if result is not None:
+                return result
+
+        total_tokens = sum(ss.num_tokens for ss in scheduled)
+        T = _pad_to_bucket(total_tokens, self.token_buckets)
+        batch = self.build_forward_batch(scheduled, T, S)
 
         history_lens = prompt_lens = None
         if flags.needs_history:
@@ -314,19 +444,225 @@ class ModelRunner:
             history = None
 
         step_fn = self._get_step_fn(flags)
-        tensors_dev = jax.tree.map(jnp.asarray, tensors)
         self.kv_pages, out = step_fn(self.params, self.kv_pages, batch,
                                      tensors_dev, history, history_lens,
                                      prompt_lens)
 
         n = len(scheduled)
         return StepResult(
-            sampled=np.asarray(out.sampled)[:n],
-            sampled_logprob=np.asarray(out.sampled_logprob)[:n],
-            sampled_rank=np.asarray(out.sampled_rank)[:n],
-            topk_ids=np.asarray(out.topk_ids)[:n],
-            topk_logprobs=np.asarray(out.topk_logprobs)[:n],
+            sampled=np.asarray(out.sampled)[None, :n],
+            sampled_logprob=np.asarray(out.sampled_logprob)[None, :n],
+            sampled_rank=np.asarray(out.sampled_rank)[None, :n],
+            topk_ids=np.asarray(out.topk_ids)[None, :n],
+            topk_logprobs=np.asarray(out.topk_logprobs)[None, :n],
         )
+
+    def execute_pooling(self, outputs: SchedulerOutputs,
+                        pooling: str = "last") -> np.ndarray:
+        """Embedding/pooling forward (reference embedding_model_runner):
+        returns [num_rows, H] pooled hidden states for the scheduled
+        sequences (each must be a full single-chunk prefill)."""
+        scheduled = outputs.scheduled
+        total_tokens = sum(ss.num_tokens for ss in scheduled)
+        T = _pad_to_bucket(total_tokens, self.token_buckets)
+        S = _pad_to_bucket(len(scheduled), self.seq_buckets)
+        batch = self.build_forward_batch(scheduled, T, S)
+        fn = self._get_pooling_fn(pooling)
+        self.kv_pages, pooled = fn(self.params, self.kv_pages, batch)
+        return np.asarray(pooled)[:len(scheduled)]
+
+    def _get_pooling_fn(self, pooling: str):
+        key = ("pool", pooling)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+
+        def pool_step(params, kv_pages, batch: ForwardBatch):
+            kv_pages, hidden = self.model.forward(
+                params, kv_pages, batch, mesh=self.mesh,
+                kv_scales=self.kv_scales)
+            if pooling == "last":
+                pooled = hidden[batch.logits_indices]  # [S, H]
+            elif pooling == "mean":
+                # Segment-mean over each sequence's token span.
+                T = hidden.shape[0]
+                S = batch.logits_indices.shape[0]
+                tok = jnp.arange(T, dtype=jnp.int32)
+                seg = jnp.searchsorted(batch.cu_q_lens[1:], tok,
+                                       side="right").astype(jnp.int32)
+                seg = jnp.minimum(seg, S - 1)
+                sums = jnp.zeros((S, hidden.shape[1]),
+                                 jnp.float32).at[seg].add(
+                                     hidden.astype(jnp.float32))
+                lens = (batch.cu_q_lens[1:] -
+                        batch.cu_q_lens[:-1]).astype(jnp.float32)
+                pooled = sums / jnp.maximum(lens[:, None], 1.0)
+            else:
+                raise ValueError(f"unknown pooling {pooling!r}")
+            # L2 normalize (reference embedding outputs are normalized).
+            norm = jnp.linalg.norm(pooled.astype(jnp.float32), axis=-1,
+                                   keepdims=True)
+            return kv_pages, pooled / jnp.maximum(norm, 1e-12)
+
+        fn = jax.jit(pool_step, donate_argnums=(1,))
+        self._multi_step_fns[key] = fn
+        return fn
+
+    def _execute_spec(self, scheduled: List[ScheduledSequence], S: int,
+                      spec) -> Optional[StepResult]:
+        """N-gram speculative decode: one ragged verification forward
+        scores k proposals + 1 bonus per sequence; greedy acceptance
+        in-graph (sampling/spec_verify.py). Falls back to None when no
+        sequence found a proposal (plain decode is cheaper then)."""
+        from aphrodite_tpu.spec_decode.ngram import propose_ngram
+
+        k = spec.num_speculative_tokens
+        n = len(scheduled)
+        proposals = np.full((S, k), -1, np.int32)
+        any_props = False
+        for i, ss in enumerate(scheduled):
+            props = propose_ngram(
+                ss.seq.get_token_ids(), k,
+                ngram_max=spec.ngram_prompt_lookup_max,
+                ngram_min=spec.ngram_prompt_lookup_min)
+            if props:
+                proposals[i, :len(props)] = props
+                any_props = True
+        if not any_props:
+            return None
+
+        total_tokens = int(n + (proposals[:n] >= 0).sum())
+        T = _pad_to_bucket(total_tokens, self.token_buckets)
+        token_ids = np.zeros((T,), np.int32)
+        positions = np.zeros((T,), np.int32)
+        slot_mapping = np.full((T,), self.trash_slot_base, np.int32)
+        kv_lens = np.zeros((S,), np.int32)
+        page_indices = np.zeros((S, self.pages_per_seq), np.int32)
+        cu_q_lens = np.zeros((S + 1,), np.int32)
+        # logits gather matrix: row i, position j -> flat token index
+        # (clamped to the row's own range; padding positions repeat the
+        # last valid index so gathers stay in-bounds).
+        logits_idx = np.zeros((S, k + 1), np.int32)
+
+        offset = 0
+        for i, ss in enumerate(scheduled):
+            seq = ss.seq
+            p = int((proposals[i] >= 0).sum())
+            chunk = [seq.get_last_token_id()] + \
+                [int(t) for t in proposals[i, :p]]
+            q_len = 1 + p
+            token_ids[offset:offset + q_len] = chunk
+            start_pos = seq.num_computed_tokens
+            positions[offset:offset + q_len] = np.arange(
+                start_pos, start_pos + q_len)
+            table = ss.block_ids
+            for j in range(q_len):
+                pos = start_pos + j
+                slot_mapping[offset + j] = (table[pos // self.block_size] *
+                                            self.block_size +
+                                            pos % self.block_size)
+            kv_lens[i] = start_pos + q_len
+            page_indices[i, :len(table)] = table
+            cu_q_lens[i + 1] = cu_q_lens[i] + q_len
+            logits_idx[i] = np.minimum(offset + np.arange(k + 1),
+                                       offset + q_len - 1)
+            offset += q_len
+        cu_q_lens[n + 1:] = cu_q_lens[n]
+        num_pad = T - offset
+        if num_pad > 0:
+            slot_mapping[offset:] = (self.trash_slot_base +
+                                     np.arange(num_pad) % self.block_size)
+
+        batch = ForwardBatch(
+            token_ids=jnp.asarray(token_ids),
+            positions=jnp.asarray(positions),
+            slot_mapping=jnp.asarray(slot_mapping),
+            kv_lens=jnp.asarray(kv_lens),
+            page_indices=jnp.asarray(page_indices),
+            cu_q_lens=jnp.asarray(cu_q_lens),
+            num_seqs=jnp.asarray([n], np.int32),
+            logits_indices=jnp.asarray(logits_idx[:, 0]),
+        )
+
+        fn = self._get_spec_fn(k)
+        self.kv_pages, out = fn(self.params, self.kv_pages, batch,
+                                jnp.asarray(logits_idx),
+                                jnp.asarray(proposals))
+        tokens = np.asarray(out.tokens)[:n]  # [n, k+1]
+        lps = np.asarray(out.tokens_logprob)[:n]
+        valid = np.asarray(out.valid_len)[:n]
+        return StepResult(
+            sampled=tokens.T.copy(),  # [k+1, n]
+            sampled_logprob=lps.T.copy(),
+            sampled_rank=np.ones((k + 1, n), np.int32),
+            topk_ids=np.zeros((k + 1, n, 0), np.int32),
+            topk_logprobs=np.zeros((k + 1, n, 0), np.float32),
+            valid_lens=valid,
+        )
+
+    def _get_spec_fn(self, k: int):
+        key = ("spec", k)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+
+        from aphrodite_tpu.sampling.spec_verify import (
+            verify_proposals_greedy)
+
+        def spec_step(params, kv_pages, batch: ForwardBatch, logits_idx,
+                      proposals):
+            kv_pages, hidden = self.model.forward(
+                params, kv_pages, batch, mesh=self.mesh,
+                kv_scales=self.kv_scales)
+            S, kp1 = logits_idx.shape
+            sel = hidden[logits_idx.reshape(-1)]  # [S*(k+1), H]
+            logits = self.model.compute_logits(params, sel)
+            logits = logits.reshape(S, kp1, -1)
+            return kv_pages, verify_proposals_greedy(logits, proposals)
+
+        fn = jax.jit(spec_step, donate_argnums=(1,))
+        self._multi_step_fns[key] = fn
+        return fn
+
+    def _execute_multi(self, scheduled: List[ScheduledSequence], S: int,
+                       tensors_dev, flags: SamplingFlags,
+                       num_steps: int) -> StepResult:
+        token_ids = np.zeros((S,), np.int32)
+        positions = np.zeros((S,), np.int32)
+        page_indices = np.zeros((S, self.pages_per_seq), np.int32)
+        kv_capacity = np.zeros((S,), np.int32)
+        for i, ss in enumerate(scheduled):
+            seq = ss.seq
+            token_ids[i] = seq.get_last_token_id()
+            positions[i] = seq.num_computed_tokens
+            table = ss.block_ids
+            page_indices[i, :len(table)] = table
+            kv_capacity[i] = len(table) * self.block_size
+        num_seqs = jnp.asarray([len(scheduled)], np.int32)
+
+        fn = self._get_multi_step_fn(flags, num_steps)
+        self.kv_pages, outs = fn(self.params, self.kv_pages,
+                                 jnp.asarray(token_ids),
+                                 jnp.asarray(positions),
+                                 jnp.asarray(page_indices),
+                                 jnp.asarray(kv_capacity), num_seqs,
+                                 tensors_dev)
+        n = len(scheduled)
+        return StepResult(
+            sampled=np.asarray(outs.sampled)[:, :n],
+            sampled_logprob=np.asarray(outs.sampled_logprob)[:, :n],
+            sampled_rank=np.asarray(outs.sampled_rank)[:, :n],
+            topk_ids=np.asarray(outs.topk_ids)[:, :n],
+            topk_logprobs=np.asarray(outs.topk_logprobs)[:, :n],
+        )
+
+
+def _fold_key_data(key_data: jax.Array, step: jax.Array) -> jax.Array:
+    """Mix the in-graph step index into per-row uint32 key data."""
+    step = step.astype(jnp.uint32)
+    mixed = key_data[:, 1] ^ (step * jnp.uint32(0x9E3779B9) +
+                              jnp.uint32(0x85EBCA6B))
+    return key_data.at[:, 1].set(mixed)
 
 
 def _default_seed(request_id: str, seq_id: int) -> int:

@@ -78,6 +78,7 @@ def main() -> None:
             max_num_batched_tokens=2048,
             num_device_blocks_override=blocks_override,
             block_size=16,
+            num_scheduler_steps=8,
         )
         rng = np.random.default_rng(0)
         vocab = 32000 if on_tpu else 2048

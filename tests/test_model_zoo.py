@@ -1,0 +1,70 @@
+"""Per-architecture engine-vs-HF greedy equality (reference tests/models/*).
+
+Each architecture gets a tiny random checkpoint built with transformers;
+our engine's greedy continuation must exactly match HF `generate`.
+"""
+
+import numpy as np
+import pytest
+
+from aphrodite_tpu import LLM, SamplingParams
+from tests.utils import hf_greedy_generate, make_tiny_checkpoint
+
+COMMON = dict(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+    tie_word_embeddings=False,
+)
+
+
+def _config(arch):
+    import transformers as tf
+
+    if arch == "qwen2":
+        return tf.Qwen2Config(**COMMON)
+    if arch == "mistral":
+        kw = dict(COMMON)
+        kw["sliding_window"] = 32
+        return tf.MistralConfig(**kw)
+    if arch == "mixtral":
+        kw = dict(COMMON)
+        kw.update(num_local_experts=4, num_experts_per_tok=2)
+        return tf.MixtralConfig(**kw)
+    if arch == "gemma":
+        kw = dict(COMMON)
+        kw.update(head_dim=16, hidden_act="gelu_pytorch_tanh",
+                  tie_word_embeddings=True)
+        return tf.GemmaConfig(**kw)
+    if arch == "gemma2":
+        kw = dict(COMMON)
+        kw.update(head_dim=16, hidden_act="gelu_pytorch_tanh",
+                  tie_word_embeddings=True, attn_logit_softcapping=50.0,
+                  final_logit_softcapping=30.0, query_pre_attn_scalar=16,
+                  sliding_window=16)
+        return tf.Gemma2Config(**kw)
+    if arch == "phi3":
+        return tf.Phi3Config(pad_token_id=0, bos_token_id=1,
+                             eos_token_id=2, **COMMON)
+    raise ValueError(arch)
+
+
+@pytest.mark.parametrize("arch",
+                         ["qwen2", "mistral", "mixtral", "gemma", "gemma2",
+                          "phi3"])
+def test_arch_greedy_matches_hf(arch, tmp_path):
+    model_dir = str(tmp_path / arch)
+    make_tiny_checkpoint(model_dir, _config(arch))
+    llm = LLM(model=model_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8)
+    tok = llm.get_tokenizer()
+    prompts = ["the quick brown fox", "hello world"]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    outs = llm.generate(prompts, sp)
+    for prompt, out in zip(prompts, outs):
+        expect = hf_greedy_generate(model_dir, tok.encode(prompt), 8)
+        assert out.outputs[0].token_ids == expect, (arch, prompt)

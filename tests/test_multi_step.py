@@ -1,0 +1,75 @@
+"""Multi-step (fused N-token) decode correctness.
+
+Reference analog: tests around multi-step runners — greedy equality with
+the single-step engine (and therefore with HF transformers).
+"""
+
+import pytest
+
+from aphrodite_tpu import LLM, SamplingParams
+from tests.utils import hf_greedy_generate
+
+PROMPTS = ["the quick brown fox", "hello world, this is"]
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    from tests.utils import make_tiny_llama_checkpoint
+
+    path = tmp_path_factory.mktemp("tiny_llama_ms")
+    make_tiny_llama_checkpoint(str(path))
+    return str(path)
+
+
+def test_multi_step_greedy_matches_hf(tiny_dir):
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=8,
+              num_device_blocks_override=128, block_size=8,
+              num_scheduler_steps=4)
+    tok = llm.get_tokenizer()
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    outs = llm.generate(PROMPTS, sp)
+    for prompt, out in zip(PROMPTS, outs):
+        expect = hf_greedy_generate(tiny_dir, tok.encode(prompt), 10)
+        assert out.outputs[0].token_ids == expect, prompt
+
+
+def test_multi_step_respects_max_tokens(tiny_dir):
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=8,
+              num_device_blocks_override=128, block_size=8,
+              num_scheduler_steps=4)
+    # max_tokens not a multiple of num_steps: overshoot must be cut.
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    out = llm.generate(["one two three"], sp)[0].outputs[0]
+    assert len(out.token_ids) == 6
+    assert out.finish_reason == "length"
+
+
+def test_multi_step_stop_token(tiny_dir):
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=8,
+              num_device_blocks_override=128, block_size=8,
+              num_scheduler_steps=4)
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    base = llm.generate(["hello world"], sp)[0].outputs[0]
+    # Stop on a mid-window token: truncation must be exact.
+    target, first_pos = None, None
+    for pos, tid in enumerate(base.token_ids):
+        if base.token_ids.index(tid) == pos and pos >= 1:
+            target, first_pos = tid, pos
+            break
+    sp2 = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True,
+                         stop_token_ids=[target])
+    out = llm.generate(["hello world"], sp2)[0].outputs[0]
+    assert out.token_ids[-1] == target
+    assert len(out.token_ids) == first_pos + 1
+
+
+def test_multi_step_with_logprobs(tiny_dir):
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=8,
+              num_device_blocks_override=128, block_size=8,
+              num_scheduler_steps=4)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, logprobs=2,
+                        ignore_eos=True)
+    out = llm.generate(["hello world"], sp)[0].outputs[0]
+    assert len(out.logprobs) == 8
+    for lp, tid in zip(out.logprobs, out.token_ids):
+        assert lp[tid].rank == 1

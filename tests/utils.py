@@ -76,13 +76,25 @@ def make_tiny_llama_checkpoint(save_dir: str, seed: int = 0,
     make_tiny_tokenizer(save_dir, vocab_size=kwargs["vocab_size"])
 
 
+def make_tiny_checkpoint(save_dir: str, config, seed: int = 0) -> None:
+    """Save a tiny random-weight checkpoint for any HF architecture."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    torch.manual_seed(seed)
+    model = AutoModelForCausalLM.from_config(config)
+    model = model.to(torch.float32)
+    model.save_pretrained(save_dir, safe_serialization=True)
+    make_tiny_tokenizer(save_dir, vocab_size=config.vocab_size)
+
+
 def hf_greedy_generate(model_dir: str, prompt_ids: List[int],
                        max_new_tokens: int) -> List[int]:
     import torch
-    from transformers import LlamaForCausalLM
+    from transformers import AutoModelForCausalLM
 
-    model = LlamaForCausalLM.from_pretrained(model_dir,
-                                             torch_dtype=torch.float32)
+    model = AutoModelForCausalLM.from_pretrained(model_dir,
+                                                 torch_dtype=torch.float32)
     model.eval()
     input_ids = torch.tensor([prompt_ids], dtype=torch.long)
     with torch.no_grad():
