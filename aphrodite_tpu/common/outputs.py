@@ -40,11 +40,12 @@ class RequestOutput:
         seqs = seq_group.seqs
         sp = seq_group.sampling_params
         if sp.use_beam_search or sp.best_of > sp.n:
-            # Return the n best by normalized cumulative logprob.
+            # Return the n best by length-penalized cumulative logprob
+            # (reference beam finalization semantics).
             sorted_seqs = sorted(
                 seqs,
                 key=lambda s: s.cumulative_logprob /
-                max(s.get_output_len(), 1),
+                max(s.get_output_len(), 1)**sp.length_penalty,
                 reverse=True,
             )
             top_seqs = sorted_seqs[:sp.n]

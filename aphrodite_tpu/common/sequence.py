@@ -313,6 +313,10 @@ class SchedulerOutputs:
     num_decode_tokens: int
     preempted: List[SequenceGroup] = field(default_factory=list)
     ignored: List[SequenceGroup] = field(default_factory=list)
+    # Copy-on-write directives (src_block, dst_block) the runner must
+    # execute on the device cache before the forward (fork divergence;
+    # reference SchedulerOutputs.blocks_to_copy).
+    blocks_to_copy: List[Tuple[int, int]] = field(default_factory=list)
 
     def is_empty(self) -> bool:
         return not self.scheduled

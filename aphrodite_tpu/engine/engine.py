@@ -98,9 +98,6 @@ class AphroditeEngine:
             raise ValueError(f"duplicate request_id {request_id!r}")
         if sampling_params is None:
             sampling_params = SamplingParams()
-        if sampling_params.use_beam_search:
-            raise NotImplementedError(
-                "beam search is not implemented yet in aphrodite-tpu")
         if prompt_token_ids is None:
             if prompt is None:
                 raise ValueError("either prompt or prompt_token_ids required")
@@ -112,11 +109,15 @@ class AphroditeEngine:
         sampling_params.update_from_generation_config(
             self._generation_config, self.eos_token_id)
 
-        # best_of sequences run independently from the first token
-        # (the reference forks post-prefill; with prefix caching enabled
-        # the prompt KV is shared anyway).
+        # Beam search: one seq prefills; beams fork after the first
+        # sampling step (joint pruning in _process_beam_group).
+        # best_of sampling: sequences run independently from the first
+        # token (the reference forks post-prefill; with prefix caching
+        # enabled the prompt KV is shared anyway).
+        num_initial = 1 if sampling_params.use_beam_search else \
+            sampling_params.best_of
         seqs = []
-        for _ in range(sampling_params.best_of):
+        for _ in range(num_initial):
             seqs.append(
                 Sequence(
                     seq_id=self._next_seq_id(),
@@ -131,6 +132,8 @@ class AphroditeEngine:
             sampling_params=sampling_params,
             arrival_time=arrival_time,
         )
+        if sampling_params.use_beam_search:
+            group.completed_beams = []
         self._groups[request_id] = group
         if len(seqs) == 1:
             self.scheduler.add_seq_group(group)
@@ -183,8 +186,12 @@ class AphroditeEngine:
         # multi-step, was already computed in-graph).
         self.scheduler.mark_step_computed(scheduler_outputs)
 
+        if result.prompt is not None:
+            self._process_prompt_logprobs(scheduler_outputs, result)
+
         touched = set()
         now = time.monotonic()
+        beam_groups: Dict[int, List] = {}
         for i, ss in enumerate(scheduler_outputs.scheduled):
             seq = ss.seq
             group = self._groups.get(ss.group.request_id)
@@ -192,6 +199,9 @@ class AphroditeEngine:
             if not ss.do_sample:
                 continue  # mid-prefill chunk: no token produced
             sp = ss.group.sampling_params
+            if sp.use_beam_search:
+                beam_groups.setdefault(id(ss.group), []).append((i, ss))
+                continue
             for k in range(num_steps_done):
                 if seq.is_finished():
                     break  # later multi-step tokens are discarded
@@ -232,6 +242,9 @@ class AphroditeEngine:
             if group is not None:
                 group.maybe_set_first_token_time(now)
 
+        for rows in beam_groups.values():
+            self._process_beam_group(rows, result)
+
         self.scheduler.free_finished_seq_groups()
         self._log_stats(scheduler_outputs, now)
         ignored = scheduler_outputs.ignored
@@ -268,6 +281,164 @@ class AphroditeEngine:
                 if reason:
                     stats.finished_reason_iter.append(reason)
         self.stat_logger.log(stats)
+
+    def _process_prompt_logprobs(self, scheduler_outputs, result) -> None:
+        """Attach per-prompt-token logprobs from the full-stream pass
+        (reference get_logprobs prompt path; first token is None)."""
+        tgt_lp, ranks, pk_ids, pk_lp = result.prompt
+        off = 0
+        for ss in scheduler_outputs.scheduled:
+            sp = ss.group.sampling_params
+            seq = ss.seq
+            num_plp = sp.prompt_logprobs
+            chunk_is_prefill = ss.first_token_idx < seq.get_prompt_len()
+            if num_plp is None or not chunk_is_prefill:
+                off += ss.num_tokens
+                continue
+            if seq.prompt_logprobs is None:
+                seq.prompt_logprobs = [None]
+            ids = seq.get_token_ids()
+            for j in range(ss.num_tokens):
+                tpos = ss.first_token_idx + j + 1
+                if tpos >= seq.get_prompt_len():
+                    break
+                row = off + j
+                entry = {
+                    int(ids[tpos]): Logprob(logprob=float(tgt_lp[row]),
+                                            rank=int(ranks[row]))
+                }
+                for k in range(min(num_plp, pk_ids.shape[1])):
+                    entry.setdefault(
+                        int(pk_ids[row, k]),
+                        Logprob(logprob=float(pk_lp[row, k]), rank=k + 1))
+                # Chunks may be re-scheduled after preemption; keep the
+                # list aligned with positions.
+                while len(seq.prompt_logprobs) <= tpos:
+                    seq.prompt_logprobs.append(None)
+                seq.prompt_logprobs[tpos] = entry
+            off += ss.num_tokens
+
+    def _process_beam_group(self, rows: List, result) -> None:
+        """Joint beam expansion/pruning for one request (reference beam
+        path, sampler.py:1124-1273 + output_processor forking).
+
+        Each live beam contributed a row with 2*width candidate logprobs;
+        select the global top `width` continuations, fork sequences where
+        one beam spawns several, retire EOS/length-capped hypotheses.
+        """
+        group = rows[0][1].group
+        sp = group.sampling_params
+        width = sp.best_of
+        completed = group.completed_beams
+
+        # Candidate continuations: (new_cum_logprob, row_i, seq, token).
+        candidates = []
+        K = result.topk_ids.shape[2]
+        for i, ss in rows:
+            seq = ss.seq
+            for j in range(K):
+                tid = int(result.topk_ids[0, i, j])
+                lp = float(result.topk_logprobs[0, i, j])
+                candidates.append((seq.cumulative_logprob + lp, seq, tid,
+                                   lp))
+        candidates.sort(key=lambda c: c[0], reverse=True)
+
+        live_seqs = [ss.seq for _, ss in rows]
+        selections: List = []  # (seq, token, lp)
+        for cum, seq, tid, lp in candidates:
+            if len(selections) >= width:
+                break
+            is_eos = (seq.eos_token_id is not None
+                      and tid == seq.eos_token_id
+                      and not sp.ignore_eos)
+            if is_eos:
+                if len(completed) < 2 * width:
+                    hyp = seq.fork(self._next_seq_id())
+                    hyp.append_token_id(tid, lp)
+                    hyp.status = SequenceStatus.FINISHED_STOPPED
+                    if sp.detokenize and self.tokenizer is not None:
+                        hyp.output_text = self.tokenizer.decode(
+                            hyp.output_token_ids,
+                            skip_special_tokens=sp.skip_special_tokens)
+                    completed.append(hyp)
+                continue
+            selections.append((seq, tid, lp))
+
+        # Apply: fork parents selected multiple times BEFORE appending.
+        by_parent: Dict[int, List] = {}
+        for seq, tid, lp in selections:
+            by_parent.setdefault(seq.seq_id, []).append((seq, tid, lp))
+        new_live: List[Sequence] = []
+        for parent_id, sels in by_parent.items():
+            parent = sels[0][0]
+            forks = [parent]
+            for _ in range(len(sels) - 1):
+                child = parent.fork(self._next_seq_id())
+                self.scheduler.fork_seq(parent, child)
+                group.add(child)
+                forks.append(child)
+            for (target, (_, tid, lp)) in zip(forks, sels):
+                target.append_token_id(tid, lp)
+                target.num_computed_tokens = target.get_len() - 1
+                new_live.append(target)
+        # Prune unselected live beams.
+        selected_ids = {s.seq_id for s in new_live}
+        for seq in live_seqs:
+            if seq.seq_id not in selected_ids:
+                seq.status = SequenceStatus.FINISHED_ABORTED
+                self.scheduler.free_seq(seq)
+                group.remove(seq.seq_id)
+        # Length cap: live beams reaching max_tokens become hypotheses.
+        still_live = []
+        for seq in new_live:
+            capped = ((sp.max_tokens is not None
+                       and seq.get_output_len() >= sp.max_tokens)
+                      or seq.get_len() >= self.model_config.max_model_len)
+            if capped:
+                seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                if sp.detokenize and self.tokenizer is not None:
+                    seq.output_text = self.tokenizer.decode(
+                        seq.output_token_ids,
+                        skip_special_tokens=sp.skip_special_tokens)
+                completed.append(seq)
+                self.scheduler.free_seq(seq)
+                group.remove(seq.seq_id)
+            else:
+                still_live.append(seq)
+
+        def score(s: Sequence) -> float:
+            return s.cumulative_logprob / max(
+                s.get_output_len(), 1)**sp.length_penalty
+
+        done = False
+        if not still_live:
+            done = True
+        elif len(completed) >= width:
+            if sp.early_stopping is True:
+                done = True
+            else:
+                best_live = max(score(s) for s in still_live)
+                top_completed = sorted((score(s) for s in completed),
+                                       reverse=True)[:width]
+                done = best_live <= top_completed[-1]
+        if done:
+            for seq in still_live:
+                # Remaining live beams also count as hypotheses.
+                seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                if sp.detokenize and self.tokenizer is not None:
+                    seq.output_text = self.tokenizer.decode(
+                        seq.output_token_ids,
+                        skip_special_tokens=sp.skip_special_tokens)
+                completed.append(seq)
+                self.scheduler.free_seq(seq)
+                group.remove(seq.seq_id)
+            best = sorted(completed, key=score, reverse=True)[:sp.n]
+            # Replace the group's sequences with the final hypotheses so
+            # RequestOutput.from_seq_group reports them.
+            group.seqs.clear()
+            group._seq_dict.clear()
+            for seq in best:
+                group.add(seq)
 
     def encode(self, prompts_token_ids: List[List[int]],
                pooling: str = "last") -> List[Any]:

@@ -136,6 +136,7 @@ class Scheduler:
         scheduled: List[ScheduledSequence] = []
         preempted: List[SequenceGroup] = []
         ignored: List[SequenceGroup] = []
+        blocks_to_copy: List[Tuple[int, int]] = []
         num_prefill_tokens = 0
         num_decode_tokens = 0
 
@@ -149,7 +150,7 @@ class Scheduler:
             if group in victims:
                 continue
             group_scheds, group_preempted = self._schedule_running_group(
-                group, budget, victims)
+                group, budget, victims, blocks_to_copy)
             victims.extend(group_preempted)
             preempted.extend(group_preempted)
             for ss in group_scheds:
@@ -234,6 +235,7 @@ class Scheduler:
             num_decode_tokens=num_decode_tokens,
             preempted=preempted,
             ignored=ignored,
+            blocks_to_copy=blocks_to_copy,
         )
 
     def _schedule_running_group(
@@ -241,6 +243,7 @@ class Scheduler:
         group: SequenceGroup,
         budget: SchedulingBudget,
         already_preempted: List[SequenceGroup],
+        blocks_to_copy: Optional[List[Tuple[int, int]]] = None,
     ) -> Tuple[List[ScheduledSequence], List[SequenceGroup]]:
         scheds: List[ScheduledSequence] = []
         preempted: List[SequenceGroup] = []
@@ -275,7 +278,9 @@ class Scheduler:
                     return [], preempted + [group]
                 self._preempt(victim)
                 preempted.append(victim)
-            self.block_manager.append_slots(seq, num_new + lookahead)
+            cow = self.block_manager.append_slots(seq, num_new + lookahead)
+            if cow and blocks_to_copy is not None:
+                blocks_to_copy.extend(cow)
             budget.add(num_new, 1)
             scheds.append(
                 ScheduledSequence(

@@ -46,9 +46,13 @@ class SamplingFlags(NamedTuple):
     do_temp_last: bool = False
     do_min_tokens: bool = False
     do_banned_tokens: bool = False
+    do_beam: bool = False
     all_greedy: bool = True
     # Number of top logprobs to return (0 = only the sampled token's).
     max_logprobs: int = 0
+    # Top prompt-logprobs per prefill position (0 = disabled). Set by the
+    # runner (it knows which rows are prefill chunks).
+    max_prompt_logprobs: int = 0
 
     @property
     def needs_history(self) -> bool:
@@ -183,14 +187,21 @@ def build_sampling_tensors(
         do_min_p=False, do_tfss=False, do_eta_cutoffs=False,
         do_epsilon_cutoffs=False, do_typical_ps=False, do_quadratic=False,
         do_xtc=False, do_nsigmas=False, do_skew=False, do_temp_last=False,
-        do_min_tokens=False, do_banned_tokens=False, all_greedy=True,
-        max_logprobs=0,
+        do_min_tokens=False, do_banned_tokens=False, do_beam=False,
+        all_greedy=True, max_logprobs=0,
     )
 
     for i, row in enumerate(rows):
         p = row.params
-        greedy = p.sampling_type == SamplingType.GREEDY
+        greedy = p.sampling_type in (SamplingType.GREEDY,
+                                     SamplingType.BEAM)
         t.greedy_mask[i] = greedy
+        if p.use_beam_search:
+            # Beam rows need 2*width candidate logprobs for host-side
+            # expansion (reference beam search, sampler.py:1124-1273).
+            flags["do_beam"] = True
+            flags["max_logprobs"] = max(flags["max_logprobs"],
+                                        min(2 * p.best_of, 32))
         if not greedy:
             flags["all_greedy"] = False
             t.temperature[i] = max(p.temperature, 2e-5)

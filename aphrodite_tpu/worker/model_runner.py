@@ -112,6 +112,10 @@ class StepResult(NamedTuple):
     # Per-row count of valid steps (speculative decode accepts a variable
     # prefix); None = all steps valid for every row.
     valid_lens: Optional[np.ndarray] = None
+    # Prompt logprobs over the flat token stream (single-step prefill
+    # only): (target_lp[T], rank[T], topk_ids[T, K], topk_lp[T, K]).
+    prompt: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                           np.ndarray]] = None
 
 
 class ModelRunner:
@@ -244,7 +248,7 @@ class ModelRunner:
             return fn
 
         def step(params, kv_pages, batch: ForwardBatch, tensors, history,
-                 history_lens, prompt_lens):
+                 history_lens, prompt_lens, target_ids):
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
                 kv_scales=self.kv_scales)
@@ -252,7 +256,20 @@ class ModelRunner:
             logits = self.model.compute_logits(params, hs)
             out = sample(logits, tensors, flags, history, history_lens,
                          prompt_lens)
-            return kv_pages, out
+            prompt_out = None
+            if flags.max_prompt_logprobs > 0:
+                # Per-token prompt logprobs over the WHOLE token stream
+                # (reference prompt_logprobs, sampler.py get_logprobs).
+                full = self.model.compute_logits(params, hidden)  # [T, V]
+                lp = jax.nn.log_softmax(full, axis=-1)
+                tgt_lp = jnp.take_along_axis(
+                    lp, target_ids[:, None], axis=-1)[:, 0]
+                pk_lp, pk_ids = jax.lax.top_k(lp,
+                                              flags.max_prompt_logprobs)
+                ranks = jnp.sum(lp > tgt_lp[:, None], axis=-1) + 1
+                prompt_out = (tgt_lp, ranks.astype(jnp.int32), pk_ids,
+                              pk_lp)
+            return kv_pages, out, prompt_out
 
         fn = jax.jit(step, donate_argnums=(1,))
         self._step_fns[flags] = fn
@@ -387,10 +404,33 @@ class ModelRunner:
     # Execute
     # ------------------------------------------------------------------
 
+    def _apply_block_copies(self, pairs: List[Tuple[int, int]]) -> None:
+        """Execute copy-on-write block copies on the device cache
+        (reference copy_blocks, kernels/cache_kernels.cu). Padded to a
+        small bucket with trash->trash no-ops to bound recompiles."""
+        from aphrodite_tpu.ops.kv_cache import copy_blocks
+
+        n = len(pairs)
+        cap = 8
+        while cap < n:
+            cap *= 2
+        arr = np.full((cap, 2), self.num_pages, np.int32)  # trash no-op
+        arr[:n] = pairs
+        fn = self._multi_step_fns.get(("copy", cap))
+        if fn is None:
+            fn = jax.jit(
+                lambda kv, sd: jax.vmap(
+                    lambda layer: copy_blocks(layer, sd))(kv),
+                donate_argnums=(0,))
+            self._multi_step_fns[("copy", cap)] = fn
+        self.kv_pages = fn(self.kv_pages, jnp.asarray(arr))
+
     def execute(self, outputs: SchedulerOutputs,
                 num_steps: int = 1) -> StepResult:
         scheduled = outputs.scheduled
         assert scheduled, "execute() called with empty schedule"
+        if outputs.blocks_to_copy:
+            self._apply_block_copies(outputs.blocks_to_copy)
         S = _pad_to_bucket(len(scheduled), self.seq_buckets)
 
         rows = []
@@ -417,7 +457,7 @@ class ModelRunner:
         # depend on per-step host state (token history / min_tokens).
         multi_ok = (num_steps > 1 and outputs.num_prefill_tokens == 0
                     and not flags.needs_history
-                    and not flags.do_min_tokens)
+                    and not flags.do_min_tokens and not flags.do_beam)
         if multi_ok:
             return self._execute_multi(scheduled, S, tensors_dev, flags,
                                        num_steps)
@@ -426,7 +466,8 @@ class ModelRunner:
         spec = self.config.speculative_config
         if (spec is not None and outputs.num_prefill_tokens == 0
                 and flags.all_greedy and not flags.needs_history
-                and not flags.do_min_tokens and not flags.do_banned_tokens):
+                and not flags.do_min_tokens and not flags.do_banned_tokens
+                and not flags.do_beam):
             result = self._execute_spec(scheduled, S, spec)
             if result is not None:
                 return result
@@ -434,6 +475,26 @@ class ModelRunner:
         total_tokens = sum(ss.num_tokens for ss in scheduled)
         T = _pad_to_bucket(total_tokens, self.token_buckets)
         batch = self.build_forward_batch(scheduled, T, S)
+
+        # Prompt logprobs: any prefill chunk of a requesting sequence
+        # upgrades the program to compute full-stream logprobs.
+        max_plp = 0
+        for ss in scheduled:
+            plp = ss.group.sampling_params.prompt_logprobs
+            if plp is not None and ss.seq.is_prefill:
+                max_plp = max(max_plp, min(int(plp) or 1, 32), 1)
+        target_ids = None
+        if max_plp:
+            flags = flags._replace(max_prompt_logprobs=max_plp)
+            tgt = np.zeros((T,), np.int32)
+            off = 0
+            for ss in scheduled:
+                ids = ss.seq.get_token_ids()
+                for j in range(ss.num_tokens):
+                    p = ss.first_token_idx + j + 1
+                    tgt[off + j] = ids[p] if p < len(ids) else 0
+                off += ss.num_tokens
+            target_ids = jnp.asarray(tgt)
 
         history_lens = prompt_lens = None
         if flags.needs_history:
@@ -444,17 +505,21 @@ class ModelRunner:
             history = None
 
         step_fn = self._get_step_fn(flags)
-        self.kv_pages, out = step_fn(self.params, self.kv_pages, batch,
-                                     tensors_dev, history, history_lens,
-                                     prompt_lens)
+        self.kv_pages, out, prompt_out = step_fn(
+            self.params, self.kv_pages, batch, tensors_dev, history,
+            history_lens, prompt_lens, target_ids)
 
         n = len(scheduled)
+        prompt_np = None
+        if prompt_out is not None:
+            prompt_np = tuple(np.asarray(a) for a in prompt_out)
         return StepResult(
             sampled=np.asarray(out.sampled)[None, :n],
             sampled_logprob=np.asarray(out.sampled_logprob)[None, :n],
             sampled_rank=np.asarray(out.sampled_rank)[None, :n],
             topk_ids=np.asarray(out.topk_ids)[None, :n],
             topk_logprobs=np.asarray(out.topk_logprobs)[None, :n],
+            prompt=prompt_np,
         )
 
     def execute_pooling(self, outputs: SchedulerOutputs,
