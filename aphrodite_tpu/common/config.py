@@ -25,7 +25,12 @@ _SUPPORTED_KV_DTYPES = ("auto", "bfloat16", "fp8", "fp8_e4m3", "fp8_e5m2",
 
 
 def _read_hf_config(model: str) -> Dict[str, Any]:
-    """Read a HuggingFace config.json from a local directory."""
+    """Read a HuggingFace config.json from a local directory, or
+    synthesize one from GGUF metadata when `model` is a .gguf file."""
+    if model.endswith(".gguf"):
+        from aphrodite_tpu.loader.gguf import gguf_to_hf_config
+
+        return gguf_to_hf_config(model)
     path = os.path.join(model, "config.json")
     if not os.path.isfile(path):
         raise FileNotFoundError(
@@ -266,10 +271,11 @@ class DeviceConfig:
 class LoadConfig:
     """Weight-loading strategy (reference model_loader/loader.py:1120)."""
 
-    load_format: str = "auto"  # auto | safetensors | dummy
+    load_format: str = "auto"  # auto | safetensors | gguf | dummy
 
     def __post_init__(self) -> None:
-        if self.load_format not in ("auto", "safetensors", "dummy"):
+        if self.load_format not in ("auto", "safetensors", "gguf",
+                                    "dummy"):
             raise ValueError(f"unknown load_format {self.load_format!r}")
 
 

@@ -39,6 +39,10 @@ class AphroditeEngine:
         if self.model_config.skip_tokenizer_init:
             self.tokenizer = None
             self.eos_token_id = None
+        elif self.model_config.tokenizer.endswith(".gguf"):
+            raise ValueError(
+                "GGUF models need an HF tokenizer: pass tokenizer=<dir> "
+                "(or skip_tokenizer_init=True for token-id-only usage)")
         else:
             self.tokenizer = get_tokenizer(
                 self.model_config.tokenizer,

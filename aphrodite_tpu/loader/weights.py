@@ -432,10 +432,20 @@ def load_model_params(
     method = get_quantization_method(quant)
     fmt = load_config.load_format
     if fmt == "auto":
-        has_st = any(
-            fn.endswith(".safetensors")
-            for fn in os.listdir(model_config.model))
-        fmt = "safetensors" if has_st else "dummy"
+        if model_config.model.endswith(".gguf"):
+            fmt = "gguf"
+        else:
+            has_st = any(
+                fn.endswith(".safetensors")
+                for fn in os.listdir(model_config.model))
+            fmt = "safetensors" if has_st else "dummy"
+    if fmt == "gguf":
+        from aphrodite_tpu.loader.gguf import load_gguf_params_to_host
+
+        logger.info("loading GGUF weights from %s", model_config.model)
+        host = load_gguf_params_to_host(model, model_config.model)
+        return place_params_on_mesh(model, host, mesh,
+                                    jnp.dtype(model_config.dtype))
     if fmt == "safetensors":
         logger.info("loading weights from %s", model_config.model)
         if (method is not None and not method.RUNTIME_QUANTIZE

@@ -58,6 +58,7 @@ def main() -> None:
     import jax
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    num_steps = int(os.environ.get("APHRODITE_BENCH_STEPS", "8"))
     if on_tpu:
         batch, prompt_len, decode_len = 64, 128, 128
         dtype = "bfloat16"
@@ -78,7 +79,7 @@ def main() -> None:
             max_num_batched_tokens=2048,
             num_device_blocks_override=blocks_override,
             block_size=16,
-            num_scheduler_steps=8,
+            num_scheduler_steps=num_steps,
         )
         rng = np.random.default_rng(0)
         vocab = 32000 if on_tpu else 2048
