@@ -227,6 +227,20 @@ class SchedulerConfig:
 
 
 @dataclass
+class LoRAConfig:
+    """Multi-LoRA serving limits (reference aphrodite/lora/)."""
+
+    max_loras: int = 4
+    max_lora_rank: int = 16
+
+    def __post_init__(self) -> None:
+        if self.max_loras < 1:
+            raise ValueError("max_loras must be >= 1")
+        if self.max_lora_rank < 1:
+            raise ValueError("max_lora_rank must be >= 1")
+
+
+@dataclass
 class SpeculativeConfig:
     """Speculative decoding (reference aphrodite/spec_decode/, §2.10).
 
@@ -288,6 +302,7 @@ class EngineConfig:
     device_config: DeviceConfig
     load_config: LoadConfig
     speculative_config: Optional["SpeculativeConfig"] = None
+    lora_config: Optional["LoRAConfig"] = None
 
     def __post_init__(self) -> None:
         if (self.speculative_config is not None

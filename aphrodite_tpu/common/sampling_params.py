@@ -15,7 +15,7 @@ import copy
 from dataclasses import dataclass, field
 from enum import Enum, IntEnum
 from functools import cached_property
-from typing import Any, Callable, Dict, List, Optional, Set, Union
+from typing import Any, Callable, Dict, List, Optional, Set, Tuple, Union
 
 _SAMPLING_EPS = 1e-5
 _MAX_TEMP = 1e-2
@@ -125,6 +125,12 @@ class SamplingParams:
     logits_processors: Optional[List[LogitsProcessor]] = None
     truncate_prompt_tokens: Optional[int] = None
     sampler_priority: Optional[List[SamplerID]] = None
+    # Guided decoding (reference guided_decoding/ via outlines/lmfe;
+    # here a built-in regex->DFA engine, aphrodite_tpu/guided/).
+    guided_regex: Optional[str] = None
+    guided_json: Optional[Union[str, Dict[str, Any]]] = None
+    guided_choice: Optional[List[str]] = None
+    guided_json_object: bool = False
 
     def __post_init__(self) -> None:
         if self.best_of is None:
@@ -266,6 +272,24 @@ class SamplingParams:
                 or self.length_penalty > 1.0 + _SAMPLING_EPS):
             raise ValueError(
                 "length_penalty is only effective with beam search.")
+
+    @property
+    def guided_spec(self) -> Optional[Tuple[str, str]]:
+        """(kind, canonical spec string) when guided decoding is on."""
+        import json as _json
+
+        if self.guided_regex is not None:
+            return ("regex", self.guided_regex)
+        if self.guided_json is not None:
+            spec = self.guided_json
+            if not isinstance(spec, str):
+                spec = _json.dumps(spec, sort_keys=True)
+            return ("json", spec)
+        if self.guided_choice is not None:
+            return ("choice", _json.dumps(list(self.guided_choice)))
+        if self.guided_json_object:
+            return ("json_object", "")
+        return None
 
     @cached_property
     def sampling_type(self) -> SamplingType:

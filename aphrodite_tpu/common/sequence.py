@@ -95,6 +95,10 @@ class Sequence:
         self.tokens: Optional[List[str]] = None
         # Stop-string bookkeeping.
         self.stop_reason: Optional[Any] = None
+        # Guided decoding automaton (aphrodite_tpu/guided/): set by the
+        # engine when the request carries a guided spec.
+        self.fsm: Optional[Any] = None
+        self.fsm_state: int = 0
 
     # ---- token accounting -------------------------------------------------
 
@@ -168,6 +172,8 @@ class Sequence:
         child.read_offset = self.read_offset
         child.prefix_offset = self.prefix_offset
         child.tokens = list(self.tokens) if self.tokens is not None else None
+        child.fsm = self.fsm
+        child.fsm_state = self.fsm_state
         return child
 
     def reset_for_recompute(self) -> None:

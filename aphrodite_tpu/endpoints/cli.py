@@ -36,17 +36,125 @@ def _run(args: argparse.Namespace) -> None:
                    served_model_names=served, api_keys=api_keys))
 
 
+def _complete(args: argparse.Namespace) -> None:
+    """One-shot completion against a running server (reference
+    `aphrodite complete`, endpoints/cli.py)."""
+    import json
+    import urllib.request
+
+    body = json.dumps({
+        "prompt": args.prompt,
+        "max_tokens": args.max_tokens,
+        "temperature": args.temperature,
+    }).encode()
+    req = urllib.request.Request(
+        f"{args.url}/v1/completions", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        data = json.loads(resp.read())
+    print(data["choices"][0]["text"])
+
+
+def _chat(args: argparse.Namespace) -> None:
+    """Interactive chat against a running server (reference
+    `aphrodite chat`)."""
+    import json
+    import urllib.request
+
+    messages = []
+    print("(interactive chat; ctrl-d to exit)")
+    while True:
+        try:
+            user = input("> ")
+        except EOFError:
+            break
+        messages.append({"role": "user", "content": user})
+        body = json.dumps({
+            "messages": messages,
+            "max_tokens": args.max_tokens,
+            "temperature": args.temperature,
+        }).encode()
+        req = urllib.request.Request(
+            f"{args.url}/v1/chat/completions", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            data = json.loads(resp.read())
+        reply = data["choices"][0]["message"]["content"]
+        messages.append({"role": "assistant", "content": reply})
+        print(reply)
+
+
+def _yaml(args: argparse.Namespace) -> None:
+    """Start the server from a YAML config file (reference
+    `aphrodite yaml`, cli.py:92-128)."""
+    import yaml
+
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f) or {}
+    argv = [str(cfg.pop("model"))]
+    for key, value in cfg.items():
+        flag = "--" + str(key).replace("_", "-")
+        if isinstance(value, bool):
+            if value:
+                argv.append(flag)
+        else:
+            argv += [flag, str(value)]
+    parser = argparse.ArgumentParser()
+    _add_serve_args(parser)
+    _run(parser.parse_args(argv))
+
+
+def _run_batch_cmd(args: argparse.Namespace) -> None:
+    from aphrodite_tpu.endpoints.openai.run_batch import run_batch
+
+    engine_args = EngineArgs.from_cli_args(args)
+    engine_args.model = args.model
+    failures = asyncio.run(
+        run_batch(engine_args, args.input_file, args.output_file))
+    raise SystemExit(1 if failures else 0)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="aphrodite-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     serve = sub.add_parser("run", help="start the OpenAI-compatible server")
     _add_serve_args(serve)
+
+    complete = sub.add_parser("complete", help="one-shot completion")
+    complete.add_argument("prompt")
+    complete.add_argument("--url", default="http://localhost:2242")
+    complete.add_argument("--max-tokens", type=int, default=128)
+    complete.add_argument("--temperature", type=float, default=0.0)
+
+    chat = sub.add_parser("chat", help="interactive chat")
+    chat.add_argument("--url", default="http://localhost:2242")
+    chat.add_argument("--max-tokens", type=int, default=256)
+    chat.add_argument("--temperature", type=float, default=0.7)
+
+    yaml_cmd = sub.add_parser("yaml", help="serve from a YAML config")
+    yaml_cmd.add_argument("config")
+
+    batch = sub.add_parser("run-batch", help="OpenAI batch-file runner")
+    batch.add_argument("model")
+    batch.add_argument("--input-file", required=True)
+    batch.add_argument("--output-file", required=True)
+    EngineArgs.add_cli_args(batch)
+
     args = parser.parse_args(argv)
     if args.command == "run":
         _run(args)
-        return 0
-    parser.print_help()
-    return 1
+    elif args.command == "complete":
+        _complete(args)
+    elif args.command == "chat":
+        _chat(args)
+    elif args.command == "yaml":
+        _yaml(args)
+    elif args.command == "run-batch":
+        _run_batch_cmd(args)
+    else:
+        parser.print_help()
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

@@ -71,6 +71,7 @@ class LLM:
                                None] = None,
         prompt_token_ids: Optional[Sequence[List[int]]] = None,
         use_tqdm: bool = False,
+        lora_request=None,
     ) -> List[RequestOutput]:
         if prompts is not None and isinstance(prompts, str):
             prompts = [prompts]
@@ -93,6 +94,7 @@ class LLM:
                 sampling_params=sampling_params[i],
                 prompt_token_ids=(prompt_token_ids[i]
                                   if prompt_token_ids is not None else None),
+                lora_request=lora_request,
             )
         return self._run_engine(request_ids, use_tqdm)
 

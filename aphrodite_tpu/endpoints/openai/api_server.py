@@ -46,7 +46,8 @@ def _error(message: str, status: int = 400,
 class OpenAIServer:
     def __init__(self, async_engine: AsyncAphrodite,
                  served_model_names: Optional[List[str]] = None,
-                 api_keys: Optional[List[str]] = None) -> None:
+                 api_keys: Optional[List[str]] = None,
+                 launch_kobold_api: bool = True) -> None:
         self.async_engine = async_engine
         self.engine = async_engine.engine
         self.tokenizer = self.engine.tokenizer
@@ -54,6 +55,7 @@ class OpenAIServer:
         names = served_model_names or [self.model_config.model]
         self.served_model_names = names
         self.api_keys = api_keys
+        self.launch_kobold_api = launch_kobold_api
 
     # ------------------------------------------------------------------
     # App wiring
@@ -71,6 +73,14 @@ class OpenAIServer:
         app.router.add_post("/v1/detokenize", self.detokenize)
         app.router.add_get("/metrics", self.metrics)
         app.router.add_get("/version", self.version)
+        app.router.add_post("/v1/lora/load", self.load_lora)
+        app.router.add_post("/v1/lora/unload", self.unload_lora)
+        if self.launch_kobold_api and self.tokenizer is not None:
+            from aphrodite_tpu.endpoints.kobold.api_server import (
+                KoboldServer)
+
+            KoboldServer(self.async_engine,
+                         self.served_model_names[0]).add_routes(app)
         return app
 
     @web.middleware
@@ -151,6 +161,42 @@ class OpenAIServer:
             "usage": {"prompt_tokens": total, "total_tokens": total},
         })
 
+    async def load_lora(self, request: web.Request) -> web.Response:
+        """Admin route (reference /v1/lora/load, api_server.py:315)."""
+        try:
+            body = await request.json()
+            name = body["lora_name"]
+            path = body["lora_path"]
+        except Exception as e:
+            return _error(str(e))
+        try:
+            self.engine.add_lora(name, path)
+        except Exception as e:
+            return _error(str(e), status=500, err_type="internal_error")
+        return web.json_response({"status": "ok", "loaded": name})
+
+    async def unload_lora(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            name = body["lora_name"]
+        except Exception as e:
+            return _error(str(e))
+        removed = self.engine.remove_lora(name)
+        return web.json_response({"status": "ok", "removed": removed})
+
+    def _lora_for_model_name(self, model_name: Optional[str]):
+        """Requests naming a loaded adapter route through it (reference
+        serves adapters as additional model names)."""
+        if not model_name:
+            return None
+        loras = self.engine.list_loras()
+        if model_name in loras:
+            from aphrodite_tpu.lora import LoRARequest
+
+            return LoRARequest(model_name, loras.index(model_name) + 1,
+                               model_name)
+        return None
+
     async def tokenize(self, request: web.Request) -> web.Response:
         try:
             req = TokenizeRequest(**await request.json())
@@ -212,7 +258,8 @@ class OpenAIServer:
                     self.model_config.max_model_len - len(prompt_ids))
                 stream = await self.async_engine.add_request(
                     f"{request_id}-{i}", prompt=prompt_text,
-                    sampling_params=sp, prompt_token_ids=prompt_ids)
+                    sampling_params=sp, prompt_token_ids=prompt_ids,
+                    lora_request=self._lora_for_model_name(req.model))
                 streams.append((f"{request_id}-{i}", stream, prompt_ids, sp))
         except Exception as e:
             return _error(str(e))
@@ -360,7 +407,8 @@ class OpenAIServer:
         try:
             stream = await self.async_engine.add_request(
                 request_id, prompt=prompt_text, sampling_params=sp,
-                prompt_token_ids=prompt_ids)
+                prompt_token_ids=prompt_ids,
+                lora_request=self._lora_for_model_name(req.model))
         except Exception as e:
             return _error(str(e))
 

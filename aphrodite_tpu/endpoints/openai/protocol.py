@@ -99,6 +99,11 @@ class _SamplerMixin(BaseModel):
     spaces_between_special_tokens: Optional[bool] = True
     truncate_prompt_tokens: Optional[int] = None
     sampler_priority: Optional[List[int]] = None
+    # Guided decoding (reference protocol.py guided_* extensions).
+    guided_regex: Optional[str] = None
+    guided_json: Optional[Union[str, Dict[str, Any]]] = None
+    guided_choice: Optional[List[str]] = None
+    response_format: Optional[Dict[str, Any]] = None
 
     def to_sampling_params(self, default_max_tokens: int) -> SamplingParams:
         max_tokens = self.max_tokens
@@ -154,6 +159,11 @@ class _SamplerMixin(BaseModel):
                 if self.spaces_between_special_tokens is not None else True),
             custom_token_bans=self.custom_token_bans,
             truncate_prompt_tokens=self.truncate_prompt_tokens,
+            guided_regex=self.guided_regex,
+            guided_json=self.guided_json,
+            guided_choice=self.guided_choice,
+            guided_json_object=(
+                (self.response_format or {}).get("type") == "json_object"),
         )
 
 

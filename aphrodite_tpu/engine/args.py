@@ -14,8 +14,9 @@ from typing import Optional
 
 from aphrodite_tpu.common.config import (CacheConfig, DeviceConfig,
                                          EngineConfig, LoadConfig,
-                                         ModelConfig, ParallelConfig,
-                                         SchedulerConfig, SpeculativeConfig)
+                                         LoRAConfig, ModelConfig,
+                                         ParallelConfig, SchedulerConfig,
+                                         SpeculativeConfig)
 
 
 @dataclass
@@ -45,6 +46,10 @@ class EngineArgs:
     max_num_seqs: int = 256
     enable_chunked_prefill: bool = True
     num_scheduler_steps: int = 1
+    # LoRA.
+    enable_lora: bool = False
+    max_loras: int = 4
+    max_lora_rank: int = 16
     # Speculative decoding.
     speculative_model: Optional[str] = None  # "[ngram]"
     num_speculative_tokens: int = 5
@@ -103,6 +108,9 @@ class EngineArgs:
             device_config=DeviceConfig(device=self.device),
             load_config=LoadConfig(load_format=self.load_format),
             speculative_config=speculative_config,
+            lora_config=(LoRAConfig(max_loras=self.max_loras,
+                                    max_lora_rank=self.max_lora_rank)
+                         if self.enable_lora else None),
         )
 
     @staticmethod

@@ -96,13 +96,14 @@ class AsyncAphrodite:
         prompt: Optional[str] = None,
         sampling_params: Optional[SamplingParams] = None,
         prompt_token_ids: Optional[List[int]] = None,
+        lora_request=None,
     ) -> AsyncStream:
         await self.check_health()
         stream = AsyncStream(request_id)
         self._streams[request_id] = stream
         self._new_requests.append(
             (request_id, prompt, sampling_params, prompt_token_ids,
-             time.monotonic()))
+             time.monotonic(), lora_request))
         self._ensure_loop()
         self._wakeup.set()
         return stream
@@ -138,12 +139,13 @@ class AsyncAphrodite:
 
     def _drain_new_requests(self) -> None:
         new, self._new_requests = self._new_requests, []
-        for rid, prompt, sp, ids, arrival in new:
+        for rid, prompt, sp, ids, arrival, lora in new:
             try:
                 self.engine.add_request(rid, prompt=prompt,
                                         sampling_params=sp,
                                         prompt_token_ids=ids,
-                                        arrival_time=arrival)
+                                        arrival_time=arrival,
+                                        lora_request=lora)
             except Exception as e:  # bad request: fail just this stream
                 stream = self._streams.pop(rid, None)
                 if stream is not None:

@@ -97,7 +97,11 @@ class AphroditeEngine:
         sampling_params: Optional[SamplingParams] = None,
         prompt_token_ids: Optional[List[int]] = None,
         arrival_time: Optional[float] = None,
+        lora_request: Optional[Any] = None,
     ) -> None:
+        if lora_request is not None and self.runner.lora_manager is None:
+            raise ValueError(
+                "LoRA request received but enable_lora=False")
         if request_id in self._groups:
             raise ValueError(f"duplicate request_id {request_id!r}")
         if sampling_params is None:
@@ -113,6 +117,16 @@ class AphroditeEngine:
         sampling_params.update_from_generation_config(
             self._generation_config, self.eos_token_id)
 
+        fsm = None
+        guided = sampling_params.guided_spec
+        if guided is not None:
+            if self.tokenizer is None:
+                raise ValueError("guided decoding needs a tokenizer")
+            from aphrodite_tpu.guided.token_fsm import get_token_fsm
+
+            fsm = get_token_fsm(guided[0], guided[1], self.tokenizer,
+                                self.model_config.get_vocab_size())
+
         # Beam search: one seq prefills; beams fork after the first
         # sampling step (joint pruning in _process_beam_group).
         # best_of sampling: sequences run independently from the first
@@ -122,19 +136,23 @@ class AphroditeEngine:
             sampling_params.best_of
         seqs = []
         for _ in range(num_initial):
-            seqs.append(
-                Sequence(
-                    seq_id=self._next_seq_id(),
-                    prompt_token_ids=prompt_token_ids,
-                    block_size=self.config.cache_config.block_size,
-                    eos_token_id=self.eos_token_id,
-                    prompt=prompt,
-                ))
+            seq = Sequence(
+                seq_id=self._next_seq_id(),
+                prompt_token_ids=prompt_token_ids,
+                block_size=self.config.cache_config.block_size,
+                eos_token_id=self.eos_token_id,
+                prompt=prompt,
+            )
+            if fsm is not None:
+                seq.fsm = fsm
+                seq.fsm_state = fsm.initial_state()
+            seqs.append(seq)
         group = SequenceGroup(
             request_id=request_id,
             seqs=seqs,
             sampling_params=sampling_params,
             arrival_time=arrival_time,
+            lora_request=lora_request,
         )
         if sampling_params.use_beam_search:
             group.completed_beams = []
@@ -150,9 +168,27 @@ class AphroditeEngine:
                     seqs=[seq],
                     sampling_params=sampling_params,
                     arrival_time=arrival_time,
+                    lora_request=lora_request,
                 )
                 sub.metrics = group.metrics
                 self.scheduler.add_seq_group(sub)
+
+    # ---- LoRA management (reference /v1/lora endpoints) ---------------
+
+    def add_lora(self, name: str, path: str) -> None:
+        if self.runner.lora_manager is None:
+            raise ValueError("engine started without enable_lora")
+        self.runner.lora_manager.add_adapter(name, path)
+
+    def remove_lora(self, name: str) -> bool:
+        if self.runner.lora_manager is None:
+            return False
+        return self.runner.lora_manager.remove_adapter(name)
+
+    def list_loras(self) -> List[str]:
+        if self.runner.lora_manager is None:
+            return []
+        return self.runner.lora_manager.list_adapters()
 
     def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
         ids = [request_id] if isinstance(request_id, str) else \
@@ -219,6 +255,13 @@ class AphroditeEngine:
                 token_id = int(result.sampled[k, i])
                 logprob_val = float(result.sampled_logprob[k, i])
                 seq.append_token_id(token_id, logprob_val)
+                if seq.fsm is not None:
+                    seq.fsm_state = seq.fsm.next_state(seq.fsm_state,
+                                                       token_id)
+                    if seq.fsm_state < 0:
+                        # Automaton left its language (should only happen
+                        # via forced EOS on dead ends): stop here.
+                        seq.status = SequenceStatus.FINISHED_STOPPED
                 if sp.logprobs is not None:
                     entry = {
                         token_id: Logprob(

@@ -85,6 +85,7 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         mesh: Optional[Mesh] = None,
         use_attention_kernel: Optional[bool] = None,
         kv_scales=None,
+        lora=None,  # LoRA not wired for gemma2's custom loop yet
     ) -> Tuple[jax.Array, jax.Array]:
         NH, NKV, D = (self.num_heads, self.num_kv_heads_padded,
                       self.head_dim)

@@ -29,3 +29,8 @@ class ForwardBatch(NamedTuple):
     # [S] index into [T] of the last token of each sequence (for logits
     # extraction; padding: 0).
     logits_indices: jax.Array
+    # Multi-LoRA routing (None when no adapters are active): tokens
+    # sorted by adapter slot for grouped matmuls (ops/lora.py).
+    lora_sorted_idx: Optional[jax.Array] = None  # i32[T]
+    lora_unsort_idx: Optional[jax.Array] = None  # i32[T]
+    lora_group_sizes: Optional[jax.Array] = None  # i32[n_slots]

@@ -266,8 +266,13 @@ class LlamaForCausalLM:
         mesh: Optional[Mesh] = None,
         use_attention_kernel: Optional[bool] = None,
         kv_scales: Optional[Tuple[jax.Array, jax.Array]] = None,
+        lora: Optional[Dict[str, Any]] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Run the decoder. Returns (new_kv_pages, hidden[T, H]).
+
+        lora: optional {module: {"A": [L, n, in, r], "B": [L, n, r, out]}}
+        slot-stacked adapters; tokens route by ForwardBatch.lora_* via
+        grouped matmuls (ops/lora.py — the reference's Punica SGMV).
 
         kv_scales: optional per-layer (k_scale[L], v_scale[L]) for a
         quantized KV cache (fp8/int8). Dequant never happens inside the
@@ -288,12 +293,25 @@ class LlamaForCausalLM:
         layer_params = params["layers"]
         has_bias = "bq" in layer_params
 
+        use_lora = lora is not None and batch.lora_sorted_idx is not None
+
+        def lora_add(y, h_in, la, module):
+            if not use_lora or module not in la:
+                return y
+            from aphrodite_tpu.ops.lora import lora_delta
+
+            delta = lora_delta(h_in, la[module]["A"], la[module]["B"],
+                               batch.lora_sorted_idx,
+                               batch.lora_unsort_idx,
+                               batch.lora_group_sizes)
+            return y + delta
+
         def layer_fn(x, scanned):
-            lp, pages, k_scale, v_scale = scanned
+            lp, pages, k_scale, v_scale, la = scanned
             h = self._norm(x, lp["input_norm"])
-            q = qmatmul(h, lp["wq"])
-            k = qmatmul(h, lp["wk"])
-            v = qmatmul(h, lp["wv"])
+            q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
+            k = lora_add(qmatmul(h, lp["wk"]), h, la, "wk")
+            v = lora_add(qmatmul(h, lp["wv"]), h, la, "wv")
             if has_bias:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
@@ -323,17 +341,19 @@ class LlamaForCausalLM:
             if v_scale is not None:
                 attn = attn * v_scale.astype(attn.dtype)
             attn = attn.reshape(-1, NH * D)
-            o = qmatmul(attn, lp["wo"])
+            o = lora_add(qmatmul(attn, lp["wo"]), attn, la, "wo")
             x = x + o.astype(self.dtype)
             h = self._norm(x, lp["post_norm"])
-            x = x + self.mlp(lp, h, mesh=mesh).astype(self.dtype)
+            x = x + self.mlp(lp, h, mesh=mesh, lora=la,
+                             lora_add=lora_add).astype(self.dtype)
             return x, pages
 
         k_scales, v_scales = kv_scales if kv_scales is not None else (None,
                                                                       None)
+        lora_scan = lora if use_lora else None
         x, new_kv_pages = jax.lax.scan(layer_fn, x,
                                        (layer_params, kv_pages, k_scales,
-                                        v_scales))
+                                        v_scales, lora_scan))
         x = self._norm(x, params["final_norm"])
         return new_kv_pages, x
 
@@ -344,16 +364,22 @@ class LlamaForCausalLM:
         return out
 
     def mlp(self, lp: Dict[str, Any], h: jax.Array, *,
-            mesh: Optional[Mesh] = None) -> jax.Array:
-        gate = qmatmul(h, lp["gate"])
-        up = qmatmul(h, lp["up"])
+            mesh: Optional[Mesh] = None, lora=None,
+            lora_add=None) -> jax.Array:
+        def maybe_lora(y, h_in, module):
+            if lora_add is None:
+                return y
+            return lora_add(y, h_in, lora, module)
+
+        gate = maybe_lora(qmatmul(h, lp["gate"]), h, "gate")
+        up = maybe_lora(qmatmul(h, lp["up"]), h, "up")
         if self.hidden_act == "gelu_tanh":
             act = gelu_and_mul(gate.astype(self.dtype),
                                up.astype(self.dtype))
         else:
             act = silu_and_mul(gate.astype(self.dtype),
                                up.astype(self.dtype))
-        return qmatmul(act, lp["down"])
+        return maybe_lora(qmatmul(act, lp["down"]), act, "down")
 
     def compute_logits(self, params: Dict[str, Any],
                        hidden: jax.Array) -> jax.Array:

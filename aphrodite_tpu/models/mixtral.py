@@ -77,6 +77,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
     # ---- forward ---------------------------------------------------------
 
     def mlp(self, lp: Dict[str, Any], h: jax.Array, *,
-            mesh: Optional[Mesh] = None) -> jax.Array:
+            mesh: Optional[Mesh] = None, lora=None,
+            lora_add=None) -> jax.Array:
+        # LoRA on expert weights is not supported (reference likewise
+        # restricts LoRA targets on MoE layers).
         return moe_mlp(h, lp["router"], lp["w1"], lp["w3"], lp["w2"],
                        self.top_k, mesh=mesh)

@@ -47,6 +47,9 @@ class SamplingFlags(NamedTuple):
     do_min_tokens: bool = False
     do_banned_tokens: bool = False
     do_beam: bool = False
+    # Guided decoding: a packed allow-bitmask is applied to the logits
+    # (set by the runner, which owns the per-sequence FSM states).
+    do_guided: bool = False
     all_greedy: bool = True
     # Number of top logprobs to return (0 = only the sampled token's).
     max_logprobs: int = 0

@@ -398,6 +398,18 @@ def _apply_token_id_bans(logits, token_ids):
 # ---------------------------------------------------------------------------
 
 
+def apply_guided_mask(logits: jax.Array,
+                      mask_words: jax.Array) -> jax.Array:
+    """Apply a packed uint32 allow-bitmask [S, ceil(V/32)] to logits
+    (guided decoding: tokens with a 0 bit are banned)."""
+    S, V = logits.shape
+    idx = jnp.arange(V, dtype=jnp.int32)
+    words = jnp.take_along_axis(mask_words, (idx // 32)[None, :].repeat(
+        S, axis=0), axis=1)
+    bits = (words >> (idx % 32).astype(jnp.uint32)[None, :]) & jnp.uint32(1)
+    return jnp.where(bits.astype(bool), logits, NEG_INF)
+
+
 def sample(
     logits: jax.Array,  # f32[S, V]
     t: SamplingTensors,
@@ -405,6 +417,7 @@ def sample(
     history: Optional[jax.Array] = None,  # i32[S, H] padded with V
     history_lens: Optional[jax.Array] = None,  # i32[S]
     prompt_lens: Optional[jax.Array] = None,  # i32[S]
+    guided_mask: Optional[jax.Array] = None,  # u32[S, ceil(V/32)]
 ) -> SamplerOutput:
     """Run the sampler pipeline and draw one token per row.
 
@@ -417,6 +430,8 @@ def sample(
     logits = logits.astype(jnp.float32)
     keys = _keys_from_data(t.key_data)
 
+    if flags.do_guided:
+        logits = apply_guided_mask(logits, guided_mask)
     if flags.do_min_tokens:
         logits = _apply_token_id_bans(
             logits, jnp.where(t.min_tokens_mask[:, None], t.stop_tokens, -1))

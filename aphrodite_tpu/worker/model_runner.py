@@ -164,6 +164,15 @@ class ModelRunner:
                 self.cache_config.quantization_param_path)
             self.kv_scales = (jnp.asarray(k_s), jnp.asarray(v_s))
 
+        self.lora_manager = None
+        if engine_config.lora_config is not None:
+            from aphrodite_tpu.lora.manager import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                self.model,
+                max_loras=engine_config.lora_config.max_loras,
+                max_lora_rank=engine_config.lora_config.max_lora_rank)
+
         self._step_fns: Dict[SamplingFlags, Any] = {}
         self._multi_step_fns: Dict[Any, Any] = {}
         # Engine-visible stats.
@@ -248,14 +257,15 @@ class ModelRunner:
             return fn
 
         def step(params, kv_pages, batch: ForwardBatch, tensors, history,
-                 history_lens, prompt_lens, target_ids):
+                 history_lens, prompt_lens, target_ids, guided_mask,
+                 lora):
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
-                kv_scales=self.kv_scales)
+                kv_scales=self.kv_scales, lora=lora)
             hs = hidden[batch.logits_indices]  # [S, H]
             logits = self.model.compute_logits(params, hs)
             out = sample(logits, tensors, flags, history, history_lens,
-                         prompt_lens)
+                         prompt_lens, guided_mask=guided_mask)
             prompt_out = None
             if flags.max_prompt_logprobs > 0:
                 # Per-token prompt logprobs over the WHOLE token stream
@@ -453,11 +463,69 @@ class ModelRunner:
             rows, S, self.model_config.get_vocab_size(), history_pad=H)
         tensors_dev = jax.tree.map(jnp.asarray, tensors)
 
+        # Guided decoding: build per-row packed allow-masks from the
+        # sequences' FSM states (host-advanced each token).
+        guided_mask = None
+        has_guided = any(ss.seq.fsm is not None for ss in scheduled)
+        if has_guided:
+            flags = flags._replace(do_guided=True)
+            W = (self.model_config.get_vocab_size() + 31) // 32
+            gm = np.full((S, W), 0xFFFFFFFF, dtype=np.uint32)
+            for i, ss in enumerate(scheduled):
+                seq = ss.seq
+                if seq.fsm is None or not ss.do_sample:
+                    continue
+                m = seq.fsm.allowed_mask(seq.fsm_state)
+                if not m.any() and seq.eos_token_id is not None:
+                    # Dead end: force EOS so the request terminates.
+                    m = m.copy()
+                    e = seq.eos_token_id
+                    m[e >> 5] |= np.uint32(1 << (e & 31))
+                gm[i, :len(m)] = m
+            guided_mask = jnp.asarray(gm)
+
+        # LoRA routing: resolve adapter slots and sort tokens by slot
+        # for the grouped-matmul application (reference Punica indices,
+        # lora/punica.py:178).
+        lora_params = None
+        lora_fields = {}
+        has_lora = False
+        if self.lora_manager is not None:
+            slots = [
+                self.lora_manager.slot_for(ss.group.lora_request)
+                for ss in scheduled
+            ]
+            has_lora = any(s > 0 for s in slots)
+        if has_lora:
+            total_tokens_ = sum(ss.num_tokens for ss in scheduled)
+            T_ = _pad_to_bucket(total_tokens_, self.token_buckets)
+            tok_slots = np.zeros((T_,), np.int32)
+            off = 0
+            for slot, ss in zip(slots, scheduled):
+                tok_slots[off:off + ss.num_tokens] = slot
+                off += ss.num_tokens
+            sorted_idx = np.argsort(tok_slots, kind="stable").astype(
+                np.int32)
+            unsort_idx = np.argsort(sorted_idx, kind="stable").astype(
+                np.int32)
+            group_sizes = np.bincount(
+                tok_slots, minlength=self.lora_manager.num_slots).astype(
+                    np.int32)
+            lora_fields = dict(
+                lora_sorted_idx=jnp.asarray(sorted_idx),
+                lora_unsort_idx=jnp.asarray(unsort_idx),
+                lora_group_sizes=jnp.asarray(group_sizes),
+            )
+            lora_params = self.lora_manager.device_params(
+                jnp.dtype(self.model_config.dtype))
+
         # Multi-step decode: pure-decode batch whose sampler stages don't
-        # depend on per-step host state (token history / min_tokens).
+        # depend on per-step host state (token history / min_tokens /
+        # guided FSM advancement); LoRA routing is per-batch host work.
         multi_ok = (num_steps > 1 and outputs.num_prefill_tokens == 0
                     and not flags.needs_history
-                    and not flags.do_min_tokens and not flags.do_beam)
+                    and not flags.do_min_tokens and not flags.do_beam
+                    and not flags.do_guided and not has_lora)
         if multi_ok:
             return self._execute_multi(scheduled, S, tensors_dev, flags,
                                        num_steps)
@@ -467,7 +535,8 @@ class ModelRunner:
         if (spec is not None and outputs.num_prefill_tokens == 0
                 and flags.all_greedy and not flags.needs_history
                 and not flags.do_min_tokens and not flags.do_banned_tokens
-                and not flags.do_beam):
+                and not flags.do_beam and not flags.do_guided
+                and not has_lora):
             result = self._execute_spec(scheduled, S, spec)
             if result is not None:
                 return result
@@ -475,6 +544,8 @@ class ModelRunner:
         total_tokens = sum(ss.num_tokens for ss in scheduled)
         T = _pad_to_bucket(total_tokens, self.token_buckets)
         batch = self.build_forward_batch(scheduled, T, S)
+        if lora_fields:
+            batch = batch._replace(**lora_fields)
 
         # Prompt logprobs: any prefill chunk of a requesting sequence
         # upgrades the program to compute full-stream logprobs.
@@ -507,7 +578,8 @@ class ModelRunner:
         step_fn = self._get_step_fn(flags)
         self.kv_pages, out, prompt_out = step_fn(
             self.params, self.kv_pages, batch, tensors_dev, history,
-            history_lens, prompt_lens, target_ids)
+            history_lens, prompt_lens, target_ids, guided_mask,
+            lora_params)
 
         n = len(scheduled)
         prompt_np = None

@@ -1,0 +1,95 @@
+"""KoboldAI frontend + batch runner + LoRA routes tests."""
+
+import json
+
+import pytest
+
+pytest_plugins = "aiohttp.pytest_plugin"
+
+from aphrodite_tpu.engine.args import EngineArgs
+from aphrodite_tpu.engine.async_engine import AsyncAphrodite
+from aphrodite_tpu.endpoints.openai.api_server import OpenAIServer
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    from tests.utils import make_tiny_llama_checkpoint
+
+    path = str(tmp_path_factory.mktemp("tiny_llama_fe"))
+    make_tiny_llama_checkpoint(path)
+    return path
+
+
+@pytest.fixture()
+async def client(tiny_dir, aiohttp_client):
+    engine_args = EngineArgs(model=tiny_dir, dtype="float32",
+                             max_num_seqs=8,
+                             num_device_blocks_override=128, block_size=8)
+    async_engine = AsyncAphrodite.from_engine_args(engine_args)
+    server = OpenAIServer(async_engine, served_model_names=["tiny"])
+    return await aiohttp_client(server.build_app())
+
+
+async def test_kobold_generate(client):
+    resp = await client.post("/api/v1/generate", json={
+        "prompt": "hello world",
+        "max_length": 8,
+        "temperature": 0,
+        "use_default_badwordsids": True,
+    })
+    assert resp.status == 200, await resp.text()
+    data = await resp.json()
+    assert len(data["results"]) == 1
+    assert isinstance(data["results"][0]["text"], str)
+
+
+async def test_kobold_meta_routes(client):
+    resp = await client.get("/api/v1/model")
+    assert (await resp.json())["result"].startswith("aphrodite/")
+    resp = await client.get("/api/v1/config/max_context_length")
+    assert (await resp.json())["value"] == 128
+    resp = await client.post("/api/extra/tokencount",
+                             json={"prompt": "hello world"})
+    assert (await resp.json())["value"] > 0
+
+
+async def test_kobold_stream(client):
+    resp = await client.post("/api/extra/generate/stream", json={
+        "prompt": "one two",
+        "max_length": 4,
+        "temperature": 0,
+        "use_default_badwordsids": True,
+    })
+    body = await resp.text()
+    assert "event: message" in body
+
+
+def test_run_batch(tiny_dir, tmp_path):
+    import asyncio
+
+    from aphrodite_tpu.endpoints.openai.run_batch import run_batch
+
+    input_path = tmp_path / "batch_in.jsonl"
+    lines = [
+        {"custom_id": "a", "method": "POST", "url": "/v1/completions",
+         "body": {"prompt": "hello", "max_tokens": 4, "temperature": 0,
+                  "ignore_eos": True}},
+        {"custom_id": "b", "method": "POST",
+         "url": "/v1/chat/completions",
+         "body": {"messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 4, "temperature": 0, "ignore_eos": True}},
+    ]
+    input_path.write_text("\n".join(json.dumps(l) for l in lines))
+    out_path = tmp_path / "batch_out.jsonl"
+    engine_args = EngineArgs(model=tiny_dir, dtype="float32",
+                             max_num_seqs=8,
+                             num_device_blocks_override=128, block_size=8)
+    failures = asyncio.run(
+        run_batch(engine_args, str(input_path), str(out_path)))
+    assert failures == 0
+    results = [json.loads(l) for l in out_path.read_text().splitlines()]
+    assert len(results) == 2
+    by_id = {r["custom_id"]: r for r in results}
+    assert by_id["a"]["response"]["status_code"] == 200
+    assert by_id["b"]["response"]["body"]["choices"][0]["message"][
+        "content"] is not None

@@ -1,0 +1,129 @@
+"""Guided decoding tests: regex DFA engine, token FSM, schema->regex,
+end-to-end constrained generation."""
+
+import json
+
+import numpy as np
+import pytest
+
+from aphrodite_tpu.guided.regex_fsm import compile_regex
+from aphrodite_tpu.guided.json_schema import schema_to_regex
+
+ALPHABET = set("abcdefghijklmnopqrstuvwxyz"
+               "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+               " \t\n\"{}[]:,.-+_eE\\/")
+
+
+def _dfa(pattern):
+    return compile_regex(pattern, ALPHABET)
+
+
+def test_regex_literals_and_classes():
+    d = _dfa("ab[0-9]+c?")
+    assert d.fullmatch("ab3")
+    assert d.fullmatch("ab123c")
+    assert not d.fullmatch("abc")
+    assert not d.fullmatch("ab12cc")
+
+
+def test_regex_alternation_and_groups():
+    d = _dfa("(cat|dog)( (cat|dog))*")
+    assert d.fullmatch("cat")
+    assert d.fullmatch("dog cat dog")
+    assert not d.fullmatch("catdog")
+
+
+def test_regex_quantifier_ranges():
+    d = _dfa("a{2,4}")
+    assert not d.fullmatch("a")
+    assert d.fullmatch("aa")
+    assert d.fullmatch("aaaa")
+    assert not d.fullmatch("aaaaa")
+
+
+def test_regex_escapes_and_dot():
+    d = _dfa(r"\d+\.\d{2}")
+    assert d.fullmatch("3.14")
+    assert not d.fullmatch("3.1")
+    d2 = _dfa("a.c")
+    assert d2.fullmatch("abc")
+    assert not d2.fullmatch("a\nc")
+
+
+def test_regex_negated_class():
+    d = _dfa('"[^"]*"')
+    assert d.fullmatch('"hello world"')
+    assert not d.fullmatch('"he"llo"')
+
+
+def test_schema_to_regex_object():
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "age": {"type": "integer"},
+        },
+        "required": ["name", "age"],
+    }
+    pattern = schema_to_regex(schema)
+    d = _dfa(pattern)
+    assert d.fullmatch('{"name": "bob", "age": 42}')
+    assert d.fullmatch('{"name":"x","age":0}')
+    assert not d.fullmatch('{"age": 42}')
+    assert not d.fullmatch('{"name": "bob", "age": "x"}')
+
+
+def test_schema_enum_and_array():
+    d = _dfa(schema_to_regex({"enum": ["red", "green"]}))
+    assert d.fullmatch('"red"')
+    assert not d.fullmatch('"blue"')
+    d2 = _dfa(schema_to_regex({
+        "type": "array", "items": {"type": "integer"},
+        "minItems": 1, "maxItems": 3}))
+    assert d2.fullmatch("[1, 2]")
+    assert not d2.fullmatch("[]")
+    assert not d2.fullmatch("[1, 2, 3, 4]")
+
+
+@pytest.fixture(scope="module")
+def tiny_llm(tmp_path_factory):
+    from tests.utils import make_tiny_llama_checkpoint
+    from aphrodite_tpu import LLM
+
+    path = str(tmp_path_factory.mktemp("tiny_llama_guided"))
+    make_tiny_llama_checkpoint(path)
+    return LLM(model=path, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8)
+
+
+def test_guided_choice_e2e(tiny_llm):
+    from aphrodite_tpu import SamplingParams
+
+    sp = SamplingParams(temperature=0.0, max_tokens=16,
+                        guided_choice=["yes", "no"])
+    out = tiny_llm.generate(["answer:"], sp)[0].outputs[0]
+    assert out.text in ("yes", "no"), out.text
+
+
+def test_guided_regex_e2e(tiny_llm):
+    from aphrodite_tpu import SamplingParams
+
+    import re
+
+    sp = SamplingParams(temperature=0.0, max_tokens=24,
+                        guided_regex=r"[0-9]{3}-[0-9]{4}")
+    out = tiny_llm.generate(["phone:"], sp)[0].outputs[0]
+    assert re.fullmatch(r"[0-9]{3}-[0-9]{4}", out.text), out.text
+
+
+def test_guided_json_e2e(tiny_llm):
+    from aphrodite_tpu import SamplingParams
+
+    schema = {"type": "object",
+              "properties": {"ok": {"type": "boolean"}},
+              "required": ["ok"]}
+    sp = SamplingParams(temperature=0.8, seed=3, max_tokens=32,
+                        guided_json=schema)
+    out = tiny_llm.generate(["result:"], sp)[0].outputs[0]
+    parsed = json.loads(out.text)
+    assert isinstance(parsed["ok"], bool)
