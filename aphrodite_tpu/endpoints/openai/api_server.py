@@ -365,7 +365,8 @@ class OpenAIServer:
 
     def _apply_chat_template(self, messages: List[ChatMessage],
                              add_generation_prompt: bool = True,
-                             chat_template: Optional[str] = None) -> str:
+                             chat_template: Optional[str] = None,
+                             tools: Optional[List[dict]] = None) -> str:
         conversation = []
         for m in messages:
             content = m.content
@@ -381,6 +382,7 @@ class OpenAIServer:
                 tokenize=False,
                 add_generation_prompt=add_generation_prompt,
                 chat_template=chat_template,
+                tools=tools,
             )
         # Fallback template for tokenizers without one.
         text = ""
@@ -396,7 +398,7 @@ class OpenAIServer:
             req = ChatCompletionRequest(**await request.json())
             prompt_text = self._apply_chat_template(
                 req.messages, req.add_generation_prompt or True,
-                req.chat_template)
+                req.chat_template, tools=req.tools)
         except Exception as e:
             return _error(str(e))
         model_name = req.model or self.served_model_names[0]
@@ -420,14 +422,27 @@ class OpenAIServer:
             final = await self._collect(stream)
         except Exception as e:
             return _error(str(e), status=500, err_type="internal_error")
-        choices = [
-            ChatCompletionChoice(
-                index=i,
-                message=ChatCompletionResponseMessage(content=comp.text),
-                finish_reason=comp.finish_reason,
-                stop_reason=comp.stop_reason,
-            ) for i, comp in enumerate(final.outputs)
-        ]
+        choices = []
+        for i, comp in enumerate(final.outputs):
+            content: Optional[str] = comp.text
+            tool_calls = None
+            finish = comp.finish_reason
+            if req.tools:
+                from aphrodite_tpu.endpoints.openai.tool_parsers import (
+                    parse_tool_calls)
+
+                content, calls = parse_tool_calls(comp.text)
+                if calls:
+                    tool_calls = calls
+                    finish = "tool_calls"
+            choices.append(
+                ChatCompletionChoice(
+                    index=i,
+                    message=ChatCompletionResponseMessage(
+                        content=content, tool_calls=tool_calls),
+                    finish_reason=finish,
+                    stop_reason=comp.stop_reason,
+                ))
         usage = UsageInfo(
             prompt_tokens=len(prompt_ids),
             completion_tokens=sum(

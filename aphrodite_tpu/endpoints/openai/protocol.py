@@ -185,6 +185,8 @@ class ChatCompletionRequest(_SamplerMixin):
     messages: List[ChatMessage] = Field(default_factory=list)
     add_generation_prompt: Optional[bool] = True
     chat_template: Optional[str] = None
+    tools: Optional[List[Dict[str, Any]]] = None
+    tool_choice: Optional[Union[str, Dict[str, Any]]] = None
 
 
 class LogProbsPart(BaseModel):
@@ -214,6 +216,7 @@ class CompletionResponse(BaseModel):
 class ChatCompletionResponseMessage(BaseModel):
     role: str = "assistant"
     content: Optional[str] = None
+    tool_calls: Optional[List[Dict[str, Any]]] = None
 
 
 class ChatCompletionChoice(BaseModel):

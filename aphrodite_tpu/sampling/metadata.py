@@ -56,6 +56,10 @@ class SamplingFlags(NamedTuple):
     # Top prompt-logprobs per prefill position (0 = disabled). Set by the
     # runner (it knows which rows are prefill chunks).
     max_prompt_logprobs: int = 0
+    # User-reordered sampler stages (SamplerID ints; None = default
+    # order). Like the reference, the first request's priority governs
+    # the batch (sampler.py:300 uses seq_groups[0]).
+    priority_order: Optional[Tuple[int, ...]] = None
 
     @property
     def needs_history(self) -> bool:
@@ -191,7 +195,7 @@ def build_sampling_tensors(
         do_epsilon_cutoffs=False, do_typical_ps=False, do_quadratic=False,
         do_xtc=False, do_nsigmas=False, do_skew=False, do_temp_last=False,
         do_min_tokens=False, do_banned_tokens=False, do_beam=False,
-        all_greedy=True, max_logprobs=0,
+        all_greedy=True, max_logprobs=0, priority_order=None,
     )
 
     for i, row in enumerate(rows):
@@ -290,6 +294,10 @@ def build_sampling_tensors(
         if p.logprobs:
             flags["max_logprobs"] = max(flags["max_logprobs"],
                                         min(int(p.logprobs), 32))
+        if p.sampler_priority is not None and \
+                flags["priority_order"] is None:
+            flags["priority_order"] = tuple(
+                int(x) for x in p.sampler_priority)
         # Per-step PRNG key: mix(seed, step) so each decode step draws fresh
         # randomness while staying deterministic for a given seed. An
         # explicit request seed takes precedence over the engine-assigned

@@ -438,37 +438,60 @@ def sample(
     if flags.do_banned_tokens:
         logits = _apply_token_id_bans(logits, t.banned_tokens)
 
-    if flags.do_dry:
-        logits = _apply_dry(logits, t, history, history_lens, V)
-    if flags.do_penalties:
-        pm, om, oc = _history_masks(history, history_lens, prompt_lens, V)
-        logits = _apply_penalties(logits, t, pm, om, oc)
-    if flags.do_no_repeat_ngram:
-        logits = _apply_no_repeat_ngram(logits, t, history, history_lens, V)
-    if flags.do_temperatures and not flags.do_temp_last:
-        logits = _apply_temperatures(logits, t, flags)
-    if flags.do_nsigmas:
-        logits = _apply_top_nsigma(logits, t)
-    if flags.do_top_p_top_k:
-        logits = _apply_top_k_top_p(logits, t)
-    if flags.do_top_as:
-        logits = _apply_top_a(logits, t)
-    if flags.do_min_p:
-        logits = _apply_min_p(logits, t)
-    if flags.do_tfss:
-        logits = _apply_tfs(logits, t)
-    if flags.do_eta_cutoffs:
-        logits = _apply_eta_cutoff(logits, t)
-    if flags.do_epsilon_cutoffs:
-        logits = _apply_epsilon_cutoff(logits, t)
-    if flags.do_typical_ps:
-        logits = _apply_typical(logits, t)
-    if flags.do_quadratic:
-        logits = _apply_quadratic(logits, t)
-    if flags.do_xtc:
-        logits = _apply_xtc(logits, t, keys)
-    if flags.do_temperatures and flags.do_temp_last:
-        logits = _apply_temperatures(logits, t, flags)
+    # Stage dispatch honoring user-reordered sampler_priority (reference
+    # sampler.py:297-338: SamplerID order; first request's priority wins;
+    # with a custom order, temperature_last is ignored).
+    from aphrodite_tpu.common.sampling_params import SamplerID
+
+    def run_stage(sid: int, lg):
+        if sid == SamplerID.DRY and flags.do_dry:
+            return _apply_dry(lg, t, history, history_lens, V)
+        if sid == SamplerID.PENALTIES and flags.do_penalties:
+            pm, om, oc = _history_masks(history, history_lens,
+                                        prompt_lens, V)
+            return _apply_penalties(lg, t, pm, om, oc)
+        if sid == SamplerID.NO_REPEAT_NGRAM and flags.do_no_repeat_ngram:
+            return _apply_no_repeat_ngram(lg, t, history, history_lens, V)
+        if sid == SamplerID.TEMPERATURE and flags.do_temperatures:
+            return _apply_temperatures(lg, t, flags)
+        if sid == SamplerID.TOP_NSIGMA and flags.do_nsigmas:
+            return _apply_top_nsigma(lg, t)
+        if sid == SamplerID.TOP_P_TOP_K and flags.do_top_p_top_k:
+            return _apply_top_k_top_p(lg, t)
+        if sid == SamplerID.TOP_A and flags.do_top_as:
+            return _apply_top_a(lg, t)
+        if sid == SamplerID.MIN_P and flags.do_min_p:
+            return _apply_min_p(lg, t)
+        if sid == SamplerID.TFS and flags.do_tfss:
+            return _apply_tfs(lg, t)
+        if sid == SamplerID.ETA_CUTOFF and flags.do_eta_cutoffs:
+            return _apply_eta_cutoff(lg, t)
+        if sid == SamplerID.EPSILON_CUTOFF and flags.do_epsilon_cutoffs:
+            return _apply_epsilon_cutoff(lg, t)
+        if sid == SamplerID.TYPICAL_P and flags.do_typical_ps:
+            return _apply_typical(lg, t)
+        if sid == SamplerID.QUADRATIC and flags.do_quadratic:
+            return _apply_quadratic(lg, t)
+        if sid == SamplerID.XTC and flags.do_xtc:
+            return _apply_xtc(lg, t, keys)
+        return lg
+
+    if flags.priority_order is not None:
+        order = list(flags.priority_order)
+    else:
+        order = [
+            SamplerID.DRY, SamplerID.PENALTIES,
+            SamplerID.NO_REPEAT_NGRAM, SamplerID.TEMPERATURE,
+            SamplerID.TOP_NSIGMA, SamplerID.TOP_P_TOP_K, SamplerID.TOP_A,
+            SamplerID.MIN_P, SamplerID.TFS, SamplerID.ETA_CUTOFF,
+            SamplerID.EPSILON_CUTOFF, SamplerID.TYPICAL_P,
+            SamplerID.QUADRATIC, SamplerID.XTC,
+        ]
+        if flags.do_temp_last:
+            order.remove(SamplerID.TEMPERATURE)
+            order.append(SamplerID.TEMPERATURE)
+    for sid in order:
+        logits = run_stage(int(sid), logits)
 
     if flags.do_skew:
         probs = jax.nn.softmax(logits, axis=-1)

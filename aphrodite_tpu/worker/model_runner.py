@@ -370,25 +370,22 @@ class ModelRunner:
         logits_indices = np.zeros((S,), np.int32)
 
         offset = 0
-        trash_extra = 0
+        bs = self.block_size
         for i, ss in enumerate(scheduled):
             seq = ss.seq
             all_ids = seq.get_token_ids()
             first = ss.first_token_idx
-            chunk = all_ids[first:first + ss.num_tokens]
-            token_ids[offset:offset + ss.num_tokens] = chunk
-            positions[offset:offset + ss.num_tokens] = np.arange(
-                first, first + ss.num_tokens)
-            table = ss.block_ids
-            for j in range(ss.num_tokens):
-                p = first + j
-                slot_mapping[offset + j] = (table[p // self.block_size] *
-                                            self.block_size +
-                                            p % self.block_size)
-            kv_lens[i] = first + ss.num_tokens
+            n = ss.num_tokens
+            token_ids[offset:offset + n] = all_ids[first:first + n]
+            pos = np.arange(first, first + n)
+            positions[offset:offset + n] = pos
+            table = np.asarray(ss.block_ids, np.int32)
+            slot_mapping[offset:offset + n] = (table[pos // bs] * bs +
+                                               pos % bs)
+            kv_lens[i] = first + n
             page_indices[i, :len(table)] = table
-            cu_q_lens[i + 1] = cu_q_lens[i] + ss.num_tokens
-            offset += ss.num_tokens
+            cu_q_lens[i + 1] = cu_q_lens[i] + n
+            offset += n
             logits_indices[i] = offset - 1
         # Padding rows repeat the last cumulative value.
         cu_q_lens[len(scheduled) + 1:] = cu_q_lens[len(scheduled)]
@@ -437,6 +434,44 @@ class ModelRunner:
 
     def execute(self, outputs: SchedulerOutputs,
                 num_steps: int = 1) -> StepResult:
+        try:
+            return self._execute_inner(outputs, num_steps)
+        except Exception:
+            self._dump_crash_input(outputs)
+            raise
+
+    def _dump_crash_input(self, outputs: SchedulerOutputs) -> None:
+        """Persist the failing step's metadata for reproduction
+        (reference dump_input_when_exception, model_runner.py:1587)."""
+        import json
+        import os
+        import time as _time
+
+        try:
+            path = os.path.join(
+                os.environ.get("APHRODITE_TPU_DUMP_DIR", "/tmp"),
+                f"aphrodite_tpu_crash_{int(_time.time())}.json")
+            payload = {
+                "num_prefill_tokens": outputs.num_prefill_tokens,
+                "num_decode_tokens": outputs.num_decode_tokens,
+                "scheduled": [{
+                    "request_id": ss.group.request_id,
+                    "seq_id": ss.seq.seq_id,
+                    "num_tokens": ss.num_tokens,
+                    "first_token_idx": ss.first_token_idx,
+                    "seq_len": ss.seq.get_len(),
+                    "num_blocks": len(ss.block_ids),
+                    "do_sample": ss.do_sample,
+                } for ss in outputs.scheduled],
+            }
+            with open(path, "w") as f:
+                json.dump(payload, f, indent=1)
+            logger.error("execute() failed; step input dumped to %s", path)
+        except Exception:  # the dump must never mask the real error
+            pass
+
+    def _execute_inner(self, outputs: SchedulerOutputs,
+                       num_steps: int = 1) -> StepResult:
         scheduled = outputs.scheduled
         assert scheduled, "execute() called with empty schedule"
         if outputs.blocks_to_copy:

@@ -360,3 +360,26 @@ def test_random_sampling_distribution():
     probs /= probs.sum()
     freq = counts / 512
     np.testing.assert_allclose(freq, probs, atol=0.08)
+
+
+def test_sampler_priority_reorder():
+    """Custom order: temperature AFTER top-k changes the support.
+
+    With t=0.5 applied before top-k (default), top-k keeps the same set
+    as t=1 (temperature is monotonic) — but with quadratic smoothing in
+    between orders differ. Here we simply assert both orders run and the
+    reordered one is accepted via flags.
+    """
+    from aphrodite_tpu.common.sampling_params import SamplerID
+
+    logits = RNG.standard_normal((4, VOCAB)).astype(np.float32)
+    prio = [SamplerID.TOP_P_TOP_K, SamplerID.TEMPERATURE]
+    rows = [_row(SamplingParams(temperature=0.7, top_k=5, seed=s,
+                                sampler_priority=prio))
+            for s in range(4)]
+    out, flags = _run(rows, logits)
+    assert flags.priority_order == (int(SamplerID.TOP_P_TOP_K),
+                                    int(SamplerID.TEMPERATURE))
+    topk_sets = np.argsort(-logits, axis=-1)[:, :5]
+    for i in range(4):
+        assert np.asarray(out.sampled)[i] in topk_sets[i]
