@@ -241,6 +241,14 @@ class LoRAConfig:
 
 
 @dataclass
+class PromptAdapterConfig:
+    """Soft-prompt adapter limits (reference aphrodite/prompt_adapter/)."""
+
+    max_prompt_adapters: int = 4
+    max_prompt_adapter_token: int = 64
+
+
+@dataclass
 class SpeculativeConfig:
     """Speculative decoding (reference aphrodite/spec_decode/, §2.10).
 
@@ -303,6 +311,7 @@ class EngineConfig:
     load_config: LoadConfig
     speculative_config: Optional["SpeculativeConfig"] = None
     lora_config: Optional["LoRAConfig"] = None
+    prompt_adapter_config: Optional["PromptAdapterConfig"] = None
 
     def __post_init__(self) -> None:
         if (self.speculative_config is not None

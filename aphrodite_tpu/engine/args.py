@@ -15,7 +15,9 @@ from typing import Optional
 from aphrodite_tpu.common.config import (CacheConfig, DeviceConfig,
                                          EngineConfig, LoadConfig,
                                          LoRAConfig, ModelConfig,
-                                         ParallelConfig, SchedulerConfig,
+                                         ParallelConfig,
+                                         PromptAdapterConfig,
+                                         SchedulerConfig,
                                          SpeculativeConfig)
 
 
@@ -50,6 +52,10 @@ class EngineArgs:
     enable_lora: bool = False
     max_loras: int = 4
     max_lora_rank: int = 16
+    # Prompt adapters (soft prompts).
+    enable_prompt_adapter: bool = False
+    max_prompt_adapters: int = 4
+    max_prompt_adapter_token: int = 64
     # Speculative decoding.
     speculative_model: Optional[str] = None  # "[ngram]"
     num_speculative_tokens: int = 5
@@ -111,6 +117,10 @@ class EngineArgs:
             lora_config=(LoRAConfig(max_loras=self.max_loras,
                                     max_lora_rank=self.max_lora_rank)
                          if self.enable_lora else None),
+            prompt_adapter_config=(PromptAdapterConfig(
+                max_prompt_adapters=self.max_prompt_adapters,
+                max_prompt_adapter_token=self.max_prompt_adapter_token)
+                if self.enable_prompt_adapter else None),
         )
 
     @staticmethod

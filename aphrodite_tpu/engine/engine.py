@@ -98,10 +98,19 @@ class AphroditeEngine:
         prompt_token_ids: Optional[List[int]] = None,
         arrival_time: Optional[float] = None,
         lora_request: Optional[Any] = None,
+        prompt_adapter_request: Optional[Any] = None,
     ) -> None:
         if lora_request is not None and self.runner.lora_manager is None:
             raise ValueError(
                 "LoRA request received but enable_lora=False")
+        if prompt_adapter_request is not None:
+            pam = self.runner.prompt_adapter_manager
+            if pam is None:
+                raise ValueError("prompt adapter request received but "
+                                 "enable_prompt_adapter=False")
+            self.runner.params = pam.load(prompt_adapter_request,
+                                          self.runner.params,
+                                          None)
         if request_id in self._groups:
             raise ValueError(f"duplicate request_id {request_id!r}")
         if sampling_params is None:
@@ -113,6 +122,12 @@ class AphroditeEngine:
         if sampling_params.truncate_prompt_tokens is not None:
             prompt_token_ids = prompt_token_ids[
                 -sampling_params.truncate_prompt_tokens:]
+        if prompt_adapter_request is not None:
+            # Soft prompt: prepend the adapter's virtual token ids (rows
+            # reserved past the vocab in the embedding table).
+            virtual = self.runner.prompt_adapter_manager.\
+                virtual_token_ids(prompt_adapter_request)
+            prompt_token_ids = virtual + list(prompt_token_ids)
         sampling_params = sampling_params.clone()
         sampling_params.update_from_generation_config(
             self._generation_config, self.eos_token_id)

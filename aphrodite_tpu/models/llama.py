@@ -386,7 +386,10 @@ class LlamaForCausalLM:
         """hidden [S, H] -> logits [S, V] in float32 (reference
         layers/logits_processor.py: gather + TP-gathered LM head)."""
         if self.tie_word_embeddings:
-            logits = jnp.dot(hidden, params["embed"].T,
+            # The embed table may carry extra prompt-adapter rows; the LM
+            # head only covers the true vocabulary.
+            embed = params["embed"][:self.vocab_size]
+            logits = jnp.dot(hidden, embed.T,
                              preferred_element_type=jnp.float32)
         else:
             logits = jnp.dot(hidden, params["lm_head"],

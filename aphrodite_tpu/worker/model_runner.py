@@ -186,6 +186,25 @@ class ModelRunner:
         t0 = time.monotonic()
         self.params = load_model_params(self.model, self.model_config,
                                         self.config.load_config, self.mesh)
+        self.prompt_adapter_manager = None
+        pa_cfg = self.config.prompt_adapter_config
+        if pa_cfg is not None:
+            from aphrodite_tpu.prompt_adapter.manager import (
+                PromptAdapterManager)
+
+            self.prompt_adapter_manager = PromptAdapterManager(
+                self.model_config.get_vocab_size(),
+                self.model_config.get_hidden_size(),
+                max_adapters=pa_cfg.max_prompt_adapters,
+                max_virtual_tokens=pa_cfg.max_prompt_adapter_token)
+            # Pre-extend the embedding table with reserved virtual-token
+            # rows (static shape: no recompiles on adapter load).
+            extra = jnp.zeros(
+                (self.prompt_adapter_manager.num_extra_rows,
+                 self.params["embed"].shape[1]),
+                self.params["embed"].dtype)
+            self.params["embed"] = jnp.concatenate(
+                [self.params["embed"], extra], axis=0)
         jax.block_until_ready(self.params)
         logger.info("model loaded in %.1fs", time.monotonic() - t0)
 
@@ -301,7 +320,7 @@ class ModelRunner:
         block_size = self.block_size
 
         def one_iteration(carry, step_idx, params, page_indices,
-                          kv_capacity, num_seqs, tensors):
+                          kv_capacity, num_seqs, tensors, step_offset):
             kv_pages, token_ids, positions = carry
             S = token_ids.shape[0]
             rows = jnp.arange(S, dtype=jnp.int32)
@@ -328,23 +347,27 @@ class ModelRunner:
                 params, kv_pages, batch, mesh=self.mesh,
                 kv_scales=self.kv_scales)
             logits = self.model.compute_logits(params, hidden)
-            # Fresh per-step randomness: fold the step index into keys.
+            # Fresh per-step randomness: fold the (window-offset) step
+            # index into keys.
             step_tensors = tensors._replace(
-                key_data=_fold_key_data(tensors.key_data, step_idx))
+                key_data=_fold_key_data(tensors.key_data,
+                                        step_idx + step_offset))
             out = sample(logits, step_tensors, flags)
             return (kv_pages, out.sampled, positions + 1), out
 
         def multi_step(params, kv_pages, token_ids, positions,
-                       page_indices, kv_capacity, num_seqs, tensors):
+                       page_indices, kv_capacity, num_seqs, tensors,
+                       step_offset):
             body = functools.partial(one_iteration, params=params,
                                      page_indices=page_indices,
                                      kv_capacity=kv_capacity,
-                                     num_seqs=num_seqs, tensors=tensors)
-            (kv_pages, _, _), outs = jax.lax.scan(
+                                     num_seqs=num_seqs, tensors=tensors,
+                                     step_offset=step_offset)
+            (kv_pages, last_tokens, last_pos), outs = jax.lax.scan(
                 lambda c, i: body(c, i),
                 (kv_pages, token_ids, positions),
                 jnp.arange(num_steps, dtype=jnp.int32))
-            return kv_pages, outs
+            return kv_pages, last_tokens, last_pos, outs
 
         fn = jax.jit(multi_step, donate_argnums=(1,))
         self._multi_step_fns[key] = fn
@@ -796,6 +819,13 @@ class ModelRunner:
         self._multi_step_fns[key] = fn
         return fn
 
+    # Window size of the compiled fused-decode program. Larger requests
+    # chain windows with device-resident carry (tokens/positions/KV), so
+    # one compiled program serves any num_scheduler_steps and the host
+    # syncs ONCE per schedule — XLA's async dispatch queues the windows
+    # back-to-back on the device.
+    MULTI_STEP_WINDOW = 8
+
     def _execute_multi(self, scheduled: List[ScheduledSequence], S: int,
                        tensors_dev, flags: SamplingFlags,
                        num_steps: int) -> StepResult:
@@ -812,20 +842,34 @@ class ModelRunner:
             kv_capacity[i] = len(table) * self.block_size
         num_seqs = jnp.asarray([len(scheduled)], np.int32)
 
-        fn = self._get_multi_step_fn(flags, num_steps)
-        self.kv_pages, outs = fn(self.params, self.kv_pages,
-                                 jnp.asarray(token_ids),
-                                 jnp.asarray(positions),
-                                 jnp.asarray(page_indices),
-                                 jnp.asarray(kv_capacity), num_seqs,
-                                 tensors_dev)
+        W = min(num_steps, self.MULTI_STEP_WINDOW)
+        num_windows = cdiv(num_steps, W)
+        fn = self._get_multi_step_fn(flags, W)
+        tok_dev = jnp.asarray(token_ids)
+        pos_dev = jnp.asarray(positions)
+        pages_dev = jnp.asarray(page_indices)
+        cap_dev = jnp.asarray(kv_capacity)
+        window_outs = []
+        for w in range(num_windows):
+            self.kv_pages, tok_dev, pos_dev, outs = fn(
+                self.params, self.kv_pages, tok_dev, pos_dev, pages_dev,
+                cap_dev, num_seqs, tensors_dev,
+                jnp.asarray(w * W, jnp.int32))
+            window_outs.append(outs)
+
         n = len(scheduled)
+
+        def cat(field):
+            return np.concatenate(
+                [np.asarray(getattr(o, field))[:, :n]
+                 for o in window_outs], axis=0)[:num_steps]
+
         return StepResult(
-            sampled=np.asarray(outs.sampled)[:, :n],
-            sampled_logprob=np.asarray(outs.sampled_logprob)[:, :n],
-            sampled_rank=np.asarray(outs.sampled_rank)[:, :n],
-            topk_ids=np.asarray(outs.topk_ids)[:, :n],
-            topk_logprobs=np.asarray(outs.topk_logprobs)[:, :n],
+            sampled=cat("sampled"),
+            sampled_logprob=cat("sampled_logprob"),
+            sampled_rank=cat("sampled_rank"),
+            topk_ids=cat("topk_ids"),
+            topk_logprobs=cat("topk_logprobs"),
         )
 
 

@@ -58,7 +58,7 @@ def main() -> None:
     import jax
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    num_steps = int(os.environ.get("APHRODITE_BENCH_STEPS", "8"))
+    num_steps = int(os.environ.get("APHRODITE_BENCH_STEPS", "32"))
     if on_tpu:
         batch, prompt_len, decode_len = 64, 128, 128
         dtype = "bfloat16"

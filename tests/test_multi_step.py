@@ -33,6 +33,20 @@ def test_multi_step_greedy_matches_hf(tiny_dir):
         assert out.outputs[0].token_ids == expect, prompt
 
 
+def test_multi_step_windowed_chaining_matches_hf(tiny_dir):
+    """num_scheduler_steps > the compiled window (8): device-resident
+    carry chains windows; tokens must still match HF exactly."""
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=8,
+              num_device_blocks_override=256, block_size=8,
+              num_scheduler_steps=16)
+    tok = llm.get_tokenizer()
+    sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
+    outs = llm.generate(PROMPTS, sp)
+    for prompt, out in zip(PROMPTS, outs):
+        expect = hf_greedy_generate(tiny_dir, tok.encode(prompt), 20)
+        assert out.outputs[0].token_ids == expect, prompt
+
+
 def test_multi_step_respects_max_tokens(tiny_dir):
     llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=8,
               num_device_blocks_override=128, block_size=8,
