@@ -47,7 +47,8 @@ class OpenAIServer:
     def __init__(self, async_engine: AsyncAphrodite,
                  served_model_names: Optional[List[str]] = None,
                  api_keys: Optional[List[str]] = None,
-                 launch_kobold_api: bool = True) -> None:
+                 launch_kobold_api: bool = True,
+                 log_requests: bool = True) -> None:
         self.async_engine = async_engine
         self.engine = async_engine.engine
         self.tokenizer = self.engine.tokenizer
@@ -56,13 +57,15 @@ class OpenAIServer:
         self.served_model_names = names
         self.api_keys = api_keys
         self.launch_kobold_api = launch_kobold_api
+        self.log_requests = log_requests
 
     # ------------------------------------------------------------------
     # App wiring
     # ------------------------------------------------------------------
 
     def build_app(self) -> web.Application:
-        app = web.Application(middlewares=[self._auth_middleware])
+        app = web.Application(
+            middlewares=[self._auth_middleware, self._log_middleware])
         app.router.add_get("/health", self.health)
         app.router.add_get("/v1/models", self.show_models)
         app.router.add_post("/v1/completions", self.create_completion)
@@ -82,6 +85,26 @@ class OpenAIServer:
             KoboldServer(self.async_engine,
                          self.served_model_names[0]).add_routes(app)
         return app
+
+    @web.middleware
+    async def _log_middleware(self, request: web.Request, handler):
+        """Request logging (reference api_server request logger
+        middleware; disable with log_requests=False)."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        try:
+            response = await handler(request)
+            status = getattr(response, "status", "?")
+            return response
+        except Exception:
+            status = 500
+            raise
+        finally:
+            if self.log_requests and request.path != "/health":
+                logger.info("%s %s -> %s (%.1f ms)", request.method,
+                            request.path, status,
+                            (_time.monotonic() - t0) * 1e3)
 
     @web.middleware
     async def _auth_middleware(self, request: web.Request, handler):
@@ -353,10 +376,17 @@ class OpenAIServer:
                     await response.write(
                         f"data: {json.dumps(chunk)}\n\n".encode())
 
-        for gi, (rid, stream, prompt_ids, _) in enumerate(streams):
-            await pump(gi, rid, stream, prompt_ids)
-        await response.write(b"data: [DONE]\n\n")
-        await response.write_eof()
+        try:
+            for gi, (rid, stream, prompt_ids, _) in enumerate(streams):
+                await pump(gi, rid, stream, prompt_ids)
+            await response.write(b"data: [DONE]\n\n")
+            await response.write_eof()
+        except (ConnectionResetError, asyncio.CancelledError):
+            # Client went away: free the engine work (reference aborts
+            # on disconnect, api_server request lifecycle).
+            for rid, _, _, _ in streams:
+                await self.async_engine.abort(rid)
+            raise
         return response
 
     # ------------------------------------------------------------------
@@ -466,25 +496,30 @@ class OpenAIServer:
         await response.write(
             f"data: {json.dumps(first.model_dump())}\n\n".encode())
         sent_len = [0] * (sp.n or 1)
-        async for out in stream:
-            for ci, comp in enumerate(out.outputs):
-                delta = comp.text[sent_len[ci]:]
-                sent_len[ci] = len(comp.text)
-                if not delta and not comp.finish_reason:
-                    continue
-                chunk = ChatCompletionStreamResponse(
-                    id=request_id, model=model_name,
-                    choices=[
-                        ChatCompletionStreamChoice(
-                            index=ci,
-                            delta=DeltaMessage(content=delta),
-                            finish_reason=comp.finish_reason,
-                        )
-                    ])
-                await response.write(
-                    f"data: {json.dumps(chunk.model_dump())}\n\n".encode())
-        await response.write(b"data: [DONE]\n\n")
-        await response.write_eof()
+        try:
+            async for out in stream:
+                for ci, comp in enumerate(out.outputs):
+                    delta = comp.text[sent_len[ci]:]
+                    sent_len[ci] = len(comp.text)
+                    if not delta and not comp.finish_reason:
+                        continue
+                    chunk = ChatCompletionStreamResponse(
+                        id=request_id, model=model_name,
+                        choices=[
+                            ChatCompletionStreamChoice(
+                                index=ci,
+                                delta=DeltaMessage(content=delta),
+                                finish_reason=comp.finish_reason,
+                            )
+                        ])
+                    await response.write(
+                        f"data: {json.dumps(chunk.model_dump())}\n\n"
+                        .encode())
+            await response.write(b"data: [DONE]\n\n")
+            await response.write_eof()
+        except (ConnectionResetError, asyncio.CancelledError):
+            await self.async_engine.abort(request_id)
+            raise
         return response
 
 

@@ -410,22 +410,18 @@ def apply_guided_mask(logits: jax.Array,
     return jnp.where(bits.astype(bool), logits, NEG_INF)
 
 
-def sample(
+def shaped_logprobs(
     logits: jax.Array,  # f32[S, V]
     t: SamplingTensors,
     flags: SamplingFlags,
-    history: Optional[jax.Array] = None,  # i32[S, H] padded with V
-    history_lens: Optional[jax.Array] = None,  # i32[S]
-    prompt_lens: Optional[jax.Array] = None,  # i32[S]
-    guided_mask: Optional[jax.Array] = None,  # u32[S, ceil(V/32)]
-) -> SamplerOutput:
-    """Run the sampler pipeline and draw one token per row.
-
-    Stage order matches the reference default (sampler.py:314-338):
-    DRY -> penalties -> no-repeat-ngram -> temperature -> nsigma ->
-    top-k/p -> top-a -> min-p -> tfs -> eta -> epsilon -> typical ->
-    quadratic -> xtc [-> temperature if temp_last] -> skew -> sample.
-    """
+    history: Optional[jax.Array] = None,
+    history_lens: Optional[jax.Array] = None,
+    prompt_lens: Optional[jax.Array] = None,
+    guided_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """The full post-pipeline log-distribution [S, V] (used by sample()
+    and by speculative-decode verification, which needs the target
+    distribution itself for rejection sampling)."""
     S, V = logits.shape
     logits = logits.astype(jnp.float32)
     keys = _keys_from_data(t.key_data)
@@ -500,6 +496,29 @@ def sample(
         logprobs = jnp.where(probs > 0, logprobs, NEG_INF)
     else:
         logprobs = jax.nn.log_softmax(logits, axis=-1)
+    return logprobs
+
+
+def sample(
+    logits: jax.Array,  # f32[S, V]
+    t: SamplingTensors,
+    flags: SamplingFlags,
+    history: Optional[jax.Array] = None,  # i32[S, H] padded with V
+    history_lens: Optional[jax.Array] = None,  # i32[S]
+    prompt_lens: Optional[jax.Array] = None,  # i32[S]
+    guided_mask: Optional[jax.Array] = None,  # u32[S, ceil(V/32)]
+) -> SamplerOutput:
+    """Run the sampler pipeline and draw one token per row.
+
+    Stage order matches the reference default (sampler.py:314-338):
+    DRY -> penalties -> no-repeat-ngram -> temperature -> nsigma ->
+    top-k/p -> top-a -> min-p -> tfs -> eta -> epsilon -> typical ->
+    quadratic -> xtc [-> temperature if temp_last] -> skew -> sample.
+    """
+    S, V = logits.shape
+    keys = _keys_from_data(t.key_data)
+    logprobs = shaped_logprobs(logits, t, flags, history, history_lens,
+                               prompt_lens, guided_mask)
 
     # Sample: greedy rows take argmax; random rows take Gumbel-argmax
     # (equivalent to multinomial over the final distribution).

@@ -1,18 +1,28 @@
 """In-graph verification of speculative proposals.
 
-Reference: aphrodite/modeling/layers/rejection_sampler.py (:303). This
-round implements the **greedy** acceptance rule, which is exact and
-lossless: accept proposal t_j while argmax(p_target at j) == t_j; emit
-the target argmax at the first mismatch (or a bonus argmax when all k
-match). The runner gates speculation to all-greedy batches; stochastic
-rejection sampling (norm(relu(p-q)) resampling) extends this verify path
-in a later round.
+Reference: aphrodite/modeling/layers/rejection_sampler.py (:303).
+
+Two acceptance rules:
+- greedy (lossless by construction): accept proposal t_j while
+  argmax(p_target at j) == t_j; emit the argmax at the first mismatch.
+- stochastic rejection sampling for delta-distribution drafts (n-gram
+  proposals put probability 1 on their token): accept t_j with
+  probability min(1, p(t_j)); on the first rejection resample from
+  norm(relu(p - q)) = p with t_j zeroed, renormalized — which a
+  Gumbel-argmax with t_j masked to -inf draws exactly. This preserves
+  the target distribution (the standard speculative-sampling theorem).
+  The target distribution is the *shaped* one (full sampler pipeline
+  applied per position), matching non-speculative sampling.
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+from aphrodite_tpu.sampling.metadata import SamplingFlags, SamplingTensors
+from aphrodite_tpu.sampling.sampler import (NEG_INF, _keys_from_data,
+                                            shaped_logprobs)
 
 
 class SpecVerifyResult(NamedTuple):
@@ -44,3 +54,79 @@ def verify_proposals_greedy(
     # the emitted tokens are simply target[:, :a+1] — token j for j <= a.
     return SpecVerifyResult(tokens=target, valid_len=a + 1,
                             tokens_logprob=target_lp)
+
+
+def verify_proposals(
+    logits: jax.Array,  # f32[S, k+1, V]
+    proposals: jax.Array,  # i32[S, k]
+    t: SamplingTensors,
+    flags: SamplingFlags,
+) -> SpecVerifyResult:
+    """Mixed greedy/stochastic verification under the shaped target
+    distribution."""
+    S, kp1, V = logits.shape
+    k = kp1 - 1
+
+    # Shape every position's distribution with the full pipeline: tile
+    # the per-row tensors over positions ([S, k+1] -> [S*(k+1)]).
+    flat = logits.reshape(S * kp1, V)
+    t_flat = jax.tree.map(lambda x: jnp.repeat(x, kp1, axis=0), t)
+    pos_fold = jnp.tile(jnp.arange(kp1, dtype=jnp.uint32), S)
+    kd = t_flat.key_data
+    kd = kd.at[:, 1].set(kd[:, 1] ^ (pos_fold * jnp.uint32(0x9E3779B9)))
+    t_flat = t_flat._replace(key_data=kd)
+    lp = shaped_logprobs(flat, t_flat, flags).reshape(S, kp1, V)
+
+    target = jnp.argmax(lp, axis=-1).astype(jnp.int32)  # greedy path
+    has_prop = proposals >= 0 if k > 0 else jnp.zeros((S, 0), bool)
+    props_c = jnp.maximum(proposals, 0) if k > 0 else proposals
+
+    keys = _keys_from_data(t.key_data)
+    if k > 0:
+        # Acceptance draws.
+        u_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, 0xAC))(keys)
+        u = jax.vmap(lambda kk: jax.random.uniform(kk, (k,)))(u_keys)
+        prop_lp = jnp.take_along_axis(lp[:, :k, :], props_c[..., None],
+                                      axis=-1)[..., 0]
+        accept_rand = u < jnp.exp(prop_lp)
+        greedy_match = target[:, :k] == props_c
+        accepted = jnp.where(t.greedy_mask[:, None], greedy_match,
+                             accept_rand) & has_prop
+        prefix_ok = jnp.cumprod(accepted.astype(jnp.int32), axis=1)
+        a = prefix_ok.sum(axis=1)
+    else:
+        a = jnp.zeros((S,), jnp.int32)
+
+    # Resample distribution at each position: the proposal token masked
+    # out (norm(relu(p - q)) for delta drafts); at the bonus position
+    # (j == k, no proposal) nothing is masked.
+    j_idx = jnp.arange(kp1, dtype=jnp.int32)[None, :]
+    if k > 0:
+        mask_tok = jnp.concatenate(
+            [jnp.where(has_prop, props_c, V), jnp.full((S, 1), V,
+                                                       jnp.int32)],
+            axis=1)  # [S, k+1]; V = out of range -> no mask
+    else:
+        mask_tok = jnp.full((S, 1), V, jnp.int32)
+    vocab_ids = jnp.arange(V, dtype=jnp.int32)[None, None, :]
+    lp_masked = jnp.where(vocab_ids == mask_tok[:, :, None], NEG_INF, lp)
+
+    g_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, 0x5B))(keys)
+    gumbel = jax.vmap(
+        lambda kk: jax.random.gumbel(kk, (kp1, V), dtype=jnp.float32))(
+            g_keys)
+    noised = jnp.where(jnp.isfinite(lp_masked), lp_masked + gumbel,
+                       NEG_INF)
+    resample = jnp.argmax(noised, axis=-1).astype(jnp.int32)  # [S, k+1]
+
+    # Emitted token at output position j: the proposal for j < a; at
+    # j == a greedy rows take the target argmax, stochastic rows take
+    # the masked resample.
+    props_full = jnp.concatenate(
+        [props_c, jnp.zeros((S, 1), jnp.int32)], axis=1) if k > 0 else \
+        jnp.zeros((S, 1), jnp.int32)
+    chosen_at_reject = jnp.where(t.greedy_mask[:, None], target, resample)
+    tokens = jnp.where(j_idx < a[:, None], props_full, chosen_at_reject)
+    tokens_lp = jnp.take_along_axis(lp, tokens[..., None], axis=-1)[..., 0]
+    return SpecVerifyResult(tokens=tokens, valid_len=a + 1,
+                            tokens_logprob=tokens_lp)

@@ -588,14 +588,17 @@ class ModelRunner:
             return self._execute_multi(scheduled, S, tensors_dev, flags,
                                        num_steps)
 
-        # Speculative (n-gram) decode: greedy pure-decode batches.
+        # Speculative (n-gram) decode: pure-decode batches (greedy rows
+        # accept by argmax match; stochastic rows use exact rejection
+        # sampling under the shaped distribution).
         spec = self.config.speculative_config
         if (spec is not None and outputs.num_prefill_tokens == 0
-                and flags.all_greedy and not flags.needs_history
+                and not flags.needs_history
                 and not flags.do_min_tokens and not flags.do_banned_tokens
                 and not flags.do_beam and not flags.do_guided
                 and not has_lora):
-            result = self._execute_spec(scheduled, S, spec)
+            result = self._execute_spec(scheduled, S, spec, tensors_dev,
+                                        flags)
             if result is not None:
                 return result
 
@@ -704,7 +707,7 @@ class ModelRunner:
         return fn
 
     def _execute_spec(self, scheduled: List[ScheduledSequence], S: int,
-                      spec) -> Optional[StepResult]:
+                      spec, tensors_dev, flags) -> Optional[StepResult]:
         """N-gram speculative decode: one ragged verification forward
         scores k proposals + 1 bonus per sequence; greedy acceptance
         in-graph (sampling/spec_verify.py). Falls back to None when no
@@ -779,10 +782,10 @@ class ModelRunner:
             logits_indices=jnp.asarray(logits_idx[:, 0]),
         )
 
-        fn = self._get_spec_fn(k)
+        fn = self._get_spec_fn(k, flags)
         self.kv_pages, out = fn(self.params, self.kv_pages, batch,
                                 jnp.asarray(logits_idx),
-                                jnp.asarray(proposals))
+                                jnp.asarray(proposals), tensors_dev)
         tokens = np.asarray(out.tokens)[:n]  # [n, k+1]
         lps = np.asarray(out.tokens_logprob)[:n]
         valid = np.asarray(out.valid_len)[:n]
@@ -795,17 +798,16 @@ class ModelRunner:
             valid_lens=valid,
         )
 
-    def _get_spec_fn(self, k: int):
-        key = ("spec", k)
+    def _get_spec_fn(self, k: int, flags: SamplingFlags):
+        key = ("spec", k, flags)
         fn = self._multi_step_fns.get(key)
         if fn is not None:
             return fn
 
-        from aphrodite_tpu.sampling.spec_verify import (
-            verify_proposals_greedy)
+        from aphrodite_tpu.sampling.spec_verify import verify_proposals
 
         def spec_step(params, kv_pages, batch: ForwardBatch, logits_idx,
-                      proposals):
+                      proposals, tensors):
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
                 kv_scales=self.kv_scales)
@@ -813,7 +815,8 @@ class ModelRunner:
             sel = hidden[logits_idx.reshape(-1)]  # [S*(k+1), H]
             logits = self.model.compute_logits(params, sel)
             logits = logits.reshape(S, kp1, -1)
-            return kv_pages, verify_proposals_greedy(logits, proposals)
+            return kv_pages, verify_proposals(logits, proposals, tensors,
+                                              flags)
 
         fn = jax.jit(spec_step, donate_argnums=(1,))
         self._multi_step_fns[key] = fn

@@ -54,8 +54,8 @@ def test_ngram_spec_is_lossless_greedy(tiny_dir):
     assert got == expect
 
 
-def test_spec_with_sampling_falls_back(tiny_dir):
-    """Non-greedy requests must still work (spec path is bypassed)."""
+def test_spec_with_sampling_works(tiny_dir):
+    """Stochastic requests run through the rejection-sampling verifier."""
     llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
               num_device_blocks_override=128, block_size=8,
               speculative_model="[ngram]", num_speculative_tokens=4)
@@ -63,6 +63,49 @@ def test_spec_with_sampling_falls_back(tiny_dir):
                         ignore_eos=True)
     out = llm.generate(["one two three one two three"], sp)[0].outputs[0]
     assert len(out.token_ids) == 8
+    vocab = llm.engine.model_config.get_vocab_size()
+    assert all(0 <= t < vocab for t in out.token_ids)
+
+
+def test_rejection_sampling_preserves_distribution():
+    """Spec verification with a delta draft must sample from the target
+    distribution exactly (empirical check over many keys)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aphrodite_tpu.common.sampling_params import SamplingParams
+    from aphrodite_tpu.sampling.metadata import (SamplerInputRow,
+                                                 build_sampling_tensors)
+    from aphrodite_tpu.sampling.spec_verify import verify_proposals
+
+    V = 8
+    base_logits = np.array([2.0, 1.0, 0.5, 0.0, -1.0, -2.0, -3.0, -4.0],
+                           np.float32)
+    target = np.exp(base_logits) / np.exp(base_logits).sum()
+    N = 2048
+    logits = jnp.asarray(np.tile(base_logits, (N, 1, 1)))  # [N, 1, V]
+    proposals = jnp.full((N, 0), -1, jnp.int32)  # k=0: bonus-only path
+    rows = [SamplerInputRow(params=SamplingParams(temperature=1.0, seed=s),
+                            token_ids=[1], prompt_len=1, generated_len=0,
+                            seed=s) for s in range(N)]
+    t, flags, _, _ = build_sampling_tensors(rows, N, V)
+    t = jax.tree.map(jnp.asarray, t)
+    out = jax.jit(lambda lg, tt: verify_proposals(lg, proposals, tt,
+                                                  flags))(logits, t)
+    tokens = np.asarray(out.tokens)[:, 0]
+    freq = np.bincount(tokens, minlength=V) / N
+    np.testing.assert_allclose(freq, target, atol=0.05)
+
+    # With k=1 and a fixed proposal: overall output distribution of the
+    # FIRST emitted token must still equal the target.
+    k_logits = jnp.asarray(np.tile(base_logits, (N, 2, 1)))
+    props = jnp.full((N, 1), 1, jnp.int32)  # always propose token 1
+    out2 = jax.jit(lambda lg, tt: verify_proposals(lg, props, tt,
+                                                   flags))(k_logits, t)
+    first = np.asarray(out2.tokens)[:, 0]
+    freq2 = np.bincount(first, minlength=V) / N
+    np.testing.assert_allclose(freq2, target, atol=0.05)
 
 
 def test_spec_multi_step_conflict_rejected(tiny_dir):

@@ -1,0 +1,129 @@
+"""On-device kernel verification (run on a real TPU chip).
+
+Checks the hand-written Pallas kernels and quantized matmuls against
+their jnp oracles on hardware — the CPU test suite exercises the oracle
+paths, so this is the one place the TPU-only code paths get validated
+numerically.
+
+Usage: python tools/tpu_kernel_smoke.py
+"""
+
+import sys
+
+import numpy as np
+
+
+def check(name, got, want, rtol, atol=1e-2):
+    err = np.max(np.abs(np.asarray(got, np.float32) -
+                        np.asarray(want, np.float32)))
+    rel = err / (np.max(np.abs(want)) + 1e-9)
+    ok = rel <= rtol or err <= atol
+    print(f"{'PASS' if ok else 'FAIL'} {name}: max_err={err:.5f} "
+          f"rel={rel:.5f}")
+    return ok
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() in ("tpu", "axon"), (
+        "run this on the TPU (plain `python`, no PYTHONPATH override)")
+    ok = True
+    rng = np.random.default_rng(0)
+
+    # 1. Fused int4 dequant-matmul Pallas kernel vs reference.
+    from aphrodite_tpu.ops.quant_matmul import (int4_matmul_pallas,
+                                                int4_matmul_ref)
+    from aphrodite_tpu.quantization.int4 import quantize_from_float
+
+    K, N, T, G = 1024, 1024, 256, 128
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    c = quantize_from_float(w, group=G)
+    x = rng.standard_normal((T, K)).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    q4 = jnp.asarray(c["q4"])
+    sc = jnp.asarray(c["scale"])
+    z = jnp.asarray(c["zero"])
+    got = jax.jit(lambda *a: int4_matmul_pallas(*a, group=G))(xb, q4, sc, z)
+    want = int4_matmul_ref(jnp.asarray(x), q4, sc, z, G)
+    ok &= check("int4_matmul_pallas", got, want, rtol=2e-2)
+
+    # 2. Ragged paged attention kernel vs jnp oracle (mixed batch).
+    from aphrodite_tpu.ops.attention import (_kernel_attention,
+                                             ref_ragged_paged_attention)
+
+    S, pages_per_seq, page_size, KVH, QH, D = 4, 8, 16, 2, 8, 128
+    num_pages = S * pages_per_seq + 1
+    kv_pages = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, 2 * KVH, D)) * 0.3,
+        jnp.bfloat16)
+    q_lens = [17, 1, 5, 1]  # mixed prefill + decode
+    kv_lens_list = [17, 40, 33, 9]
+    T2 = sum(q_lens)
+    Tpad = 32
+    q = jnp.asarray(rng.standard_normal((Tpad, QH, D)) * 0.3, jnp.bfloat16)
+    kv_lens = jnp.asarray(kv_lens_list, jnp.int32)
+    page_indices = jnp.asarray(
+        np.arange(S * pages_per_seq, dtype=np.int32).reshape(S, -1))
+    cu = np.zeros(S + 1, np.int32)
+    cu[1:] = np.cumsum(q_lens)
+    cu_q_lens = jnp.asarray(cu)
+    num_seqs = jnp.asarray([S], jnp.int32)
+    kw = dict(sm_scale=0.125, sliding_window=None, soft_cap=None,
+              k_scale=None, v_scale=None)
+    got = jax.jit(lambda *a: _kernel_attention(*a, **kw))(
+        q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs)
+    want = ref_ragged_paged_attention(q, kv_pages, kv_lens, page_indices,
+                                      cu_q_lens, num_seqs, sm_scale=0.125)
+    ok &= check("ragged_paged_attention_kernel",
+                np.asarray(got)[:T2], np.asarray(want)[:T2], rtol=3e-2)
+
+    # 3. fp8 W8A8 matmul on device.
+    from aphrodite_tpu.quantization import fp8
+    from aphrodite_tpu.quantization.qlinear import qmatmul
+
+    w2 = rng.standard_normal((512, 512)).astype(np.float32) * 0.05
+    c2 = jax.tree.map(jnp.asarray, fp8.quantize_from_float(w2))
+    x2 = rng.standard_normal((64, 512)).astype(np.float32)
+    got = jax.jit(qmatmul)(jnp.asarray(x2), c2)
+    ok &= check("fp8_w8a8_matmul", got, x2 @ w2, rtol=5e-2)
+
+    # 4. In-graph sampler with a stack of advanced stages.
+    import jax.numpy as jnp
+
+    from aphrodite_tpu.common.sampling_params import SamplingParams
+    from aphrodite_tpu.sampling.metadata import (SamplerInputRow,
+                                                 build_sampling_tensors)
+    from aphrodite_tpu.sampling.sampler import sample
+
+    V = 32000
+    logits = jnp.asarray(rng.standard_normal((8, V)), jnp.float32)
+    rows = [
+        SamplerInputRow(
+            params=SamplingParams(temperature=0.8, top_p=0.9, top_k=40,
+                                  min_p=0.02, tfs=0.95,
+                                  repetition_penalty=1.1,
+                                  dry_multiplier=0.5, seed=i),
+            token_ids=list(range(50)), prompt_len=40, generated_len=10,
+            seed=i) for i in range(8)
+    ]
+    t, flags, history, hl = build_sampling_tensors(rows, 8, V,
+                                                   history_pad=128)
+    out = jax.jit(lambda lg, tt, h, hlens, plens: sample(
+        lg, tt, flags, h, hlens, plens))(
+            logits, jax.tree.map(jnp.asarray, t), jnp.asarray(history),
+            jnp.asarray(hl[0]), jnp.asarray(hl[1]))
+    sampled = np.asarray(out.sampled)
+    in_range = ((sampled >= 0) & (sampled < V)).all()
+    finite = np.isfinite(np.asarray(out.sampled_logprob)).all()
+    print(f"{'PASS' if in_range and finite else 'FAIL'} sampler_advanced: "
+          f"tokens={sampled.tolist()}")
+    ok &= bool(in_range and finite)
+
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
