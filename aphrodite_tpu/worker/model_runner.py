@@ -825,9 +825,10 @@ class ModelRunner:
     # Window size of the compiled fused-decode program. Larger requests
     # chain windows with device-resident carry (tokens/positions/KV), so
     # one compiled program serves any num_scheduler_steps and the host
-    # syncs ONCE per schedule — XLA's async dispatch queues the windows
-    # back-to-back on the device.
-    MULTI_STEP_WINDOW = 8
+    # syncs ONCE per schedule. Measured on the axon relay: each device
+    # CALL costs ~400ms regardless of work, so the window is sized to
+    # match num_scheduler_steps up to 32 (one call per schedule).
+    MULTI_STEP_WINDOW = 32
 
     def _execute_multi(self, scheduled: List[ScheduledSequence], S: int,
                        tensors_dev, flags: SamplingFlags,
