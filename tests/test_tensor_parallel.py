@@ -1,0 +1,62 @@
+"""Tensor/expert-parallel equivalence on the virtual 8-device CPU mesh.
+
+Reference strategy (tests/utils.py compare_two_settings): a TP-sharded
+engine must produce the same greedy tokens as the unsharded one.
+The reference needs real multi-GPU hardware for this; we run it on
+virtual devices (SURVEY.md §4 takeaway).
+"""
+
+import pytest
+
+from aphrodite_tpu import LLM, SamplingParams
+
+PROMPTS = ["the quick brown fox", "hello world, this is"]
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    from tests.utils import make_tiny_llama_checkpoint
+
+    path = str(tmp_path_factory.mktemp("tiny_llama_tp"))
+    make_tiny_llama_checkpoint(path)
+    return path
+
+
+def test_tp2_matches_tp1(tiny_dir):
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    tp1 = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8)
+    expect = [o.outputs[0].token_ids for o in tp1.generate(PROMPTS, sp)]
+    del tp1
+
+    tp2 = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8,
+              tensor_parallel_size=2)
+    got = [o.outputs[0].token_ids for o in tp2.generate(PROMPTS, sp)]
+    assert got == expect
+
+
+def test_mixtral_ep2_matches_ep1(tmp_path):
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=False, num_local_experts=4,
+        num_experts_per_tok=2)
+    model_dir = str(tmp_path / "mixtral")
+    make_tiny_checkpoint(model_dir, cfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    base = LLM(model=model_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8)
+    expect = [o.outputs[0].token_ids for o in base.generate(PROMPTS, sp)]
+    del base
+
+    ep2 = LLM(model=model_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8,
+              tensor_parallel_size=2)
+    got = [o.outputs[0].token_ids for o in ep2.generate(PROMPTS, sp)]
+    assert got == expect
