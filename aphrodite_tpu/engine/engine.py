@@ -223,8 +223,13 @@ class AphroditeEngine:
     # ------------------------------------------------------------------
 
     def step(self) -> List[RequestOutput]:
+        import os
+
+        trace = os.environ.get("APHRODITE_TPU_STEP_TIMING") == "1"
+        t0 = time.monotonic()
         scheduler_outputs = self.scheduler.schedule()
-        now = time.monotonic()
+        t_sched = time.monotonic()
+        now = t_sched
         if scheduler_outputs.is_empty():
             return self._make_outputs(scheduler_outputs.ignored, set())
 
@@ -234,6 +239,14 @@ class AphroditeEngine:
         result = self.runner.execute(
             scheduler_outputs,
             num_steps=self.scheduler_config.num_scheduler_steps)
+        t_exec = time.monotonic()
+        if trace:
+            logger.info(
+                "step timing: schedule=%.1fms execute=%.1fms "
+                "(%d seqs, %d prefill tok)",
+                (t_sched - t0) * 1e3, (t_exec - t_sched) * 1e3,
+                len(scheduler_outputs.scheduled),
+                scheduler_outputs.num_prefill_tokens)
         num_steps_done = result.sampled.shape[0]
 
         # Advance computed-token counters BEFORE appending new tokens (the
@@ -247,6 +260,7 @@ class AphroditeEngine:
         touched = set()
         now = time.monotonic()
         beam_groups: Dict[int, List] = {}
+        self._tokens_appended_iter = 0
         for i, ss in enumerate(scheduler_outputs.scheduled):
             seq = ss.seq
             group = self._groups.get(ss.group.request_id)
@@ -270,6 +284,7 @@ class AphroditeEngine:
                 token_id = int(result.sampled[k, i])
                 logprob_val = float(result.sampled_logprob[k, i])
                 seq.append_token_id(token_id, logprob_val)
+                self._tokens_appended_iter += 1
                 if seq.fsm is not None:
                     seq.fsm_state = seq.fsm.next_state(seq.fsm_state,
                                                        token_id)
@@ -309,6 +324,10 @@ class AphroditeEngine:
 
         self.scheduler.free_finished_seq_groups()
         self._log_stats(scheduler_outputs, now)
+        if trace:
+            logger.info("step timing: process=%.1fms (%d tokens appended)",
+                        (time.monotonic() - t_exec) * 1e3,
+                        self._tokens_appended_iter)
         ignored = scheduler_outputs.ignored
         return self._make_outputs(ignored, touched)
 
@@ -323,7 +342,11 @@ class AphroditeEngine:
             prefix_cache_hit_rate=bm.get_prefix_cache_hit_rate(),
             num_preemptions_iter=len(scheduler_outputs.preempted),
             num_prompt_tokens_iter=scheduler_outputs.num_prefill_tokens,
-            num_generation_tokens_iter=scheduler_outputs.num_decode_tokens,
+            # Actual appended count (multi-step/spec produce several
+            # tokens per scheduled decode row).
+            num_generation_tokens_iter=getattr(
+                self, "_tokens_appended_iter",
+                scheduler_outputs.num_decode_tokens),
         )
         for ss in scheduler_outputs.scheduled:
             m = ss.group.metrics

@@ -79,6 +79,15 @@ def main() -> int:
     ok &= check("ragged_paged_attention_kernel",
                 np.asarray(got)[:T2], np.asarray(want)[:T2], rtol=3e-2)
 
+    # 2b. Quantized-KV attention (fp8-e5m2 cache) on device.
+    kv_f8 = kv_pages.astype(jnp.float8_e5m2)
+    got = jax.jit(lambda *a: _kernel_attention(*a, **kw))(
+        q, kv_f8, kv_lens, page_indices, cu_q_lens, num_seqs)
+    want = ref_ragged_paged_attention(q, kv_f8, kv_lens, page_indices,
+                                      cu_q_lens, num_seqs, sm_scale=0.125)
+    ok &= check("ragged_paged_attention_fp8kv",
+                np.asarray(got)[:T2], np.asarray(want)[:T2], rtol=8e-2)
+
     # 3. fp8 W8A8 matmul on device.
     from aphrodite_tpu.quantization import fp8
     from aphrodite_tpu.quantization.qlinear import qmatmul
