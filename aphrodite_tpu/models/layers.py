@@ -34,6 +34,20 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6,
     return out, residual
 
 
+def layer_norm(x: jax.Array, weight: jax.Array,
+               bias: Optional[jax.Array] = None,
+               eps: float = 1e-5) -> jax.Array:
+    """Standard LayerNorm (mean-centered; starcoder2/opt-family)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean)**2, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def silu_and_mul(gate: jax.Array, up: jax.Array) -> jax.Array:
     return jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
 

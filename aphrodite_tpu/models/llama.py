@@ -24,8 +24,8 @@ from aphrodite_tpu.common.config import ModelConfig, ParallelConfig
 from aphrodite_tpu.common.logger import init_logger
 from aphrodite_tpu.models.interface import ForwardBatch
 from aphrodite_tpu.models.layers import (apply_rope, compute_rope_tables,
-                                         gelu_and_mul, rms_norm,
-                                         silu_and_mul)
+                                         gelu_and_mul, layer_norm,
+                                         rms_norm, silu_and_mul)
 from aphrodite_tpu.ops.attention import ragged_paged_attention
 from aphrodite_tpu.ops.kv_cache import write_kv
 from aphrodite_tpu.quantization.qlinear import qmatmul
@@ -48,6 +48,14 @@ class LlamaForCausalLM:
     tie_word_embeddings_default: bool = False
     # RMSNorm computes x * (offset + w): llama 0 + w, gemma 1 + w.
     norm_weight_offset: float = 0.0
+    # "rms" (llama) or "layernorm" (starcoder2: mean-centered + bias).
+    norm_type: str = "rms"
+    # Gated (SwiGLU/GeGLU) vs plain two-matmul MLP (starcoder2).
+    gated_mlp: bool = True
+    # Bias on MLP projections (starcoder2).
+    mlp_bias: bool = False
+    # Bias on the attention output projection.
+    o_proj_bias: bool = False
     # Multiply token embeddings by sqrt(hidden) (gemma).
     scale_embeddings: bool = False
     # MLP activation: "silu" (llama) or "gelu_tanh" (gemma).
@@ -115,15 +123,32 @@ class LlamaForCausalLM:
                 "wv": (L, H, NKV * D),
                 "wo": (L, NH * D, H),
                 "post_norm": (L, H),
+            },
+        }
+        if self.gated_mlp:
+            shapes["layers"].update({
                 "gate": (L, H, F),
                 "up": (L, H, F),
                 "down": (L, F, H),
-            },
-        }
+            })
+        else:
+            shapes["layers"].update({
+                "fc1": (L, H, F),
+                "fc2": (L, F, H),
+            })
+            if self.mlp_bias:
+                shapes["layers"]["fc1_b"] = (L, F)
+                shapes["layers"]["fc2_b"] = (L, H)
         if self.attention_bias:
             shapes["layers"]["bq"] = (L, NH * D)
             shapes["layers"]["bk"] = (L, NKV * D)
             shapes["layers"]["bv"] = (L, NKV * D)
+        if self.o_proj_bias:
+            shapes["layers"]["bo"] = (L, H)
+        if self.norm_type == "layernorm":
+            shapes["layers"]["input_norm_b"] = (L, H)
+            shapes["layers"]["post_norm_b"] = (L, H)
+            shapes["final_norm_b"] = (H,)
         if not self.tie_word_embeddings:
             shapes["lm_head"] = (H, V)
         return shapes
@@ -139,15 +164,32 @@ class LlamaForCausalLM:
                 "wv": P(None, None, "model"),
                 "wo": P(None, "model", None),
                 "post_norm": P(),
+            },
+        }
+        if self.gated_mlp:
+            specs["layers"].update({
                 "gate": P(None, None, "model"),
                 "up": P(None, None, "model"),
                 "down": P(None, "model", None),
-            },
-        }
+            })
+        else:
+            specs["layers"].update({
+                "fc1": P(None, None, "model"),
+                "fc2": P(None, "model", None),
+            })
+            if self.mlp_bias:
+                specs["layers"]["fc1_b"] = P(None, "model")
+                specs["layers"]["fc2_b"] = P()
         if self.attention_bias:
             specs["layers"]["bq"] = P(None, "model")
             specs["layers"]["bk"] = P(None, "model")
             specs["layers"]["bv"] = P(None, "model")
+        if self.o_proj_bias:
+            specs["layers"]["bo"] = P()
+        if self.norm_type == "layernorm":
+            specs["layers"]["input_norm_b"] = P()
+            specs["layers"]["post_norm_b"] = P()
+            specs["final_norm_b"] = P()
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
         return specs
@@ -156,8 +198,10 @@ class LlamaForCausalLM:
         """Param paths eligible for weight quantization (the Linear-layer
         set; embeddings/norms/lm_head stay full precision, matching the
         reference's LinearMethod scope)."""
-        return ["layers.wq", "layers.wk", "layers.wv", "layers.wo",
-                "layers.gate", "layers.up", "layers.down"]
+        attn = ["layers.wq", "layers.wk", "layers.wv", "layers.wo"]
+        if self.gated_mlp:
+            return attn + ["layers.gate", "layers.up", "layers.down"]
+        return attn + ["layers.fc1", "layers.fc2"]
 
     def kv_cache_spec(self) -> P:
         """Sharding of each layer-stacked kv_pages array
@@ -210,10 +254,37 @@ class LlamaForCausalLM:
             ("model.layers.{i}.self_attn.o_proj.weight", "layers.wo", True),
             ("model.layers.{i}.post_attention_layernorm.weight",
              "layers.post_norm", False),
-            ("model.layers.{i}.mlp.gate_proj.weight", "layers.gate", True),
-            ("model.layers.{i}.mlp.up_proj.weight", "layers.up", True),
-            ("model.layers.{i}.mlp.down_proj.weight", "layers.down", True),
         ]
+        if self.gated_mlp:
+            maps += [
+                ("model.layers.{i}.mlp.gate_proj.weight", "layers.gate",
+                 True),
+                ("model.layers.{i}.mlp.up_proj.weight", "layers.up", True),
+                ("model.layers.{i}.mlp.down_proj.weight", "layers.down",
+                 True),
+            ]
+        else:
+            maps += [
+                ("model.layers.{i}.mlp.c_fc.weight", "layers.fc1", True),
+                ("model.layers.{i}.mlp.c_proj.weight", "layers.fc2", True),
+            ]
+            if self.mlp_bias:
+                maps += [
+                    ("model.layers.{i}.mlp.c_fc.bias", "layers.fc1_b",
+                     False),
+                    ("model.layers.{i}.mlp.c_proj.bias", "layers.fc2_b",
+                     False),
+                ]
+        if self.o_proj_bias:
+            maps.append(("model.layers.{i}.self_attn.o_proj.bias",
+                         "layers.bo", False))
+        if self.norm_type == "layernorm":
+            maps += [
+                ("model.layers.{i}.input_layernorm.bias",
+                 "layers.input_norm_b", False),
+                ("model.layers.{i}.post_attention_layernorm.bias",
+                 "layers.post_norm_b", False),
+            ]
         if self.attention_bias:
             maps += [
                 ("model.layers.{i}.self_attn.q_proj.bias", "layers.bq",
@@ -230,6 +301,8 @@ class LlamaForCausalLM:
             ("model.embed_tokens.weight", "embed", False),
             ("model.norm.weight", "final_norm", False),
         ]
+        if self.norm_type == "layernorm":
+            maps.append(("model.norm.bias", "final_norm_b", False))
         if not self.tie_word_embeddings:
             maps.append(("lm_head.weight", "lm_head", True))
         return maps
@@ -308,7 +381,7 @@ class LlamaForCausalLM:
 
         def layer_fn(x, scanned):
             lp, pages, k_scale, v_scale, la = scanned
-            h = self._norm(x, lp["input_norm"])
+            h = self._norm(x, lp["input_norm"], lp.get("input_norm_b"))
             q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
             k = lora_add(qmatmul(h, lp["wk"]), h, la, "wk")
             v = lora_add(qmatmul(h, lp["wv"]), h, la, "wv")
@@ -319,6 +392,7 @@ class LlamaForCausalLM:
             q = q.astype(self.dtype).reshape(-1, NH, D)
             k = k.astype(self.dtype).reshape(-1, NKV, D)
             v = v.astype(self.dtype).reshape(-1, NKV, D)
+            q, k = self.qk_norm(q, k, lp)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             pages = write_kv(pages, k, v, batch.slot_mapping,
@@ -342,8 +416,10 @@ class LlamaForCausalLM:
                 attn = attn * v_scale.astype(attn.dtype)
             attn = attn.reshape(-1, NH * D)
             o = lora_add(qmatmul(attn, lp["wo"]), attn, la, "wo")
+            if "bo" in lp:
+                o = o + lp["bo"]
             x = x + o.astype(self.dtype)
-            h = self._norm(x, lp["post_norm"])
+            h = self._norm(x, lp["post_norm"], lp.get("post_norm_b"))
             x = x + self.mlp(lp, h, mesh=mesh, lora=la,
                              lora_add=lora_add).astype(self.dtype)
             return x, pages
@@ -354,12 +430,21 @@ class LlamaForCausalLM:
         x, new_kv_pages = jax.lax.scan(layer_fn, x,
                                        (layer_params, kv_pages, k_scales,
                                         v_scales, lora_scan))
-        x = self._norm(x, params["final_norm"])
+        x = self._norm(x, params["final_norm"], params.get("final_norm_b"))
         return new_kv_pages, x
 
-    def _norm(self, x: jax.Array, weight: jax.Array) -> jax.Array:
+    def qk_norm(self, q: jax.Array, k: jax.Array,
+                lp: Dict[str, Any]) -> Tuple[jax.Array, jax.Array]:
+        """Per-head query/key normalization hook (identity for Llama;
+        Qwen3 overrides with head-dim RMSNorm)."""
+        return q, k
+
+    def _norm(self, x: jax.Array, weight: jax.Array,
+              bias: Optional[jax.Array] = None) -> jax.Array:
         w = weight + self.norm_weight_offset if self.norm_weight_offset \
             else weight
+        if self.norm_type == "layernorm":
+            return layer_norm(x, w, bias, self.rms_eps)
         out, _ = rms_norm(x, w, self.rms_eps)
         return out
 
@@ -370,6 +455,17 @@ class LlamaForCausalLM:
             if lora_add is None:
                 return y
             return lora_add(y, h_in, lora, module)
+
+        if not self.gated_mlp:
+            up = qmatmul(h, lp["fc1"])
+            if "fc1_b" in lp:
+                up = up + lp["fc1_b"]
+            act = jax.nn.gelu(up.astype(jnp.float32),
+                              approximate=True).astype(self.dtype)
+            out = qmatmul(act, lp["fc2"])
+            if "fc2_b" in lp:
+                out = out + lp["fc2_b"]
+            return out
 
         gate = maybe_lora(qmatmul(h, lp["gate"]), h, "gate")
         up = maybe_lora(qmatmul(h, lp["up"]), h, "up")

@@ -39,6 +39,9 @@ _MODEL_REGISTRY: Dict[str, Type[LlamaForCausalLM]] = {
 
 # Lazily imported architectures (reference models/__init__.py lazy import).
 _LAZY_REGISTRY = {
+    "Qwen3ForCausalLM": _lazy("qwen3", "Qwen3ForCausalLM"),
+    "Starcoder2ForCausalLM": _lazy("starcoder2",
+                                   "Starcoder2ForCausalLM"),
     "MixtralForCausalLM": _lazy("mixtral", "MixtralForCausalLM"),
     "GemmaForCausalLM": _lazy("gemma", "GemmaForCausalLM"),
     "Gemma2ForCausalLM": _lazy("gemma", "Gemma2ForCausalLM"),

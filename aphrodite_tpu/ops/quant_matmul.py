@@ -43,7 +43,11 @@ def _kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group: int,
     """One [bt, bk] x [bk, bn] tile: dequant q in VMEM, matmul on MXU.
 
     Grid: (T/bt, N/bn, K/bk); K is the innermost (sequential) axis and
-    accumulates into acc_ref (f32 VMEM scratch).
+    accumulates into acc_ref (f32 VMEM scratch). s_ref/z_ref hold the
+    FULL K-range of group scales for this n-tile (Mosaic requires
+    sublane-divisible or full-dim blocks; a (bk/group, bn) block with
+    bk == group would be a single row) — the k-tile's rows are sliced
+    in-kernel.
     """
     k_idx = pl.program_id(2)
 
@@ -52,10 +56,12 @@ def _kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[:].astype(jnp.float32)  # [bk, bn]
-    # Per-group scale/zero: block_k is a multiple of `group`, so the
-    # scale rows for this block are s_ref[bk/group, bn] repeated.
-    s = jnp.repeat(s_ref[:], group, axis=0)  # [bk, bn]
-    z = jnp.repeat(z_ref[:], group, axis=0)
+    rows_per_blk = block_k // group
+    row0 = k_idx * rows_per_blk
+    s = s_ref[pl.ds(row0, rows_per_blk), :]  # [bk/group, bn]
+    z = z_ref[pl.ds(row0, rows_per_blk), :]
+    s = jnp.repeat(s, group, axis=0)  # [bk, bn]
+    z = jnp.repeat(z, group, axis=0)
     w = ((q - z) * s).astype(x_ref.dtype)
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
@@ -90,11 +96,11 @@ def int4_matmul_pallas(x, q4, scale, zero, group: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, block_n), lambda t, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // group, block_n),
-                         lambda t, n, k: (k, n),
+            pl.BlockSpec((K // group, block_n),
+                         lambda t, n, k: (0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // group, block_n),
-                         lambda t, n, k: (k, n),
+            pl.BlockSpec((K // group, block_n),
+                         lambda t, n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_t, block_n), lambda t, n, k: (t, n),

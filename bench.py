@@ -59,6 +59,11 @@ def main() -> None:
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     num_steps = int(os.environ.get("APHRODITE_BENCH_STEPS", "32"))
+    # APHRODITE_BENCH_QUANT=gptq runs the int4 fused-kernel path and
+    # APHRODITE_BENCH_KV=fp8 the quantized cache (north-star config;
+    # the default metric stays bf16 for round-over-round comparability).
+    quant = os.environ.get("APHRODITE_BENCH_QUANT") or None
+    kv_dtype = os.environ.get("APHRODITE_BENCH_KV", "auto")
     if on_tpu:
         batch, prompt_len, decode_len = 64, 128, 128
         dtype = "bfloat16"
@@ -73,6 +78,8 @@ def main() -> None:
         llm = LLM(
             model=model_dir,
             dtype=dtype,
+            quantization=quant,
+            kv_cache_dtype=kv_dtype,
             load_format="dummy",
             skip_tokenizer_init=True,
             max_num_seqs=batch,
@@ -112,9 +119,12 @@ def main() -> None:
         decode_time = max(elapsed - prefill_time, 1e-6)
         toks_per_s = total_decode_tokens / decode_time
 
+    suffix = f"_{quant}" if quant else ""
+    if kv_dtype != "auto":
+        suffix += f"_kv{kv_dtype}"
     print(json.dumps({
-        "metric": "decode_throughput_1p4b_bf16" if on_tpu else
-                  "decode_throughput_1p4b_cpu_smoke",
+        "metric": (f"decode_throughput_1p4b_bf16{suffix}" if on_tpu else
+                   f"decode_throughput_1p4b_cpu_smoke{suffix}"),
         "value": round(toks_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(toks_per_s / NORTH_STAR_TOKS_PER_S, 3),

@@ -50,12 +50,21 @@ def _config(arch):
     if arch == "phi3":
         return tf.Phi3Config(pad_token_id=0, bos_token_id=1,
                              eos_token_id=2, **COMMON)
+    if arch == "qwen3":
+        kw = dict(COMMON)
+        kw["head_dim"] = 16
+        return tf.Qwen3Config(**kw)
+    if arch == "starcoder2":
+        kw = dict(COMMON)
+        kw.pop("tie_word_embeddings")
+        return tf.Starcoder2Config(tie_word_embeddings=True,
+                                   sliding_window=32, **kw)
     raise ValueError(arch)
 
 
 @pytest.mark.parametrize("arch",
                          ["qwen2", "mistral", "mixtral", "gemma", "gemma2",
-                          "phi3"])
+                          "phi3", "qwen3", "starcoder2"])
 def test_arch_greedy_matches_hf(arch, tmp_path):
     model_dir = str(tmp_path / arch)
     make_tiny_checkpoint(model_dir, _config(arch))

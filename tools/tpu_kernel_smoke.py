@@ -8,9 +8,13 @@ numerically.
 Usage: python tools/tpu_kernel_smoke.py
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def check(name, got, want, rtol, atol=1e-2):
