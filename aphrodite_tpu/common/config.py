@@ -188,6 +188,7 @@ class ParallelConfig:
     def mesh_shape(self) -> Dict[str, int]:
         return {
             "data": self.data_parallel_size,
+            "pipe": self.pipeline_parallel_size,
             "model": self.tensor_parallel_size,
         }
 
@@ -330,6 +331,17 @@ class EngineConfig:
             raise ValueError(
                 f"num_attention_heads ({heads}) must be divisible by "
                 f"tensor_parallel_size ({tp})")
+        pp = self.parallel_config.pipeline_parallel_size
+        if pp > 1:
+            layers = self.model_config.get_num_layers()
+            if layers % pp != 0:
+                raise ValueError(
+                    f"num_hidden_layers ({layers}) must be divisible by "
+                    f"pipeline_parallel_size ({pp})")
+            if tp != 1:
+                raise ValueError(
+                    "combined pipeline x tensor parallelism is not wired "
+                    "yet; use pp with tp=1 (or tp alone)")
 
     def max_pages_per_seq(self) -> int:
         return cdiv(self.model_config.max_model_len,

@@ -192,6 +192,13 @@ class LlamaForCausalLM:
             specs["final_norm_b"] = P()
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
+        if self.parallel_config.pipeline_parallel_size > 1:
+            # Layer-stacked arrays shard their leading [L] dim over the
+            # "pipe" axis (each stage holds its layer slice).
+            specs["layers"] = {
+                k: P("pipe", *tuple(v)[1:]) for k, v in
+                specs["layers"].items()
+            }
         return specs
 
     def quantizable_weights(self) -> List[str]:
@@ -205,8 +212,11 @@ class LlamaForCausalLM:
 
     def kv_cache_spec(self) -> P:
         """Sharding of each layer-stacked kv_pages array
-        [L, num_pages, page_size, 2*KV, D]: KV heads over "model"."""
-        return P(None, None, None, "model", None)
+        [L, num_pages, page_size, 2*KV, D]: KV heads over "model",
+        layers over "pipe" under pipeline parallelism."""
+        pipe = "pipe" if \
+            self.parallel_config.pipeline_parallel_size > 1 else None
+        return P(pipe, None, None, "model", None)
 
     @property
     def kv_cache_shape_suffix(self) -> Tuple[int, int]:
@@ -365,6 +375,11 @@ class LlamaForCausalLM:
 
         layer_params = params["layers"]
         has_bias = "bq" in layer_params
+        # Under pipeline parallelism the layer body runs inside a manual
+        # "pipe" shard_map; tp is 1 there (config-validated), so the
+        # attention op must not open its own nested "model" shard_map.
+        inner_mesh = mesh if \
+            self.parallel_config.pipeline_parallel_size == 1 else None
 
         use_lora = lora is not None and batch.lora_sorted_idx is not None
 
@@ -409,7 +424,7 @@ class LlamaForCausalLM:
                 sm_scale=self.sm_scale,
                 sliding_window=self.sliding_window,
                 soft_cap=self.attn_softcap or None,
-                mesh=mesh,
+                mesh=inner_mesh,
                 use_kernel=use_attention_kernel,
             )
             if v_scale is not None:
@@ -420,18 +435,78 @@ class LlamaForCausalLM:
                 o = o + lp["bo"]
             x = x + o.astype(self.dtype)
             h = self._norm(x, lp["post_norm"], lp.get("post_norm_b"))
-            x = x + self.mlp(lp, h, mesh=mesh, lora=la,
+            x = x + self.mlp(lp, h, mesh=inner_mesh, lora=la,
                              lora_add=lora_add).astype(self.dtype)
             return x, pages
 
         k_scales, v_scales = kv_scales if kv_scales is not None else (None,
                                                                       None)
         lora_scan = lora if use_lora else None
-        x, new_kv_pages = jax.lax.scan(layer_fn, x,
-                                       (layer_params, kv_pages, k_scales,
-                                        v_scales, lora_scan))
+        pp = self.parallel_config.pipeline_parallel_size
+        if pp > 1 and mesh is not None:
+            x, new_kv_pages = self._layers_pipeline(
+                layer_fn, x, layer_params, kv_pages, k_scales, v_scales,
+                lora_scan, mesh, pp)
+        else:
+            x, new_kv_pages = jax.lax.scan(layer_fn, x,
+                                           (layer_params, kv_pages,
+                                            k_scales, v_scales, lora_scan))
         x = self._norm(x, params["final_norm"], params.get("final_norm_b"))
         return new_kv_pages, x
+
+    @staticmethod
+    def _layers_pipeline(layer_fn, x, layer_params, kv_pages, k_scales,
+                         v_scales, lora_scan, mesh, pp: int):
+        """Pipeline-parallel layer execution.
+
+        The stacked [L, ...] params and KV pages are sharded over the
+        "pipe" mesh axis (each stage holds L/pp layers — the memory
+        point of PP, reference parallel_state.py:1028 + IntermediateTensors
+        send/recv). Execution is staged SPMD: stage s runs its local
+        layer scan when active, then hands activations to s+1 via
+        ppermute — the TPU-native form of the reference's NCCL
+        send/recv pipeline (worker_base.py:291-330).
+        """
+        from jax.sharding import PartitionSpec as P
+
+        def body(local_layers, local_kv, local_ks, local_vs, local_lora,
+                 x):
+            my = jax.lax.axis_index("pipe")
+            perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+            def stage_step(carry, s):
+                x, kv = carry
+
+                def run(args):
+                    xx, kv_in = args
+                    yy, kv_out = jax.lax.scan(
+                        layer_fn, xx,
+                        (local_layers, kv_in, local_ks, local_vs,
+                         local_lora))
+                    return yy, kv_out
+
+                x, kv = jax.lax.cond(my == s, run, lambda a: a, (x, kv))
+                x = jax.lax.ppermute(x, "pipe", perm)
+                return (x, kv), None
+
+            (x, kv), _ = jax.lax.scan(stage_step, (x, local_kv),
+                                      jnp.arange(pp))
+            # After pp hops the final activations sit on stage 0;
+            # broadcast them so every shard returns the same value.
+            x = jax.lax.psum(
+                jnp.where(my == 0, x, jnp.zeros_like(x)), "pipe")
+            return x, kv
+
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("pipe"), P("pipe"), P("pipe"), P("pipe"),
+                      P("pipe"), P()),
+            out_specs=(P(), P("pipe")),
+            axis_names={"pipe"},
+            check_vma=False,
+        )
+        return fn(layer_params, kv_pages, k_scales, v_scales, lora_scan, x)
 
     def qk_norm(self, q: jax.Array, k: jax.Array,
                 lp: Dict[str, Any]) -> Tuple[jax.Array, jax.Array]:

@@ -107,13 +107,99 @@ def int4_matmul_pallas(x, q4, scale, zero, group: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, N), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * N * K,
+            bytes_accessed=T * K * 2 + K * N // 2 + T * N * 4,
+            transcendentals=0,
+        ),
+    )(x, q4, scale, zero)
+    return out
+
+
+def _kernel_groupwise(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                      group: int, block_k: int):
+    """Decode-optimized tile: run the MXU on RAW int4 values and apply
+    group scales to the [bt, bn] partials instead of dequantizing the
+    whole [bk, bn] weight tile on the VPU.
+
+        out = sum_g s_g * (x_g @ q_g) - s_g z_g * rowsum(x_g)
+
+    VPU work per tile drops from O(bk*bn) to O(groups*bt*bn) — the
+    winning trade at decode batch sizes (bt << bk).
+    """
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    rows_per_blk = block_k // group
+    row0 = k_idx * rows_per_blk
+    x = x_ref[:]  # [bt, bk]
+    q = q_ref[:]  # [bk, bn] int8 values 0..15
+    acc = acc_ref[:]
+    for g in range(rows_per_blk):
+        xg = x[:, g * group:(g + 1) * group]
+        qg = q[g * group:(g + 1) * group, :].astype(x.dtype)
+        part = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
+        s = s_ref[row0 + g, :][None, :]  # [1, bn]
+        z = z_ref[row0 + g, :][None, :]
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + s * part - (s * z) * xsum
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def int4_matmul_pallas_groupwise(x, q4, scale, zero, group: int,
+                                 block_t: int = 64, block_n: int = 512,
+                                 block_k: Optional[int] = None):
+    """Group-wise MXU formulation (see _kernel_groupwise)."""
+    T, K = x.shape
+    N = q4.shape[-1]
+    if block_k is None:
+        block_k = max(group, 256)
+        while K % block_k != 0:
+            block_k //= 2
+            if block_k < group:
+                block_k = group
+                break
+    assert K % block_k == 0 and block_k % group == 0
+    block_t = min(block_t, T)
+    block_n = min(block_n, N)
+    grid = (pl.cdiv(T, block_t), pl.cdiv(N, block_n), K // block_k)
+    return pl.pallas_call(
+        functools.partial(_kernel_groupwise, group=group,
+                          block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, block_k), lambda t, n, k: (t, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda t, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // group, block_n), lambda t, n, k: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // group, block_n), lambda t, n, k: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, block_n), lambda t, n, k: (t, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * N * K,
             bytes_accessed=T * K * 2 + K * N + T * N * 4,
             transcendentals=0,
         ),
     )(x, q4, scale, zero)
-    return out
 
 
 def int4_matmul_dispatch(x, q4, scale, zero, group: int):
@@ -130,5 +216,9 @@ def int4_matmul_dispatch(x, q4, scale, zero, group: int):
     T, K = x.shape
     N = q4.shape[-1]
     if use_kernel and N % 128 == 0 and K % group == 0 and T >= 16:
+        if T <= 128:
+            # Decode shapes: VPU dequant of full weight tiles dominates;
+            # use the group-wise MXU formulation.
+            return int4_matmul_pallas_groupwise(x, q4, scale, zero, group)
         return int4_matmul_pallas(x, q4, scale, zero, group)
     return int4_matmul_ref(x, q4, scale, zero, group)

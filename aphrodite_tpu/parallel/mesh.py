@@ -27,39 +27,41 @@ from aphrodite_tpu.common.logger import init_logger
 
 logger = init_logger(__name__)
 
-MESH_AXES = ("data", "model")
+MESH_AXES = ("data", "pipe", "model")
 
 
 def build_mesh(
     parallel_config: ParallelConfig,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a (data, model) mesh.
+    """Create a (data, pipe, model) mesh.
 
     The "model" (TP) axis is laid out over the fastest interconnect
-    dimension so TP collectives ride ICI (scaling-book recipe).
+    dimension so TP collectives ride ICI (scaling-book recipe); "pipe"
+    (PP stages) sits between so stage hops use the next-fastest links.
     """
     if devices is None:
         devices = jax.devices()
     shape = parallel_config.mesh_shape()
-    dp, tp = shape["data"], shape["model"]
-    want = dp * tp
+    dp, pp, tp = shape["data"], shape["pipe"], shape["model"]
+    want = dp * pp * tp
     if want > len(devices):
         raise ValueError(
-            f"mesh needs {want} devices (data={dp} x model={tp}) but only "
-            f"{len(devices)} are visible")
+            f"mesh needs {want} devices (data={dp} x pipe={pp} x "
+            f"model={tp}) but only {len(devices)} are visible")
     devices = list(devices)[:want]
     if len(set(d.process_index for d in devices)) > 1:
         # Multi-host: hybrid ICI x DCN mesh.
         mesh_devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp, tp),
-            dcn_mesh_shape=(len(set(d.process_index for d in devices)), 1),
+            mesh_shape=(dp, pp, tp),
+            dcn_mesh_shape=(len(set(d.process_index
+                                    for d in devices)), 1, 1),
             devices=devices,
         )
     else:
-        mesh_devices = mesh_utils.create_device_mesh((dp, tp),
+        mesh_devices = mesh_utils.create_device_mesh((dp, pp, tp),
                                                      devices=devices)
-    return Mesh(np.asarray(mesh_devices).reshape(dp, tp), MESH_AXES)
+    return Mesh(np.asarray(mesh_devices).reshape(dp, pp, tp), MESH_AXES)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -60,3 +60,19 @@ def test_mixtral_ep2_matches_ep1(tmp_path):
               tensor_parallel_size=2)
     got = [o.outputs[0].token_ids for o in ep2.generate(PROMPTS, sp)]
     assert got == expect
+
+
+def test_pp2_matches_pp1(tiny_dir):
+    """Pipeline-parallel stages (layers sharded over 'pipe', staged
+    ppermute execution) must match the single-stage engine exactly."""
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    base = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8)
+    expect = [o.outputs[0].token_ids for o in base.generate(PROMPTS, sp)]
+    del base
+
+    pp2 = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8,
+              pipeline_parallel_size=2)
+    got = [o.outputs[0].token_ids for o in pp2.generate(PROMPTS, sp)]
+    assert got == expect

@@ -53,6 +53,45 @@ def main() -> int:
     want = int4_matmul_ref(jnp.asarray(x), q4, sc, z, G)
     ok &= check("int4_matmul_pallas", got, want, rtol=2e-2)
 
+    # 1b. Group-wise (decode) int4 kernel vs reference.
+    from aphrodite_tpu.ops.quant_matmul import int4_matmul_pallas_groupwise
+
+    Td = 64
+    xd = jnp.asarray(rng.standard_normal((Td, K)) * 0.3, jnp.bfloat16)
+    got = jax.jit(lambda *a: int4_matmul_pallas_groupwise(*a, group=G))(
+        xd, q4, sc, z)
+    want = int4_matmul_ref(xd.astype(jnp.float32), q4, sc, z, G)
+    ok &= check("int4_matmul_groupwise", got, want, rtol=2e-2)
+
+    # 1c. Microbenchmark: dense bf16 vs int4 variants at decode shape.
+    import time as _time
+
+    Kb, Nb = 2048, 8192
+    wb = rng.standard_normal((Kb, Nb)).astype(np.float32) * 0.05
+    cb = quantize_from_float(wb, group=128)
+    q4b, scb, zb = (jnp.asarray(cb["q4"]), jnp.asarray(cb["scale"]),
+                    jnp.asarray(cb["zero"]))
+    wb_bf = jnp.asarray(wb, jnp.bfloat16)
+    xb2 = jnp.asarray(rng.standard_normal((Td, Kb)) * 0.3, jnp.bfloat16)
+
+    def timeit(f, *args):
+        f(*args).block_until_ready()  # compile+warm
+        t0 = _time.monotonic()
+        for _ in range(20):
+            r = f(*args)
+        r.block_until_ready()
+        return (_time.monotonic() - t0) / 20 * 1e6  # us
+
+    t_dense = timeit(jax.jit(lambda a, b: jnp.dot(
+        a, b, preferred_element_type=jnp.float32)), xb2, wb_bf)
+    t_deq = timeit(jax.jit(lambda *a: int4_matmul_pallas(*a, group=128)),
+                   xb2, q4b, scb, zb)
+    t_grp = timeit(jax.jit(
+        lambda *a: int4_matmul_pallas_groupwise(*a, group=128)),
+        xb2, q4b, scb, zb)
+    print(f"INFO matmul T=64 K=2048 N=8192: dense_bf16={t_dense:.0f}us "
+          f"int4_dequant={t_deq:.0f}us int4_groupwise={t_grp:.0f}us")
+
     # 2. Ragged paged attention kernel vs jnp oracle (mixed batch).
     from aphrodite_tpu.ops.attention import (_kernel_attention,
                                              ref_ragged_paged_attention)
