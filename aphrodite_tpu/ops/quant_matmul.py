@@ -57,7 +57,8 @@ def _kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group: int,
 
     q = q_ref[:].astype(jnp.float32)  # [bk, bn]
     rows_per_blk = block_k // group
-    row0 = k_idx * rows_per_blk
+    row0 = pl.multiple_of(k_idx * rows_per_blk, 8) \
+        if rows_per_blk % 8 == 0 else k_idx * rows_per_blk
     s = s_ref[pl.ds(row0, rows_per_blk), :]  # [bk/group, bn]
     z = z_ref[pl.ds(row0, rows_per_blk), :]
     s = jnp.repeat(s, group, axis=0)  # [bk, bn]
@@ -71,19 +72,24 @@ def _kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group: int,
 
 
 def int4_matmul_pallas(x, q4, scale, zero, group: int,
-                       block_t: int = 256, block_n: int = 512,
+                       block_t: int = 256, block_n: int = 1024,
                        block_k: Optional[int] = None):
-    """Tiled fused dequant-matmul. x[T, K] f32/bf16, q4[K, N] int8."""
+    """Tiled fused dequant-matmul. x[T, K] f32/bf16, q4[K, N] int8.
+
+    Tiles sized for few large grid steps (VMEM: q bk*bn int8 + x bt*bk
+    + acc bt*bn f32 within ~8MB) — many tiny steps leave the MXU idle
+    between pallas pipeline stages.
+    """
     T, K = x.shape
     N = q4.shape[-1]
     if block_k is None:
-        block_k = max(group, 128)
-        while K % block_k != 0:
-            block_k //= 2
-            if block_k < group:
-                block_k = group
-                break
+        block_k = 8 * group
+        while block_k * 2 <= min(K, 2048) and K % (block_k * 2) == 0:
+            block_k *= 2
+        if K % block_k != 0:
+            block_k = K
     assert K % block_k == 0 and block_k % group == 0, (K, block_k, group)
+    assert (block_k // group) % 8 == 0 or block_k == K, (block_k, group)
     block_t = min(block_t, T)
     block_n = min(block_n, N)
     grid = (pl.cdiv(T, block_t), pl.cdiv(N, block_n), K // block_k)
@@ -137,7 +143,8 @@ def _kernel_groupwise(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     rows_per_blk = block_k // group
-    row0 = k_idx * rows_per_blk
+    row0 = pl.multiple_of(k_idx * rows_per_blk, 8) \
+        if rows_per_blk % 8 == 0 else k_idx * rows_per_blk
     x = x_ref[:]  # [bt, bk]
     q = q_ref[:]  # [bk, bn] int8 values 0..15
     acc = acc_ref[:]
@@ -157,19 +164,19 @@ def _kernel_groupwise(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
 
 def int4_matmul_pallas_groupwise(x, q4, scale, zero, group: int,
-                                 block_t: int = 64, block_n: int = 512,
+                                 block_t: int = 128, block_n: int = 1024,
                                  block_k: Optional[int] = None):
     """Group-wise MXU formulation (see _kernel_groupwise)."""
     T, K = x.shape
     N = q4.shape[-1]
     if block_k is None:
-        block_k = max(group, 256)
-        while K % block_k != 0:
-            block_k //= 2
-            if block_k < group:
-                block_k = group
-                break
+        block_k = 8 * group
+        while block_k * 2 <= min(K, 2048) and K % (block_k * 2) == 0:
+            block_k *= 2
+        if K % block_k != 0:
+            block_k = K
     assert K % block_k == 0 and block_k % group == 0
+    assert (block_k // group) % 8 == 0 or block_k == K, (block_k, group)
     block_t = min(block_t, T)
     block_n = min(block_n, N)
     grid = (pl.cdiv(T, block_t), pl.cdiv(N, block_n), K // block_k)
@@ -212,7 +219,11 @@ def int4_matmul_dispatch(x, q4, scale, zero, group: int):
         out = int4_matmul_dispatch(x.reshape(-1, x.shape[-1]), q4, scale,
                                    zero, group)
         return out.reshape(*lead, -1)
-    use_kernel = jax.default_backend() in ("tpu", "axon")
+    import os
+
+    impl = os.environ.get("APHRODITE_TPU_INT4_IMPL", "pallas")
+    use_kernel = (jax.default_backend() in ("tpu", "axon")
+                  and impl == "pallas")
     T, K = x.shape
     N = q4.shape[-1]
     if use_kernel and N % 128 == 0 and K % group == 0 and T >= 16:
