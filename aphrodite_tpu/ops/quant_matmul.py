@@ -39,7 +39,7 @@ def int4_matmul_ref(x, q4, scale, zero, group: int):
 
 
 def _kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group: int,
-            block_k: int):
+            block_k: int, total_rows: int):
     """One [bt, bk] x [bk, bn] tile: dequant q in VMEM, matmul on MXU.
 
     Grid: (T/bt, N/bn, K/bk); K is the innermost (sequential) axis and
@@ -57,10 +57,13 @@ def _kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group: int,
 
     q = q_ref[:].astype(jnp.float32)  # [bk, bn]
     rows_per_blk = block_k // group
-    row0 = pl.multiple_of(k_idx * rows_per_blk, 8) \
-        if rows_per_blk % 8 == 0 else k_idx * rows_per_blk
-    s = s_ref[pl.ds(row0, rows_per_blk), :]  # [bk/group, bn]
-    z = z_ref[pl.ds(row0, rows_per_blk), :]
+    if rows_per_blk == total_rows:  # single k step: whole scale block
+        s = s_ref[:]
+        z = z_ref[:]
+    else:
+        row0 = pl.multiple_of(k_idx * rows_per_blk, 8)
+        s = s_ref[pl.ds(row0, rows_per_blk), :]  # [bk/group, bn]
+        z = z_ref[pl.ds(row0, rows_per_blk), :]
     s = jnp.repeat(s, group, axis=0)  # [bk, bn]
     z = jnp.repeat(z, group, axis=0)
     w = ((q - z) * s).astype(x_ref.dtype)
@@ -95,7 +98,8 @@ def int4_matmul_pallas(x, q4, scale, zero, group: int,
     grid = (pl.cdiv(T, block_t), pl.cdiv(N, block_n), K // block_k)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, group=group, block_k=block_k),
+        functools.partial(_kernel, group=group, block_k=block_k,
+                          total_rows=K // group),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_t, block_k), lambda t, n, k: (t, k),
@@ -143,8 +147,7 @@ def _kernel_groupwise(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     rows_per_blk = block_k // group
-    row0 = pl.multiple_of(k_idx * rows_per_blk, 8) \
-        if rows_per_blk % 8 == 0 else k_idx * rows_per_blk
+    row0 = k_idx * rows_per_blk  # row reads below are per-scalar-row
     x = x_ref[:]  # [bt, bk]
     q = q_ref[:]  # [bk, bn] int8 values 0..15
     acc = acc_ref[:]
