@@ -60,10 +60,14 @@ def _kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group: int,
     if rows_per_blk == total_rows:  # single k step: whole scale block
         s = s_ref[:]
         z = z_ref[:]
-    else:
+    elif rows_per_blk % 8 == 0:  # sublane-aligned multi-row slice
         row0 = pl.multiple_of(k_idx * rows_per_blk, 8)
         s = s_ref[pl.ds(row0, rows_per_blk), :]  # [bk/group, bn]
         z = z_ref[pl.ds(row0, rows_per_blk), :]
+    else:  # scalar-row reads (always lowerable)
+        row0 = k_idx * rows_per_blk
+        s = jnp.stack([s_ref[row0 + g, :] for g in range(rows_per_blk)])
+        z = jnp.stack([z_ref[row0 + g, :] for g in range(rows_per_blk)])
     s = jnp.repeat(s, group, axis=0)  # [bk, bn]
     z = jnp.repeat(z, group, axis=0)
     w = ((q - z) * s).astype(x_ref.dtype)
@@ -86,13 +90,14 @@ def int4_matmul_pallas(x, q4, scale, zero, group: int,
     T, K = x.shape
     N = q4.shape[-1]
     if block_k is None:
-        block_k = 8 * group
-        while block_k * 2 <= min(K, 2048) and K % (block_k * 2) == 0:
-            block_k *= 2
-        if K % block_k != 0:
-            block_k = K
+        # Largest multiple of `group` that divides K, capped at 2048
+        # (VMEM budget for the double-buffered q tile).
+        block_k = group
+        for cand in range(2048, group - 1, -group):
+            if K % cand == 0:
+                block_k = cand
+                break
     assert K % block_k == 0 and block_k % group == 0, (K, block_k, group)
-    assert (block_k // group) % 8 == 0 or block_k == K, (block_k, group)
     block_t = min(block_t, T)
     block_n = min(block_n, N)
     grid = (pl.cdiv(T, block_t), pl.cdiv(N, block_n), K // block_k)
@@ -173,13 +178,14 @@ def int4_matmul_pallas_groupwise(x, q4, scale, zero, group: int,
     T, K = x.shape
     N = q4.shape[-1]
     if block_k is None:
-        block_k = 8 * group
-        while block_k * 2 <= min(K, 2048) and K % (block_k * 2) == 0:
-            block_k *= 2
-        if K % block_k != 0:
-            block_k = K
+        # Largest multiple of `group` that divides K, capped at 2048
+        # (VMEM budget for the double-buffered q tile).
+        block_k = group
+        for cand in range(2048, group - 1, -group):
+            if K % cand == 0:
+                block_k = cand
+                break
     assert K % block_k == 0 and block_k % group == 0
-    assert (block_k // group) % 8 == 0 or block_k == K, (block_k, group)
     block_t = min(block_t, T)
     block_n = min(block_n, N)
     grid = (pl.cdiv(T, block_t), pl.cdiv(N, block_n), K // block_k)

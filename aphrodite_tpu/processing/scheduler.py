@@ -266,6 +266,12 @@ class Scheduler:
                 if not budget.can_schedule(1, 1):
                     return scheds, preempted
             lookahead = 0 if seq.is_prefill else self.num_lookahead_slots
+            # Never reserve beyond the model-length ceiling: the block
+            # table must stay within pages_per_seq.
+            lookahead = min(
+                lookahead,
+                max(0, self.scheduler_config.max_model_len -
+                    seq.get_len() - num_new))
             # Ensure block capacity (incl. lookahead), preempting LIFO.
             while not self.block_manager.can_append_slots(
                     seq, num_new + lookahead):

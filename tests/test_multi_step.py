@@ -87,3 +87,15 @@ def test_multi_step_with_logprobs(tiny_dir):
     assert len(out.logprobs) == 8
     for lp, tid in zip(out.logprobs, out.token_ids):
         assert lp[tid].rank == 1
+
+
+def test_multi_step_near_max_model_len(tiny_dir):
+    """Lookahead reservation must not overflow the per-seq page table
+    when a sequence approaches max_model_len."""
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8,
+              max_model_len=32, num_scheduler_steps=16)
+    sp = SamplingParams(temperature=0.0, max_tokens=64, ignore_eos=True)
+    out = llm.generate(["one two three four five"], sp)[0].outputs[0]
+    # Capped by max_model_len, not crashed.
+    assert out.finish_reason == "length"
