@@ -42,6 +42,7 @@ _LAZY_REGISTRY = {
     "Qwen3ForCausalLM": _lazy("qwen3", "Qwen3ForCausalLM"),
     "Starcoder2ForCausalLM": _lazy("starcoder2",
                                    "Starcoder2ForCausalLM"),
+    "Olmo2ForCausalLM": _lazy("olmo2", "Olmo2ForCausalLM"),
     "MixtralForCausalLM": _lazy("mixtral", "MixtralForCausalLM"),
     "GemmaForCausalLM": _lazy("gemma", "GemmaForCausalLM"),
     "Gemma2ForCausalLM": _lazy("gemma", "Gemma2ForCausalLM"),

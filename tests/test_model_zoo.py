@@ -59,12 +59,14 @@ def _config(arch):
         kw.pop("tie_word_embeddings")
         return tf.Starcoder2Config(tie_word_embeddings=True,
                                    sliding_window=32, **kw)
+    if arch == "olmo2":
+        return tf.Olmo2Config(**COMMON)
     raise ValueError(arch)
 
 
 @pytest.mark.parametrize("arch",
                          ["qwen2", "mistral", "mixtral", "gemma", "gemma2",
-                          "phi3", "qwen3", "starcoder2"])
+                          "phi3", "qwen3", "starcoder2", "olmo2"])
 def test_arch_greedy_matches_hf(arch, tmp_path):
     model_dir = str(tmp_path / arch)
     make_tiny_checkpoint(model_dir, _config(arch))
