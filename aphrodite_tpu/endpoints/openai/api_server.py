@@ -48,7 +48,8 @@ class OpenAIServer:
                  served_model_names: Optional[List[str]] = None,
                  api_keys: Optional[List[str]] = None,
                  launch_kobold_api: bool = True,
-                 log_requests: bool = True) -> None:
+                 log_requests: bool = True,
+                 engine_args=None, admin_key: Optional[str] = None) -> None:
         self.async_engine = async_engine
         self.engine = async_engine.engine
         self.tokenizer = self.engine.tokenizer
@@ -58,6 +59,8 @@ class OpenAIServer:
         self.api_keys = api_keys
         self.launch_kobold_api = launch_kobold_api
         self.log_requests = log_requests
+        self.engine_args = engine_args
+        self.admin_key = admin_key
 
     # ------------------------------------------------------------------
     # App wiring
@@ -78,6 +81,8 @@ class OpenAIServer:
         app.router.add_get("/version", self.version)
         app.router.add_post("/v1/lora/load", self.load_lora)
         app.router.add_post("/v1/lora/unload", self.unload_lora)
+        app.router.add_post("/v1/model/load", self.load_model)
+        app.router.add_post("/v1/model/unload", self.unload_model)
         if self.launch_kobold_api and self.tokenizer is not None:
             from aphrodite_tpu.endpoints.kobold.api_server import (
                 KoboldServer)
@@ -121,6 +126,9 @@ class OpenAIServer:
     # ------------------------------------------------------------------
 
     async def health(self, request: web.Request) -> web.Response:
+        if self.async_engine is None:
+            return web.json_response({"status": "no model loaded"},
+                                     status=503)
         try:
             await self.async_engine.check_health()
         except Exception as e:
@@ -150,6 +158,9 @@ class OpenAIServer:
             return web.Response(text="", content_type="text/plain")
 
     async def create_embeddings(self, request: web.Request) -> web.Response:
+        if self.engine is None:
+            return _error("no model loaded", status=503,
+                          err_type="service_unavailable")
         try:
             body = await request.json()
             inputs = body.get("input")
@@ -183,6 +194,73 @@ class OpenAIServer:
             "model": body.get("model") or self.served_model_names[0],
             "usage": {"prompt_tokens": total, "total_tokens": total},
         })
+
+    def _check_admin(self, request: web.Request) -> Optional[web.Response]:
+        if self.admin_key is None:
+            return None
+        key = request.headers.get("x-admin-key") or \
+            request.headers.get("Authorization", "").removeprefix(
+                "Bearer ").strip()
+        if key != self.admin_key:
+            return _error("admin key required", status=401,
+                          err_type="authentication_error")
+        return None
+
+    async def load_model(self, request: web.Request) -> web.Response:
+        """Hot-swap the served model (reference /v1/model/load,
+        api_server.py:315: admin-gated engine rebuild)."""
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
+        if self.engine_args is None:
+            return _error("server started without reloadable engine args",
+                          status=400)
+        try:
+            body = await request.json()
+        except Exception as e:
+            return _error(str(e))
+        if (self.engine is not None
+                and self.engine.has_unfinished_requests()):
+            return _error("requests in flight; drain before reloading",
+                          status=409)
+        import copy
+        import gc
+
+        new_args = copy.deepcopy(self.engine_args)
+        for k, v in body.items():
+            if hasattr(new_args, k):
+                setattr(new_args, k, v)
+        loop = asyncio.get_event_loop()
+        # Free the old engine's device arrays first.
+        self.async_engine = None
+        self.engine = None
+        gc.collect()
+        try:
+            new_engine = await loop.run_in_executor(
+                None, lambda: AsyncAphrodite.from_engine_args(new_args))
+        except Exception as e:
+            return _error(f"model load failed: {e}", status=500,
+                          err_type="internal_error")
+        self.async_engine = new_engine
+        self.engine = new_engine.engine
+        self.tokenizer = self.engine.tokenizer
+        self.model_config = self.engine.model_config
+        self.engine_args = new_args
+        self.served_model_names = [body.get("served_model_name")
+                                   or new_args.model]
+        return web.json_response({"status": "ok",
+                                  "model": new_args.model})
+
+    async def unload_model(self, request: web.Request) -> web.Response:
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
+        import gc
+
+        self.async_engine = None
+        self.engine = None
+        gc.collect()
+        return web.json_response({"status": "ok", "unloaded": True})
 
     async def load_lora(self, request: web.Request) -> web.Response:
         """Admin route (reference /v1/lora/load, api_server.py:315)."""
@@ -221,6 +299,9 @@ class OpenAIServer:
         return None
 
     async def tokenize(self, request: web.Request) -> web.Response:
+        if self.engine is None:
+            return _error("no model loaded", status=503,
+                          err_type="service_unavailable")
         try:
             req = TokenizeRequest(**await request.json())
         except Exception as e:
@@ -237,6 +318,9 @@ class OpenAIServer:
         return web.json_response(resp.model_dump())
 
     async def detokenize(self, request: web.Request) -> web.Response:
+        if self.engine is None:
+            return _error("no model loaded", status=503,
+                          err_type="service_unavailable")
         try:
             req = DetokenizeRequest(**await request.json())
         except Exception as e:
@@ -260,6 +344,9 @@ class OpenAIServer:
         raise ValueError("invalid prompt type")
 
     async def create_completion(self, request: web.Request) -> web.Response:
+        if self.engine is None:
+            return _error("no model loaded", status=503,
+                          err_type="service_unavailable")
         try:
             req = CompletionRequest(**await request.json())
             prompts = self._normalize_prompts(req.prompt)
@@ -424,6 +511,9 @@ class OpenAIServer:
 
     async def create_chat_completion(self,
                                      request: web.Request) -> web.Response:
+        if self.engine is None:
+            return _error("no model loaded", status=503,
+                          err_type="service_unavailable")
         try:
             req = ChatCompletionRequest(**await request.json())
             prompt_text = self._apply_chat_template(
@@ -528,7 +618,8 @@ async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
                      served_model_names: Optional[List[str]] = None,
                      api_keys: Optional[List[str]] = None) -> None:
     async_engine = AsyncAphrodite.from_engine_args(engine_args)
-    server = OpenAIServer(async_engine, served_model_names, api_keys)
+    server = OpenAIServer(async_engine, served_model_names, api_keys,
+                          engine_args=engine_args)
     app = server.build_app()
     runner = web.AppRunner(app)
     await runner.setup()

@@ -93,3 +93,28 @@ def test_run_batch(tiny_dir, tmp_path):
     assert by_id["a"]["response"]["status_code"] == 200
     assert by_id["b"]["response"]["body"]["choices"][0]["message"][
         "content"] is not None
+
+
+async def test_model_unload_and_load(tiny_dir, aiohttp_client):
+    engine_args = EngineArgs(model=tiny_dir, dtype="float32",
+                             max_num_seqs=4,
+                             num_device_blocks_override=64, block_size=8)
+    async_engine = AsyncAphrodite.from_engine_args(engine_args)
+    server = OpenAIServer(async_engine, served_model_names=["tiny"],
+                          engine_args=engine_args)
+    client = await aiohttp_client(server.build_app())
+
+    resp = await client.post("/v1/model/unload", json={})
+    assert resp.status == 200
+    resp = await client.get("/health")
+    assert resp.status == 503
+    resp = await client.post("/v1/completions", json={
+        "prompt": "x", "max_tokens": 2})
+    assert resp.status == 503
+
+    resp = await client.post("/v1/model/load", json={})
+    assert resp.status == 200, await resp.text()
+    resp = await client.post("/v1/completions", json={
+        "prompt": "hello", "max_tokens": 4, "temperature": 0,
+        "ignore_eos": True})
+    assert resp.status == 200, await resp.text()
