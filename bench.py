@@ -65,7 +65,11 @@ def main() -> None:
     quant = os.environ.get("APHRODITE_BENCH_QUANT") or None
     kv_dtype = os.environ.get("APHRODITE_BENCH_KV", "auto")
     if on_tpu:
-        batch, prompt_len, decode_len = 64, 128, 128
+        # batch 64 measured optimal on this fabric (128 regresses ~2.3x
+        # per token — superlinear cost in S under investigation,
+        # docs/roadmap.md item 2).
+        batch = int(os.environ.get("APHRODITE_BENCH_BATCH", "64"))
+        prompt_len, decode_len = 128, 128
         dtype = "bfloat16"
         blocks_override = None  # profile HBM
     else:
