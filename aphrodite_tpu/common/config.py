@@ -111,7 +111,9 @@ class ModelConfig:
                                       self.hf_config.get("n_layer")))
 
     def get_num_attention_heads(self) -> int:
-        return int(self.hf_config["num_attention_heads"])
+        # Attention-free (SSM) configs have no heads; report 1 so
+        # divisibility checks trivially pass.
+        return int(self.hf_config.get("num_attention_heads") or 1)
 
     def get_total_num_kv_heads(self) -> int:
         return int(

@@ -140,6 +140,15 @@ class ModelRunner:
         self.kv_pages: Optional[jax.Array] = None
         self.num_pages: Optional[int] = None
 
+        self.attention_free = getattr(self.model, "is_attention_free",
+                                      False)
+        if self.attention_free:
+            # SSM models carry ONE state slot per sequence instead of
+            # paged KV. Mapping: block_size = max_model_len makes the
+            # block manager hand out exactly one "block" (= slot) per
+            # sequence, so scheduling is unchanged.
+            self.cache_config.block_size = self.model_config.max_model_len
+            self.cache_config.enable_prefix_caching = False
         self.block_size = self.cache_config.block_size
         self.pages_per_seq = cdiv(self.model_config.max_model_len,
                                   self.block_size)
@@ -245,6 +254,13 @@ class ModelRunner:
         return int(num)
 
     def initialize_cache(self, num_pages: Optional[int] = None) -> None:
+        if self.attention_free:
+            # One state slot per concurrently running sequence.
+            num_slots = self.scheduler_config.max_num_seqs
+            self.num_pages = num_slots
+            self.cache_config.num_device_blocks = num_slots
+            self.kv_pages = self.model.init_cache(num_slots)
+            return
         if num_pages is None:
             num_pages = self.determine_num_pages()
         self.num_pages = num_pages
@@ -497,6 +513,8 @@ class ModelRunner:
                        num_steps: int = 1) -> StepResult:
         scheduled = outputs.scheduled
         assert scheduled, "execute() called with empty schedule"
+        if self.attention_free:
+            return self._execute_attention_free(outputs)
         if outputs.blocks_to_copy:
             self._apply_block_copies(outputs.blocks_to_copy)
         S = _pad_to_bucket(len(scheduled), self.seq_buckets)
@@ -705,6 +723,83 @@ class ModelRunner:
         fn = jax.jit(pool_step, donate_argnums=(1,))
         self._multi_step_fns[key] = fn
         return fn
+
+    def _execute_attention_free(self,
+                                outputs: SchedulerOutputs) -> StepResult:
+        """SSM (Mamba-family) execution: dense [S, Lc] chunk layout with
+        per-sequence state slots; sampling shared with the paged path."""
+        scheduled = outputs.scheduled
+        n = len(scheduled)
+        S = _pad_to_bucket(n, self.seq_buckets)
+        max_chunk = max(ss.num_tokens for ss in scheduled)
+        Lc = _pad_to_bucket(max_chunk, self.token_buckets) \
+            if max_chunk > 1 else 1
+
+        token_ids = np.zeros((S, Lc), np.int32)
+        q_lens = np.zeros((S,), np.int32)
+        slots = np.full((S,), self.num_pages, np.int32)  # trash slot
+        for i, ss in enumerate(scheduled):
+            seq = ss.seq
+            ids = seq.get_token_ids()
+            chunk = ids[ss.first_token_idx:ss.first_token_idx +
+                        ss.num_tokens]
+            token_ids[i, :len(chunk)] = chunk
+            q_lens[i] = len(chunk)
+            slots[i] = ss.block_ids[0]
+
+        rows = []
+        for ss in scheduled:
+            sp = ss.group.sampling_params
+            seq = ss.seq
+            rows.append(
+                SamplerInputRow(
+                    params=sp,
+                    token_ids=seq.get_token_ids(),
+                    prompt_len=seq.get_prompt_len(),
+                    generated_len=seq.get_output_len(),
+                    seed=(sp.seed if sp.seed is not None else
+                          _default_seed(ss.group.request_id, seq.seq_id)),
+                    eos_token_id=seq.eos_token_id,
+                ))
+        max_hist = max((len(r.token_ids) for r in rows), default=1)
+        H = _pad_to_bucket(max_hist, self.history_buckets)
+        tensors, flags, history, hl = build_sampling_tensors(
+            rows, S, self.model_config.get_vocab_size(), history_pad=H)
+        tensors_dev = jax.tree.map(jnp.asarray, tensors)
+        history_lens = prompt_lens = None
+        if flags.needs_history:
+            history = jnp.asarray(history)
+            history_lens = jnp.asarray(hl[0])
+            prompt_lens = jnp.asarray(hl[1])
+        else:
+            history = None
+
+        key = ("ssm", flags)
+        fn = self._multi_step_fns.get(key)
+        if fn is None:
+            def ssm_step(params, cache, token_ids, q_lens, slots, tensors,
+                         history, history_lens, prompt_lens):
+                cache, last = self.model.forward_chunk(
+                    params, cache, token_ids, q_lens, slots)
+                logits = self.model.compute_logits(params, last)
+                out = sample(logits, tensors, flags, history,
+                             history_lens, prompt_lens)
+                return cache, out
+
+            fn = jax.jit(ssm_step, donate_argnums=(1,))
+            self._multi_step_fns[key] = fn
+        self.kv_pages, out = fn(self.params, self.kv_pages,
+                                jnp.asarray(token_ids),
+                                jnp.asarray(q_lens), jnp.asarray(slots),
+                                tensors_dev, history, history_lens,
+                                prompt_lens)
+        return StepResult(
+            sampled=np.asarray(out.sampled)[None, :n],
+            sampled_logprob=np.asarray(out.sampled_logprob)[None, :n],
+            sampled_rank=np.asarray(out.sampled_rank)[None, :n],
+            topk_ids=np.asarray(out.topk_ids)[None, :n],
+            topk_logprobs=np.asarray(out.topk_logprobs)[None, :n],
+        )
 
     def _execute_spec(self, scheduled: List[ScheduledSequence], S: int,
                       spec, tensors_dev, flags) -> Optional[StepResult]:

@@ -1,0 +1,68 @@
+"""Mamba (attention-free SSM) engine tests vs HF transformers."""
+
+import numpy as np
+import pytest
+
+from aphrodite_tpu import LLM, SamplingParams
+from tests.utils import hf_greedy_generate
+
+PROMPTS = ["the quick brown fox", "hello world, this is"]
+
+
+@pytest.fixture(scope="module")
+def mamba_dir(tmp_path_factory):
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.MambaConfig(
+        vocab_size=256,
+        hidden_size=64,
+        state_size=8,
+        num_hidden_layers=2,
+        conv_kernel=4,
+        expand=2,
+        time_step_rank=4,
+        max_position_embeddings=128,
+    )
+    path = str(tmp_path_factory.mktemp("tiny_mamba"))
+    make_tiny_checkpoint(path, cfg)
+    return path
+
+
+def test_mamba_greedy_matches_hf(mamba_dir):
+    llm = LLM(model=mamba_dir, dtype="float32", max_num_seqs=4,
+              max_model_len=128, block_size=8)
+    tok = llm.get_tokenizer()
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    outs = llm.generate(PROMPTS, sp)
+    for prompt, out in zip(PROMPTS, outs):
+        expect = hf_greedy_generate(mamba_dir, tok.encode(prompt), 10)
+        assert out.outputs[0].token_ids == expect, prompt
+
+
+def test_mamba_chunked_prefill_matches(mamba_dir):
+    """The SSM state hand-off between prefill chunks must be exact."""
+    llm = LLM(model=mamba_dir, dtype="float32", max_num_seqs=4,
+              max_model_len=128, max_num_batched_tokens=16)
+    tok = llm.get_tokenizer()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    prompt = "one two three four five six seven eight"
+    assert len(tok.encode(prompt)) > 16
+    out = llm.generate([prompt], sp)[0].outputs[0]
+    expect = hf_greedy_generate(mamba_dir, tok.encode(prompt), 8)
+    assert out.token_ids == expect
+
+
+def test_mamba_sampling_and_batching(mamba_dir):
+    llm = LLM(model=mamba_dir, dtype="float32", max_num_seqs=4,
+              max_model_len=128)
+    sp = SamplingParams(temperature=1.0, seed=5, max_tokens=8,
+                        ignore_eos=True)
+    outs = llm.generate(PROMPTS, sp)
+    for out in outs:
+        assert len(out.outputs[0].token_ids) == 8
+    # Seeded determinism holds for SSM path too.
+    again = llm.generate(PROMPTS, sp)
+    assert [o.outputs[0].token_ids for o in outs] == \
+        [o.outputs[0].token_ids for o in again]
