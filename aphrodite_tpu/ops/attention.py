@@ -151,9 +151,7 @@ def ragged_paged_attention(
         return impl(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
                     **kwargs)
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         functools.partial(impl, **kwargs),
         mesh=mesh,
         in_specs=(
@@ -162,7 +160,7 @@ def ragged_paged_attention(
             P(), P(), P(), P(),
         ),
         out_specs=P(None, "model", None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs)
 

@@ -104,8 +104,6 @@ def moe_mlp(
     if mesh is None:
         return grouped_expert_mlp(x, w1, w3, w2, weights, expert_ids)
 
-    from jax.experimental.shard_map import shard_map
-
     E = router.shape[-1]
     ep = mesh.shape["model"]
     e_local = E // ep
@@ -119,11 +117,11 @@ def moe_mlp(
         out = grouped_expert_mlp(x, w1, w3, w2, local_w, local_ids)
         return jax.lax.psum(out, "model")
 
-    fn = shard_map(
+    fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P("model"), P("model"), P("model"), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(x, w1, w3, w2, weights, expert_ids)
