@@ -131,12 +131,23 @@ class LLM:
 
             pbar = tqdm(total=len(request_ids), desc="generating")
         results = {}
-        while self.engine.has_unfinished_requests():
-            for out in self.engine.step():
-                if out.finished:
-                    results[out.request_id] = out
-                    if pbar is not None:
-                        pbar.update(1)
+        try:
+            while self.engine.has_unfinished_requests():
+                for out in self.engine.step():
+                    if out.finished:
+                        results[out.request_id] = out
+                        if pbar is not None:
+                            pbar.update(1)
+        except Exception:
+            # Abort this call's requests so a failed step (e.g. a faulty
+            # user logits processor) doesn't wedge the engine for later
+            # generate() calls on the same LLM object.
+            for rid in request_ids:
+                if rid not in results:
+                    self.engine.abort_request(rid)
+            if pbar is not None:
+                pbar.close()
+            raise
         if pbar is not None:
             pbar.close()
         missing = [rid for rid in request_ids if rid not in results]

@@ -320,6 +320,92 @@ class ModelRunner:
         self._step_fns[flags] = fn
         return fn
 
+    def _get_logits_fn(self, max_plp: int):
+        """Forward + raw logits only (no sampling): first half of the
+        split program used when a request carries host ``logits_processors``
+        callables (reference sampler.py `_apply_logits_processors` — runs
+        on raw logits BEFORE the shaping pipeline).
+        """
+        key = ("logits", max_plp)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+
+        def logits_step(params, kv_pages, batch: ForwardBatch, target_ids,
+                        lora):
+            kv_pages, hidden = self.model.forward(
+                params, kv_pages, batch, mesh=self.mesh,
+                kv_scales=self.kv_scales, lora=lora)
+            hs = hidden[batch.logits_indices]
+            logits = self.model.compute_logits(params, hs)
+            prompt_out = None
+            if max_plp > 0:
+                full = self.model.compute_logits(params, hidden)
+                lp = jax.nn.log_softmax(full, axis=-1)
+                tgt_lp = jnp.take_along_axis(
+                    lp, target_ids[:, None], axis=-1)[:, 0]
+                pk_lp, pk_ids = jax.lax.top_k(lp, max_plp)
+                ranks = jnp.sum(lp > tgt_lp[:, None], axis=-1) + 1
+                prompt_out = (tgt_lp, ranks.astype(jnp.int32), pk_ids,
+                              pk_lp)
+            return kv_pages, logits, prompt_out
+
+        fn = jax.jit(logits_step, donate_argnums=(1,))
+        self._multi_step_fns[key] = fn
+        return fn
+
+    def _get_sample_fn(self, flags: SamplingFlags):
+        """Sampler pipeline alone (second half of the split program)."""
+        key = ("sample", flags)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+        fn = jax.jit(functools.partial(sample, flags=flags))
+        self._multi_step_fns[key] = fn
+        return fn
+
+    @staticmethod
+    def _apply_logits_processors(
+            logits: np.ndarray,
+            scheduled: List[ScheduledSequence]) -> np.ndarray:
+        """Apply per-request host callables to raw logits rows.
+
+        Reference convention (sampler.py `_apply_logits_processors`):
+        2-arg processors get ``(output_token_ids, logits_row)``; 3-arg
+        ones get ``(prompt_token_ids, output_token_ids, logits_row)``.
+        Rows here are numpy float32; processors may return any
+        array-like of the same shape.
+        """
+        import inspect
+        for i, ss in enumerate(scheduled):
+            lps = ss.group.sampling_params.logits_processors
+            if not lps or not ss.do_sample:
+                continue
+            seq = ss.seq
+            ids = seq.get_token_ids()
+            plen = seq.get_prompt_len()
+            prompt_ids, out_ids = list(ids[:plen]), list(ids[plen:])
+            row = logits[i]
+            try:
+                for proc in lps:
+                    try:
+                        nargs = len(inspect.signature(proc).parameters)
+                    except (ValueError, TypeError):
+                        nargs = 2
+                    row = (proc(prompt_ids, out_ids, row) if nargs >= 3
+                           else proc(out_ids, row))
+                row = np.asarray(row, dtype=logits.dtype)
+                if row.shape != logits[i].shape:
+                    raise ValueError(
+                        f"processor returned shape {row.shape}, "
+                        f"expected {logits[i].shape}")
+                logits[i] = row
+            except Exception as e:
+                raise ValueError(
+                    "logits processor failed for request "
+                    f"{ss.group.request_id!r}: {e}") from e
+        return logits
+
     def _get_multi_step_fn(self, flags: SamplingFlags, num_steps: int):
         """N decode iterations fused into one device program.
 
@@ -595,13 +681,20 @@ class ModelRunner:
             lora_params = self.lora_manager.device_params(
                 jnp.dtype(self.model_config.dtype))
 
+        # Host logits-processor callables force a per-step host hop
+        # (raw logits out -> callables -> sample program), so every fused
+        # path is off the table for those batches.
+        has_procs = any(ss.group.sampling_params.logits_processors
+                        for ss in scheduled)
+
         # Multi-step decode: pure-decode batch whose sampler stages don't
         # depend on per-step host state (token history / min_tokens /
         # guided FSM advancement); LoRA routing is per-batch host work.
         multi_ok = (num_steps > 1 and outputs.num_prefill_tokens == 0
                     and not flags.needs_history
                     and not flags.do_min_tokens and not flags.do_beam
-                    and not flags.do_guided and not has_lora)
+                    and not flags.do_guided and not has_lora
+                    and not has_procs)
         if multi_ok:
             return self._execute_multi(scheduled, S, tensors_dev, flags,
                                        num_steps)
@@ -614,7 +707,7 @@ class ModelRunner:
                 and not flags.needs_history
                 and not flags.do_min_tokens and not flags.do_banned_tokens
                 and not flags.do_beam and not flags.do_guided
-                and not has_lora):
+                and not has_lora and not has_procs):
             result = self._execute_spec(scheduled, S, spec, tensors_dev,
                                         flags)
             if result is not None:
@@ -654,11 +747,25 @@ class ModelRunner:
         else:
             history = None
 
-        step_fn = self._get_step_fn(flags)
-        self.kv_pages, out, prompt_out = step_fn(
-            self.params, self.kv_pages, batch, tensors_dev, history,
-            history_lens, prompt_lens, target_ids, guided_mask,
-            lora_params)
+        if has_procs:
+            # Split program: forward->raw logits, host callables, then
+            # the full in-graph sampler pipeline on the edited logits.
+            logits_fn = self._get_logits_fn(max_plp)
+            self.kv_pages, logits, prompt_out = logits_fn(
+                self.params, self.kv_pages, batch, target_ids,
+                lora_params)
+            logits_np = np.asarray(logits).astype(np.float32, copy=True)
+            logits_np = self._apply_logits_processors(logits_np, scheduled)
+            out = self._get_sample_fn(flags)(
+                jnp.asarray(logits_np), tensors_dev, history=history,
+                history_lens=history_lens, prompt_lens=prompt_lens,
+                guided_mask=guided_mask)
+        else:
+            step_fn = self._get_step_fn(flags)
+            self.kv_pages, out, prompt_out = step_fn(
+                self.params, self.kv_pages, batch, tensors_dev, history,
+                history_lens, prompt_lens, target_ids, guided_mask,
+                lora_params)
 
         n = len(scheduled)
         prompt_np = None
