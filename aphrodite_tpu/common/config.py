@@ -68,6 +68,15 @@ class ModelConfig:
             self.tokenizer = self.model
         if not self.hf_config:
             self.hf_config = _read_hf_config(self.model)
+        if ("text_config" in self.hf_config
+                and "vision_config" in self.hf_config):
+            # Multimodal composite config (LLaVA-style): hoist the text
+            # config's fields so the derived accessors (hidden size, kv
+            # heads, vocab...) describe the language model, keeping the
+            # vision_config + projector keys at the top level.
+            top = {k: v for k, v in self.hf_config.items()
+                   if k != "text_config"}
+            self.hf_config = {**dict(self.hf_config["text_config"]), **top}
         if self.dtype == "auto":
             self.dtype = str(self.hf_config.get("torch_dtype", "bfloat16"))
             if self.dtype.startswith("torch."):

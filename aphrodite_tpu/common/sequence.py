@@ -99,6 +99,12 @@ class Sequence:
         # engine when the request carries a guided spec.
         self.fsm: Optional[Any] = None
         self.fsm_state: int = 0
+        # Multimodal splice spans: [(prompt_pos, features[n, H])]; image
+        # features computed once at add-time (engine.add_request).
+        self.mm_spans: Optional[List[Any]] = None
+        # Extra entropy for prefix-cache block hashing (image placeholder
+        # tokens are identical across different images).
+        self.extra_hash: Optional[int] = None
 
     # ---- token accounting -------------------------------------------------
 
@@ -148,7 +154,8 @@ class Sequence:
         """Content hash for prefix caching: hash of all token ids up to and
         including this block (reference common/sequence.py:499)."""
         num_tokens = (logical_idx + 1) * self.block_size
-        return hash(tuple(self.get_token_ids()[:num_tokens]))
+        return hash((self.extra_hash,
+                     tuple(self.get_token_ids()[:num_tokens])))
 
     # ---- lifecycle --------------------------------------------------------
 
@@ -174,6 +181,8 @@ class Sequence:
         child.tokens = list(self.tokens) if self.tokens is not None else None
         child.fsm = self.fsm
         child.fsm_state = self.fsm_state
+        child.mm_spans = self.mm_spans
+        child.extra_hash = self.extra_hash
         return child
 
     def reset_for_recompute(self) -> None:

@@ -73,7 +73,7 @@ class LLM:
         use_tqdm: bool = False,
         lora_request=None,
     ) -> List[RequestOutput]:
-        if prompts is not None and isinstance(prompts, str):
+        if prompts is not None and isinstance(prompts, (str, dict)):
             prompts = [prompts]
         num = len(prompts) if prompts is not None else len(prompt_token_ids)
         if sampling_params is None:
@@ -88,13 +88,24 @@ class LLM:
             self._request_counter += 1
             rid = str(self._request_counter)
             request_ids.append(rid)
+            prompt = prompts[i] if prompts is not None else None
+            ids = (prompt_token_ids[i]
+                   if prompt_token_ids is not None else None)
+            mm_data = None
+            if isinstance(prompt, dict):
+                # vLLM-style multimodal input: {"prompt": ... |
+                # "prompt_token_ids": ..., "multi_modal_data":
+                # {"image": pixel_values}} (reference inputs/data.py).
+                mm_data = prompt.get("multi_modal_data")
+                ids = prompt.get("prompt_token_ids", ids)
+                prompt = prompt.get("prompt")
             self.engine.add_request(
                 request_id=rid,
-                prompt=prompts[i] if prompts is not None else None,
+                prompt=prompt,
                 sampling_params=sampling_params[i],
-                prompt_token_ids=(prompt_token_ids[i]
-                                  if prompt_token_ids is not None else None),
+                prompt_token_ids=ids,
                 lora_request=lora_request,
+                multi_modal_data=mm_data,
             )
         return self._run_engine(request_ids, use_tqdm)
 

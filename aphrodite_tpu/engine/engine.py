@@ -99,6 +99,7 @@ class AphroditeEngine:
         arrival_time: Optional[float] = None,
         lora_request: Optional[Any] = None,
         prompt_adapter_request: Optional[Any] = None,
+        multi_modal_data: Optional[Dict[str, Any]] = None,
     ) -> None:
         if lora_request is not None and self.runner.lora_manager is None:
             raise ValueError(
@@ -132,6 +133,49 @@ class AphroditeEngine:
         sampling_params.update_from_generation_config(
             self._generation_config, self.eos_token_id)
 
+        # Multimodal: expand each image-placeholder token to the model's
+        # per-image feature count, encode the image(s) through the vision
+        # tower NOW (once per request), and record the splice spans
+        # (reference models/llava.py input processor + merge).
+        mm_spans = None
+        mm_hash = None
+        if multi_modal_data:
+            model = self.runner.model
+            if not getattr(model, "is_multimodal", False):
+                raise ValueError(
+                    f"model {self.model_config.architecture} does not "
+                    "accept multi_modal_data")
+            image = multi_modal_data.get("image")
+            if image is None:
+                raise ValueError("multi_modal_data must carry 'image'")
+            images = list(image) if isinstance(image, (list, tuple)) \
+                else [image]
+            import numpy as np
+            px = np.stack([np.asarray(im, np.float32) for im in images])
+            if px.ndim != 4 or px.shape[1] != 3:
+                raise ValueError(
+                    "each image must be preprocessed pixel_values "
+                    f"[3, size, size]; got {px.shape[1:]}")
+            tok_id = model.image_token_index
+            n_feat = model.num_image_tokens
+            new_ids: List[int] = []
+            starts: List[int] = []
+            for t in prompt_token_ids:
+                if t == tok_id:
+                    starts.append(len(new_ids))
+                    new_ids.extend([tok_id] * n_feat)
+                else:
+                    new_ids.append(t)
+            if len(starts) != len(images):
+                raise ValueError(
+                    f"prompt has {len(starts)} image placeholder(s) "
+                    f"(token {tok_id}) but {len(images)} image(s) given")
+            prompt_token_ids = new_ids
+            feats = self.runner.encode_image(px)  # [B, n_feat, H]
+            mm_spans = [(start, np.asarray(feats[j], np.float32))
+                        for j, start in enumerate(starts)]
+            mm_hash = hash(px.tobytes())
+
         fsm = None
         guided = sampling_params.guided_spec
         if guided is not None:
@@ -161,6 +205,9 @@ class AphroditeEngine:
             if fsm is not None:
                 seq.fsm = fsm
                 seq.fsm_state = fsm.initial_state()
+            if mm_spans is not None:
+                seq.mm_spans = mm_spans
+                seq.extra_hash = mm_hash
             seqs.append(seq)
         group = SequenceGroup(
             request_id=request_id,

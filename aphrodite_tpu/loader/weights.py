@@ -93,6 +93,9 @@ def load_hf_params_to_host(
     global_maps = model.hf_global_mappings()
     expert_maps = getattr(model, "hf_expert_mappings", lambda: [])()
     split_maps = getattr(model, "hf_split_mappings", lambda: [])()
+    # Aux stacks: per-layer weights of a sub-module with its OWN layer
+    # count (e.g. a multimodal vision tower): (template, path, T, count).
+    aux_maps = getattr(model, "hf_aux_mappings", lambda: [])()
     num_experts = getattr(model, "num_experts", 0)
 
     # hf name -> ("layer"|"global"|"expert"|"split", ...)
@@ -110,6 +113,15 @@ def load_hf_params_to_host(
     for template, slices, transpose in split_maps:
         for i in range(num_layers):
             lookup[template.format(i=i)] = ("split", slices, transpose, i)
+    aux_counts: Dict[str, int] = {}
+    for template, our_path, transpose, count in aux_maps:
+        aux_counts[our_path] = count
+        if count == 1:
+            lookup[template] = ("global", our_path, transpose, None)
+        else:
+            for i in range(count):
+                lookup[template.format(i=i)] = ("aux", our_path,
+                                                transpose, i)
 
     pieces: Dict[str, List[Optional[np.ndarray]]] = {
         our_path: [None] * num_layers
@@ -121,6 +133,10 @@ def load_hf_params_to_host(
     expert_pieces: Dict[str, List[List[Optional[np.ndarray]]]] = {
         our_path: [[None] * num_experts for _ in range(num_layers)]
         for _, our_path, _ in expert_maps
+    }
+    aux_pieces: Dict[str, List[Optional[np.ndarray]]] = {
+        our_path: [None] * count
+        for our_path, count in aux_counts.items() if count > 1
     }
     params: Dict[str, Any] = {}
     for name, arr in safetensors_weight_iterator(model_dir):
@@ -146,6 +162,8 @@ def load_hf_params_to_host(
             _set_path(params, target, arr)
         elif kind == "layer":
             pieces[target][idx] = arr
+        elif kind == "aux":
+            aux_pieces[target][idx] = arr
         else:  # expert
             i, e = idx
             expert_pieces[target][i][e] = arr
@@ -161,7 +179,17 @@ def load_hf_params_to_host(
         stacked = np.stack(
             [np.stack(layer, axis=0) for layer in grid], axis=0)
         _set_path(params, our_path, stacked)  # [L, E, ...]
+    for our_path, layer_list in aux_pieces.items():
+        missing = [i for i, a in enumerate(layer_list) if a is None]
+        if missing:
+            raise ValueError(
+                f"checkpoint is missing aux layers {missing[:4]}... for "
+                f"{our_path}")
+        _set_path(params, our_path, np.stack(layer_list, axis=0))
 
+    # Model-specific post-processing (e.g. conv kernel -> matmul form).
+    if hasattr(model, "finalize_params"):
+        model.finalize_params(params)
     # Tied embeddings: nothing to do (forward uses embed.T).
     expected = model.param_shapes()
     _check_shapes(expected, params, prefix="")

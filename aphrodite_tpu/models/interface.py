@@ -34,3 +34,10 @@ class ForwardBatch(NamedTuple):
     lora_sorted_idx: Optional[jax.Array] = None  # i32[T]
     lora_unsort_idx: Optional[jax.Array] = None  # i32[T]
     lora_group_sizes: Optional[jax.Array] = None  # i32[n_slots]
+    # Multimodal: precomputed input embeddings that REPLACE the token
+    # embedding at masked positions (image placeholder tokens). This is
+    # the TPU-native analog of the reference's inputs_embeds merge
+    # (models/llava.py merge_multimodal_embeddings): vision encoding runs
+    # once at request-add time, prefill consumes the cached features.
+    embeds_override: Optional[jax.Array] = None  # [T, H] model dtype
+    embeds_mask: Optional[jax.Array] = None  # bool[T]

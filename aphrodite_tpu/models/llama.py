@@ -370,6 +370,11 @@ class LlamaForCausalLM:
         x = x.astype(self.dtype)
         if self.scale_embeddings:
             x = x * jnp.asarray(self.hidden_size**0.5, self.dtype)
+        if batch.embeds_override is not None:
+            # Multimodal splice: image-placeholder positions take their
+            # precomputed (vision tower + projector) embeddings verbatim.
+            x = jnp.where(batch.embeds_mask[:, None],
+                          batch.embeds_override.astype(self.dtype), x)
         cos = self._cos[batch.positions]  # [T, D/2]
         sin = self._sin[batch.positions]
 

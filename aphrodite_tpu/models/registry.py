@@ -48,6 +48,8 @@ _LAZY_REGISTRY = {
     "GemmaForCausalLM": _lazy("gemma", "GemmaForCausalLM"),
     "Gemma2ForCausalLM": _lazy("gemma", "Gemma2ForCausalLM"),
     "Phi3ForCausalLM": _lazy("phi3", "Phi3ForCausalLM"),
+    "LlavaForConditionalGeneration": _lazy(
+        "llava", "LlavaForConditionalGeneration"),
 }
 
 

@@ -479,6 +479,15 @@ class ModelRunner:
     # Batch assembly (host)
     # ------------------------------------------------------------------
 
+    def encode_image(self, pixel_values: np.ndarray) -> np.ndarray:
+        """Run the vision tower + projector once (multimodal models);
+        returns per-image features [B, n_feat, H] on host."""
+        fn = self._multi_step_fns.get("vision")
+        if fn is None:
+            fn = jax.jit(self.model.encode_images)
+            self._multi_step_fns["vision"] = fn
+        return np.asarray(fn(self.params, jnp.asarray(pixel_values)))
+
     def build_forward_batch(
         self,
         scheduled: List[ScheduledSequence],
@@ -494,6 +503,9 @@ class ModelRunner:
         cu_q_lens = np.zeros((S + 1,), np.int32)
         logits_indices = np.zeros((S,), np.int32)
 
+        embeds_override = None
+        embeds_mask = None
+
         offset = 0
         bs = self.block_size
         for i, ss in enumerate(scheduled):
@@ -502,6 +514,22 @@ class ModelRunner:
             first = ss.first_token_idx
             n = ss.num_tokens
             token_ids[offset:offset + n] = all_ids[first:first + n]
+            # Multimodal splice: any image span overlapping this prefill
+            # chunk contributes its precomputed features.
+            if seq.mm_spans and first < seq.get_prompt_len():
+                for start, feats in seq.mm_spans:
+                    lo = max(start, first)
+                    hi = min(start + len(feats), first + n)
+                    if lo >= hi:
+                        continue
+                    if embeds_override is None:
+                        H = feats.shape[-1]
+                        embeds_override = np.zeros((T, H), np.float32)
+                        embeds_mask = np.zeros((T,), bool)
+                    dst = offset + (lo - first)
+                    embeds_override[dst:dst + hi - lo] = \
+                        feats[lo - start:hi - start]
+                    embeds_mask[dst:dst + hi - lo] = True
             pos = np.arange(first, first + n)
             positions[offset:offset + n] = pos
             table = np.asarray(ss.block_ids, np.int32)
@@ -530,6 +558,10 @@ class ModelRunner:
             cu_q_lens=jnp.asarray(cu_q_lens),
             num_seqs=jnp.asarray([len(scheduled)], np.int32),
             logits_indices=jnp.asarray(logits_indices),
+            embeds_override=(None if embeds_override is None else
+                             jnp.asarray(embeds_override)),
+            embeds_mask=(None if embeds_mask is None else
+                         jnp.asarray(embeds_mask)),
         )
 
     # ------------------------------------------------------------------
