@@ -509,6 +509,65 @@ class OpenAIServer:
             text += "<|assistant|>\n"
         return text
 
+    # NUL bytes never survive a tokenizer; safe split marker for image
+    # placeholders inside the templated chat text.
+    _MM_SENTINEL = "\x00<aphrodite-image>\x00"
+
+    def _extract_images(self, messages):
+        """Replace image_url content parts with sentinel text parts;
+        return (messages, image_urls)."""
+        urls: List[str] = []
+        out = []
+        for m in messages:
+            content = m.content
+            if isinstance(content, list):
+                parts = []
+                for part in content:
+                    if (isinstance(part, dict)
+                            and part.get("type") == "image_url"):
+                        iu = part.get("image_url")
+                        urls.append(iu.get("url") if isinstance(iu, dict)
+                                    else str(iu))
+                        parts.append({"type": "text",
+                                      "text": self._MM_SENTINEL})
+                    else:
+                        parts.append(part)
+                m = m.model_copy(update={"content": parts})
+            out.append(m)
+        return out, urls
+
+    @staticmethod
+    def _load_image(url: str, model) -> "np.ndarray":
+        """Decode a base64 data URL into CLIP-preprocessed pixel_values
+        [3, S, S] (resize shortest edge -> center crop -> normalize with
+        the OpenAI-CLIP mean/std — reference multimodal/image.py via HF
+        CLIPImageProcessor). Remote http(s) fetch is rejected: the server
+        runs with zero egress."""
+        import base64
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        if not url.startswith("data:"):
+            raise ValueError(
+                "only data: image URLs are supported (no remote fetch)")
+        b64 = url.split(",", 1)[1]
+        img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+        s = model.v_image_size
+        w, h = img.size
+        scale = s / min(w, h)
+        img = img.resize((max(s, round(w * scale)),
+                          max(s, round(h * scale))), Image.BICUBIC)
+        w, h = img.size
+        left, top = (w - s) // 2, (h - s) // 2
+        img = img.crop((left, top, left + s, top + s))
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+        std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+        arr = (arr - mean) / std
+        return arr.transpose(2, 0, 1).astype(np.float32)
+
     async def create_chat_completion(self,
                                      request: web.Request) -> web.Response:
         if self.engine is None:
@@ -516,21 +575,48 @@ class OpenAIServer:
                           err_type="service_unavailable")
         try:
             req = ChatCompletionRequest(**await request.json())
+            messages, image_urls = self._extract_images(req.messages)
             prompt_text = self._apply_chat_template(
-                req.messages, req.add_generation_prompt or True,
+                messages, req.add_generation_prompt or True,
                 req.chat_template, tools=req.tools)
         except Exception as e:
             return _error(str(e))
         model_name = req.model or self.served_model_names[0]
-        prompt_ids = self.tokenizer.encode(prompt_text)
+
+        mm_data = None
+        if image_urls:
+            model = self.async_engine.engine.runner.model
+            if not getattr(model, "is_multimodal", False):
+                return _error("this model does not accept image input")
+            try:
+                images = [self._load_image(u, model) for u in image_urls]
+            except Exception as e:
+                return _error(f"bad image: {e}")
+            mm_data = {"image": images}
+            # Tokenize around the sentinels; each becomes ONE placeholder
+            # token (the engine expands it to the per-image feature count).
+            segs = prompt_text.split(self._MM_SENTINEL)
+            prompt_ids = list(self.tokenizer.encode(segs[0]))
+            for seg in segs[1:]:
+                prompt_ids.append(model.image_token_index)
+                prompt_ids.extend(
+                    self.tokenizer.encode(seg, add_special_tokens=False))
+            prompt_text = "".join(segs)
+        else:
+            prompt_ids = self.tokenizer.encode(prompt_text)
+        eff_len = len(prompt_ids)
+        if mm_data is not None:
+            model = self.async_engine.engine.runner.model
+            eff_len += len(image_urls) * (model.num_image_tokens - 1)
         sp = req.to_sampling_params(
-            self.model_config.max_model_len - len(prompt_ids))
+            self.model_config.max_model_len - eff_len)
         request_id = f"chatcmpl-{random_uuid()}"
         try:
             stream = await self.async_engine.add_request(
                 request_id, prompt=prompt_text, sampling_params=sp,
                 prompt_token_ids=prompt_ids,
-                lora_request=self._lora_for_model_name(req.model))
+                lora_request=self._lora_for_model_name(req.model),
+                multi_modal_data=mm_data)
         except Exception as e:
             return _error(str(e))
 

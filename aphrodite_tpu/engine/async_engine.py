@@ -97,13 +97,14 @@ class AsyncAphrodite:
         sampling_params: Optional[SamplingParams] = None,
         prompt_token_ids: Optional[List[int]] = None,
         lora_request=None,
+        multi_modal_data=None,
     ) -> AsyncStream:
         await self.check_health()
         stream = AsyncStream(request_id)
         self._streams[request_id] = stream
         self._new_requests.append(
             (request_id, prompt, sampling_params, prompt_token_ids,
-             time.monotonic(), lora_request))
+             time.monotonic(), lora_request, multi_modal_data))
         self._ensure_loop()
         self._wakeup.set()
         return stream
@@ -114,9 +115,11 @@ class AsyncAphrodite:
         prompt: Optional[str] = None,
         sampling_params: Optional[SamplingParams] = None,
         prompt_token_ids: Optional[List[int]] = None,
+        multi_modal_data=None,
     ) -> AsyncIterator[RequestOutput]:
         stream = await self.add_request(request_id, prompt, sampling_params,
-                                        prompt_token_ids)
+                                        prompt_token_ids,
+                                        multi_modal_data=multi_modal_data)
         try:
             async for output in stream:
                 yield output
@@ -139,13 +142,14 @@ class AsyncAphrodite:
 
     def _drain_new_requests(self) -> None:
         new, self._new_requests = self._new_requests, []
-        for rid, prompt, sp, ids, arrival, lora in new:
+        for rid, prompt, sp, ids, arrival, lora, mm in new:
             try:
                 self.engine.add_request(rid, prompt=prompt,
                                         sampling_params=sp,
                                         prompt_token_ids=ids,
                                         arrival_time=arrival,
-                                        lora_request=lora)
+                                        lora_request=lora,
+                                        multi_modal_data=mm)
             except Exception as e:  # bad request: fail just this stream
                 stream = self._streams.pop(rid, None)
                 if stream is not None:

@@ -181,3 +181,139 @@ async def test_logprobs_in_response(client):
     assert lp is not None
     assert len(lp["tokens"]) == 3
     assert len(lp["top_logprobs"]) == 3
+
+
+# ---- multimodal chat (LLaVA) -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def llava_api_dir(tmp_path_factory):
+    import torch
+    import transformers as tf
+
+    from tests.utils import make_tiny_tokenizer
+
+    cfg = tf.LlavaConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=3, num_attention_heads=4,
+                           image_size=24, patch_size=8, projection_dim=32),
+        text_config=dict(model_type="llama", hidden_size=48,
+                         intermediate_size=96, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         vocab_size=260, max_position_embeddings=256,
+                         tie_word_embeddings=False),
+        image_token_index=256,
+    )
+    torch.manual_seed(0)
+    model = tf.LlavaForConditionalGeneration(cfg).to(torch.float32)
+    path = str(tmp_path_factory.mktemp("tiny_llava_api"))
+    model.save_pretrained(path, safe_serialization=True)
+    make_tiny_tokenizer(path, vocab_size=260)
+    return path
+
+
+@pytest.fixture()
+async def llava_client(llava_api_dir, aiohttp_client):
+    engine_args = EngineArgs(
+        model=llava_api_dir,
+        dtype="float32",
+        max_num_seqs=4,
+        num_device_blocks_override=128,
+        block_size=8,
+    )
+    async_engine = AsyncAphrodite.from_engine_args(engine_args)
+    server = OpenAIServer(async_engine, served_model_names=["tiny-llava"])
+    return await aiohttp_client(server.build_app())
+
+
+def _png_data_url():
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    img = Image.fromarray(
+        rng.integers(0, 255, (32, 48, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    return f"data:image/png;base64,{b64}"
+
+
+async def test_chat_with_image(llava_client):
+    resp = await llava_client.post("/v1/chat/completions", json={
+        "model": "tiny-llava",
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "what is in "},
+            {"type": "image_url", "image_url": {"url": _png_data_url()}},
+            {"type": "text", "text": " this image?"},
+        ]}],
+        "max_tokens": 6,
+        "temperature": 0,
+        "ignore_eos": True,
+    })
+    assert resp.status == 200, await resp.text()
+    data = await resp.json()
+    assert data["choices"][0]["message"]["content"]
+    # The single placeholder expands to 9 feature tokens in the engine.
+    assert data["usage"]["prompt_tokens"] > 9
+
+
+async def test_chat_image_changes_output(llava_client):
+    async def ask(url):
+        resp = await llava_client.post("/v1/chat/completions", json={
+            "model": "tiny-llava",
+            "messages": [{"role": "user", "content": [
+                {"type": "image_url", "image_url": {"url": url}},
+            ]}],
+            "max_tokens": 8, "temperature": 0, "ignore_eos": True,
+        })
+        assert resp.status == 200, await resp.text()
+        return (await resp.json())["choices"][0]["message"]["content"]
+
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def url_for(value):
+        img = Image.fromarray(
+            np.full((24, 24, 3), value, dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return ("data:image/png;base64," +
+                base64.b64encode(buf.getvalue()).decode())
+
+    a = await ask(url_for(0))
+    b = await ask(url_for(255))
+    # Same text, very different pixels: outputs should differ (the image
+    # actually conditions generation through the vision tower).
+    assert a != b
+
+
+async def test_chat_remote_image_rejected(llava_client):
+    resp = await llava_client.post("/v1/chat/completions", json={
+        "model": "tiny-llava",
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url",
+             "image_url": {"url": "https://example.com/cat.png"}},
+        ]}],
+        "max_tokens": 4,
+    })
+    assert resp.status == 400
+    assert "data:" in (await resp.json())["error"]["message"]
+
+
+async def test_chat_image_on_text_model_rejected(client):
+    resp = await client.post("/v1/chat/completions", json={
+        "model": "tiny",
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": _png_data_url()}},
+        ]}],
+        "max_tokens": 4,
+    })
+    assert resp.status == 400
+    assert "image" in (await resp.json())["error"]["message"]
