@@ -305,11 +305,11 @@ class DeviceConfig:
 class LoadConfig:
     """Weight-loading strategy (reference model_loader/loader.py:1120)."""
 
-    load_format: str = "auto"  # auto | safetensors | gguf | dummy
+    load_format: str = "auto"  # auto|safetensors|gguf|dummy|sharded_state
 
     def __post_init__(self) -> None:
         if self.load_format not in ("auto", "safetensors", "gguf",
-                                    "dummy"):
+                                    "dummy", "sharded_state"):
             raise ValueError(f"unknown load_format {self.load_format!r}")
 
 

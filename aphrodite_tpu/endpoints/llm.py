@@ -64,6 +64,11 @@ class LLM:
     def get_tokenizer(self):
         return self.engine.tokenizer
 
+    def save_sharded_state(self, path: str) -> None:
+        """Write the loaded (possibly quantized) weights as a fast-boot
+        sharded-state directory; load it back with model=<path>."""
+        self.engine.runner.save_sharded_state(path)
+
     def generate(
         self,
         prompts: Union[str, Sequence[str], None] = None,

@@ -462,11 +462,18 @@ def load_model_params(
     if fmt == "auto":
         if model_config.model.endswith(".gguf"):
             fmt = "gguf"
+        elif is_sharded_state_dir(model_config.model):
+            fmt = "sharded_state"
         else:
             has_st = any(
                 fn.endswith(".safetensors")
                 for fn in os.listdir(model_config.model))
             fmt = "safetensors" if has_st else "dummy"
+    if fmt == "sharded_state":
+        logger.info("loading sharded state from %s", model_config.model)
+        host = load_sharded_state_to_host(model_config.model)
+        return place_params_on_mesh(model, host, mesh,
+                                    jnp.dtype(model_config.dtype))
     if fmt == "gguf":
         from aphrodite_tpu.loader.gguf import load_gguf_params_to_host
 
@@ -510,3 +517,76 @@ def load_model_params(
         raise ValueError(f"unknown load format {fmt}")
     return place_params_on_mesh(model, host, mesh,
                                 jnp.dtype(model_config.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Sharded state: save/load the FINAL param pytree (post name-mapping, post
+# transpose/stack, post quantization) for fast startup.
+# Reference: model_loader/loader.py ShardedStateLoader + LLM
+# save_sharded_state examples — ours stores one npz of raw array bytes plus
+# a JSON manifest (exotic dtypes like bfloat16/fp8 round-trip as bytes).
+# ---------------------------------------------------------------------------
+
+_SHARDED_STATE_NPZ = "aphrodite_tpu_state.npz"
+_SHARDED_STATE_MANIFEST = "aphrodite_tpu_state.json"
+
+
+def is_sharded_state_dir(model_dir: str) -> bool:
+    return os.path.isfile(os.path.join(model_dir, _SHARDED_STATE_NPZ))
+
+
+def save_sharded_state(params: Dict[str, Any], out_dir: str,
+                       source_model_dir: Optional[str] = None) -> None:
+    """Write the runner's param pytree to `out_dir`, copying config +
+    tokenizer files from the source model dir so the directory is a
+    self-contained loadable model."""
+    import json
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix=""):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, f"{prefix}{k}/")
+            else:
+                flat[f"{prefix}{k}"] = np.asarray(v)
+
+    walk(params)
+    manifest = {}
+    arrays = {}
+    for i, (path, arr) in enumerate(sorted(flat.items())):
+        key = f"a{i}"
+        manifest[key] = {
+            "path": path,
+            "dtype": str(arr.dtype),
+            "shape": list(arr.shape),
+        }
+        arrays[key] = np.ascontiguousarray(arr).reshape(-1).view(np.uint8)
+    np.savez(os.path.join(out_dir, _SHARDED_STATE_NPZ), **arrays)
+    with open(os.path.join(out_dir, _SHARDED_STATE_MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    if source_model_dir and os.path.isdir(source_model_dir) and \
+            os.path.abspath(source_model_dir) != os.path.abspath(out_dir):
+        for fn in os.listdir(source_model_dir):
+            if fn.endswith((".json", ".model", ".txt")) and \
+                    not fn.endswith(".safetensors.index.json"):
+                shutil.copy(os.path.join(source_model_dir, fn),
+                            os.path.join(out_dir, fn))
+
+
+def load_sharded_state_to_host(model_dir: str) -> Dict[str, Any]:
+    import json
+
+    import jax.numpy as jnp
+
+    with open(os.path.join(model_dir, _SHARDED_STATE_MANIFEST)) as f:
+        manifest = json.load(f)
+    params: Dict[str, Any] = {}
+    with np.load(os.path.join(model_dir, _SHARDED_STATE_NPZ)) as z:
+        for key, meta in manifest.items():
+            arr = z[key].view(jnp.dtype(meta["dtype"])).reshape(
+                meta["shape"])
+            _set_path(params, meta["path"].replace("/", "."), arr)
+    return params

@@ -479,6 +479,16 @@ class ModelRunner:
     # Batch assembly (host)
     # ------------------------------------------------------------------
 
+    def save_sharded_state(self, out_dir: str) -> None:
+        """Persist the FINAL param pytree (post mapping/quantization) for
+        fast startup via load_format='sharded_state' (reference
+        ShardedStateLoader / LLM save_sharded_state)."""
+        from aphrodite_tpu.loader.weights import save_sharded_state
+
+        save_sharded_state(self.params, out_dir,
+                           source_model_dir=self.model_config.model)
+        logger.info("sharded state saved to %s", out_dir)
+
     def encode_image(self, pixel_values: np.ndarray) -> np.ndarray:
         """Run the vision tower + projector once (multimodal models);
         returns per-image features [B, n_feat, H] on host."""
