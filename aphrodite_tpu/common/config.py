@@ -122,7 +122,8 @@ class ModelConfig:
     def get_num_attention_heads(self) -> int:
         # Attention-free (SSM) configs have no heads; report 1 so
         # divisibility checks trivially pass.
-        return int(self.hf_config.get("num_attention_heads") or 1)
+        return int(self.hf_config.get("num_attention_heads")
+                   or self.hf_config.get("n_head") or 1)
 
     def get_total_num_kv_heads(self) -> int:
         return int(

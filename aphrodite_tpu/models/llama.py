@@ -63,6 +63,11 @@ class LlamaForCausalLM:
     # Gemma2-style logit/attention soft-capping (0 = off).
     logit_softcap: float = 0.0
     attn_softcap: float = 0.0
+    # Positional scheme: RoPE (llama) vs ALiBi biases (bloom; subclass
+    # sets use_rope=False and fills self.alibi_slopes in __init__).
+    use_rope: bool = True
+    # LayerNorm on token embeddings before the first layer (bloom).
+    embedding_norm: bool = False
 
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
@@ -97,6 +102,8 @@ class LlamaForCausalLM:
         # kv heads when tp exceeds them).
         self.num_kv_heads_padded = max(self.num_kv_heads, tp)
 
+        # Per-head ALiBi slopes (f32[NH]); set by subclasses (bloom).
+        self.alibi_slopes: Optional[jax.Array] = None
         self._cos, self._sin = compute_rope_tables(
             self.head_dim,
             self.max_position,
@@ -149,6 +156,10 @@ class LlamaForCausalLM:
             shapes["layers"]["input_norm_b"] = (L, H)
             shapes["layers"]["post_norm_b"] = (L, H)
             shapes["final_norm_b"] = (H,)
+        if self.embedding_norm:
+            shapes["embed_norm"] = (H,)
+            if self.norm_type == "layernorm":
+                shapes["embed_norm_b"] = (H,)
         if not self.tie_word_embeddings:
             shapes["lm_head"] = (H, V)
         return shapes
@@ -190,6 +201,10 @@ class LlamaForCausalLM:
             specs["layers"]["input_norm_b"] = P()
             specs["layers"]["post_norm_b"] = P()
             specs["final_norm_b"] = P()
+        if self.embedding_norm:
+            specs["embed_norm"] = P()
+            if self.norm_type == "layernorm":
+                specs["embed_norm_b"] = P()
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
         if self.parallel_config.pipeline_parallel_size > 1:
@@ -375,6 +390,9 @@ class LlamaForCausalLM:
             # precomputed (vision tower + projector) embeddings verbatim.
             x = jnp.where(batch.embeds_mask[:, None],
                           batch.embeds_override.astype(self.dtype), x)
+        if self.embedding_norm:
+            x = self._norm(x, params["embed_norm"],
+                           params.get("embed_norm_b")).astype(self.dtype)
         cos = self._cos[batch.positions]  # [T, D/2]
         sin = self._sin[batch.positions]
 
@@ -413,8 +431,9 @@ class LlamaForCausalLM:
             k = k.astype(self.dtype).reshape(-1, NKV, D)
             v = v.astype(self.dtype).reshape(-1, NKV, D)
             q, k = self.qk_norm(q, k, lp)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+            if self.use_rope:
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
             pages = write_kv(pages, k, v, batch.slot_mapping,
                              k_scale=k_scale, v_scale=v_scale)
             if k_scale is not None:
@@ -429,6 +448,7 @@ class LlamaForCausalLM:
                 sm_scale=self.sm_scale,
                 sliding_window=self.sliding_window,
                 soft_cap=self.attn_softcap or None,
+                alibi_slopes=self.alibi_slopes,
                 mesh=inner_mesh,
                 use_kernel=use_attention_kernel,
             )

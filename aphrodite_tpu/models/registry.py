@@ -50,6 +50,7 @@ _LAZY_REGISTRY = {
     "Phi3ForCausalLM": _lazy("phi3", "Phi3ForCausalLM"),
     "LlavaForConditionalGeneration": _lazy(
         "llava", "LlavaForConditionalGeneration"),
+    "BloomForCausalLM": _lazy("bloom", "BloomForCausalLM"),
 }
 
 

@@ -43,6 +43,7 @@ def ref_ragged_paged_attention(
     soft_cap: Optional[float] = None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # f32[num_q_heads]
 ) -> jax.Array:
     """Pure-jnp ragged paged attention (static shapes, jit-friendly).
 
@@ -98,6 +99,12 @@ def ref_ragged_paged_attention(
         scores = soft_cap * jnp.tanh(scores / soft_cap)
 
     kv_pos = jnp.arange(max_kv_len, dtype=jnp.int32)[None, None, :]
+    if alibi_slopes is not None:
+        # ALiBi: per-head linear distance bias slope*(j - i), j <= i
+        # (reference attention/ops/paged_attn.py alibi path; shift-
+        # equivalent to HF Bloom's slope*j form under softmax).
+        rel = (kv_pos - q_abs[:, None, None]).astype(jnp.float32)
+        scores = scores + alibi_slopes[None, :, None] * rel
     mask = kv_pos <= q_abs[:, None, None]
     mask &= kv_pos < kv_len_t[:, None, None]
     if sliding_window is not None:
@@ -123,6 +130,7 @@ def ragged_paged_attention(
     soft_cap: Optional[float] = None,
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     mesh: Optional[Mesh] = None,
     use_kernel: Optional[bool] = None,
 ) -> jax.Array:
@@ -138,6 +146,11 @@ def ragged_paged_attention(
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() in ("tpu", "axon")
+    if use_kernel and alibi_slopes is not None:
+        # The bundled Pallas kernel has no ALiBi bias input; ALiBi models
+        # (bloom/mpt/jais) run the jnp path. TODO(round 2): fork the
+        # kernel with an in-loop distance bias.
+        use_kernel = False
     if use_kernel and not _kernel_supports(q, kv_pages):
         # The Pallas kernel has alignment requirements (e.g. head_dim
         # tiling); tiny test models fall back to the jnp reference.
@@ -146,10 +159,31 @@ def ragged_paged_attention(
 
     kwargs = dict(sm_scale=sm_scale, sliding_window=sliding_window,
                   soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
+    if alibi_slopes is not None:
+        kwargs["alibi_slopes"] = alibi_slopes
 
     if mesh is None:
         return impl(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
                     **kwargs)
+
+    if alibi_slopes is not None:
+        # Slopes shard with the query heads.
+        fn = jax.shard_map(
+            lambda q_, kv_, kl_, pi_, cq_, ns_, sl_: ref_ragged_paged_attention(
+                q_, kv_, kl_, pi_, cq_, ns_, **{**kwargs,
+                                                "alibi_slopes": sl_}),
+            mesh=mesh,
+            in_specs=(
+                P(None, "model", None),
+                P(None, None, "model", None),
+                P(), P(), P(), P(),
+                P("model"),
+            ),
+            out_specs=P(None, "model", None),
+            check_vma=False,
+        )
+        return fn(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+                  alibi_slopes)
 
     fn = jax.shard_map(
         functools.partial(impl, **kwargs),
