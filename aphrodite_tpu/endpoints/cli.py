@@ -114,6 +114,16 @@ def _run_batch_cmd(args: argparse.Namespace) -> None:
     raise SystemExit(1 if failures else 0)
 
 
+def _save_sharded_state(args) -> None:
+    from aphrodite_tpu.engine.engine import AphroditeEngine
+
+    engine_args = EngineArgs.from_cli_args(args)
+    engine_args.model = args.model
+    engine = AphroditeEngine.from_engine_args(engine_args)
+    engine.runner.save_sharded_state(args.output)
+    print(f"sharded state written to {args.output}")
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="aphrodite-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -140,6 +150,14 @@ def main(argv=None) -> int:
     batch.add_argument("--output-file", required=True)
     EngineArgs.add_cli_args(batch)
 
+    sss = sub.add_parser(
+        "save-sharded-state",
+        help="load a model (applying any --quantization) and save the "
+             "final weights for fast reload")
+    sss.add_argument("model")
+    sss.add_argument("--output", required=True)
+    EngineArgs.add_cli_args(sss)
+
     args = parser.parse_args(argv)
     if args.command == "run":
         _run(args)
@@ -151,6 +169,8 @@ def main(argv=None) -> int:
         _yaml(args)
     elif args.command == "run-batch":
         _run_batch_cmd(args)
+    elif args.command == "save-sharded-state":
+        _save_sharded_state(args)
     else:
         parser.print_help()
         return 1

@@ -69,6 +69,38 @@ class LLM:
         sharded-state directory; load it back with model=<path>."""
         self.engine.runner.save_sharded_state(path)
 
+    def chat(
+        self,
+        messages,
+        sampling_params: Union[SamplingParams, Sequence[SamplingParams],
+                               None] = None,
+        use_tqdm: bool = False,
+        chat_template: Optional[str] = None,
+        add_generation_prompt: bool = True,
+    ) -> List[RequestOutput]:
+        """Chat-style generation (reference LLM.chat, endpoints/llm.py):
+        applies the tokenizer's chat template to one conversation (list
+        of {role, content} dicts) or a list of conversations."""
+        if messages and isinstance(messages[0], dict):
+            conversations = [messages]
+        else:
+            conversations = list(messages)
+        tok = self.engine.tokenizer
+        prompts = []
+        for conv in conversations:
+            if getattr(tok, "chat_template", None) or chat_template:
+                text = tok.apply_chat_template(
+                    conv, tokenize=False,
+                    add_generation_prompt=add_generation_prompt,
+                    chat_template=chat_template)
+            else:
+                text = "".join(f"<|{m['role']}|>\n{m['content']}\n"
+                               for m in conv)
+                if add_generation_prompt:
+                    text += "<|assistant|>\n"
+            prompts.append(text)
+        return self.generate(prompts, sampling_params, use_tqdm=use_tqdm)
+
     def generate(
         self,
         prompts: Union[str, Sequence[str], None] = None,

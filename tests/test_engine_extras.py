@@ -110,3 +110,17 @@ def test_async_engine_bad_request_fails_stream_only(tiny_dir):
         assert final is not None and final.finished
 
     asyncio.run(run())
+
+
+def test_llm_chat_api(tiny_dir):
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              max_model_len=128)
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    outs = llm.chat([{"role": "user", "content": "hello"}], sp)
+    assert len(outs) == 1 and len(outs[0].outputs[0].token_ids) == 5
+    # Multiple conversations; template fallback is deterministic, so the
+    # same conversation gives the same tokens.
+    outs2 = llm.chat([[{"role": "user", "content": "hello"}],
+                      [{"role": "user", "content": "different"}]], sp)
+    assert outs2[0].outputs[0].token_ids == outs[0].outputs[0].token_ids
+    assert outs2[1].outputs[0].token_ids != outs[0].outputs[0].token_ids

@@ -56,3 +56,15 @@ def test_sharded_state_preserves_quantization(tiny_dir, tmp_path):
     llm2 = LLM(model=out, dtype="float32", max_num_seqs=4,
                max_model_len=128)
     assert _greedy(llm2) == expect
+
+
+def test_cli_save_sharded_state(tiny_dir, tmp_path):
+    from aphrodite_tpu.endpoints.cli import main
+
+    out = str(tmp_path / "cli_state")
+    assert main(["save-sharded-state", tiny_dir, "--output", out,
+                 "--dtype", "float32",
+                 "--num-device-blocks-override", "64"]) == 0
+    llm = LLM(model=out, dtype="float32", max_num_seqs=4,
+              max_model_len=128)
+    assert _greedy(llm)  # loads and generates
