@@ -64,6 +64,9 @@ class _SamplerMixin(BaseModel):
     stop: Optional[Union[str, List[str]]] = None
     seed: Optional[int] = None
     user: Optional[str] = None
+    # OpenAI logit_bias: {"token_id": bias in [-100, 100]} (reference
+    # protocol.py logit_bias -> logits-processor synthesis).
+    logit_bias: Optional[Dict[str, float]] = None
     # Aphrodite extensions (reference protocol.py:128-330).
     best_of: Optional[int] = None
     top_k: Optional[int] = -1
@@ -109,7 +112,23 @@ class _SamplerMixin(BaseModel):
         max_tokens = self.max_tokens
         if max_tokens is None:
             max_tokens = default_max_tokens
+        logits_processors = None
+        if self.logit_bias:
+            try:
+                bias = {int(t): min(100.0, max(-100.0, float(b)))
+                        for t, b in self.logit_bias.items()}
+            except ValueError as e:
+                raise ValueError(f"invalid logit_bias: {e}") from e
+
+            def _bias_processor(token_ids, logits):
+                for tid, b in bias.items():
+                    if 0 <= tid < len(logits):
+                        logits[tid] += b
+                return logits
+
+            logits_processors = [_bias_processor]
         return SamplingParams(
+            logits_processors=logits_processors,
             n=self.n or 1,
             best_of=self.best_of,
             presence_penalty=self.presence_penalty or 0.0,

@@ -317,3 +317,33 @@ async def test_chat_image_on_text_model_rejected(client):
     })
     assert resp.status == 400
     assert "image" in (await resp.json())["error"]["message"]
+
+
+async def test_completion_logit_bias(client):
+    # Strong negative bias on most tokens, +100 on token 7: greedy must
+    # pick 7 every step.
+    bias = {str(i): -100 for i in range(0, 256, 1) if i != 7}
+    bias["7"] = 100
+    resp = await client.post("/v1/completions", json={
+        "model": "tiny", "prompt": [1, 2, 3], "max_tokens": 5,
+        "temperature": 0, "ignore_eos": True, "logit_bias": bias,
+    })
+    assert resp.status == 200, await resp.text()
+    data = await resp.json()
+    # Detokenized text of token 7 repeated; verify via tokenize round trip
+    # is tokenizer-dependent — assert the bias steered generation by
+    # comparing with the unbiased output.
+    resp2 = await client.post("/v1/completions", json={
+        "model": "tiny", "prompt": [1, 2, 3], "max_tokens": 5,
+        "temperature": 0, "ignore_eos": True,
+    })
+    assert data["choices"][0]["text"] != \
+        (await resp2.json())["choices"][0]["text"]
+
+
+async def test_completion_logit_bias_invalid(client):
+    resp = await client.post("/v1/completions", json={
+        "model": "tiny", "prompt": [1, 2, 3], "max_tokens": 4,
+        "logit_bias": {"not_an_int": 5},
+    })
+    assert resp.status == 400
