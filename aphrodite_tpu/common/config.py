@@ -88,9 +88,9 @@ class ModelConfig:
         if self.dtype not in _SUPPORTED_DTYPES:
             raise ValueError(f"unsupported dtype {self.dtype!r}")
         derived_max = int(
-            self.hf_config.get(
-                "max_position_embeddings",
-                self.hf_config.get("n_positions", 2048)))
+            self.hf_config.get("max_position_embeddings")
+            or self.hf_config.get("n_positions")
+            or self.hf_config.get("max_seq_len") or 2048)
         if self.max_model_len is None:
             self.max_model_len = derived_max
         elif self.max_model_len > derived_max:
@@ -113,17 +113,20 @@ class ModelConfig:
         return archs[0]
 
     def get_hidden_size(self) -> int:
-        return int(self.hf_config["hidden_size"])
+        return int(self.hf_config.get("hidden_size")
+                   or self.hf_config.get("d_model"))
 
     def get_num_layers(self) -> int:
-        return int(self.hf_config.get("num_hidden_layers",
-                                      self.hf_config.get("n_layer")))
+        return int(self.hf_config.get("num_hidden_layers")
+                   or self.hf_config.get("n_layer")
+                   or self.hf_config.get("n_layers"))
 
     def get_num_attention_heads(self) -> int:
         # Attention-free (SSM) configs have no heads; report 1 so
         # divisibility checks trivially pass.
         return int(self.hf_config.get("num_attention_heads")
-                   or self.hf_config.get("n_head") or 1)
+                   or self.hf_config.get("n_head")
+                   or self.hf_config.get("n_heads") or 1)
 
     def get_total_num_kv_heads(self) -> int:
         return int(

@@ -50,6 +50,11 @@ class LlamaForCausalLM:
     norm_weight_offset: float = 0.0
     # "rms" (llama) or "layernorm" (starcoder2: mean-centered + bias).
     norm_type: str = "rms"
+    # LayerNorm bias terms present (starcoder2/bloom yes, mpt no_bias).
+    norm_bias: bool = True
+    # Ungated-MLP activation: "gelu_tanh" (starcoder2/bloom) or exact
+    # "gelu" (mpt).
+    ungated_act: str = "gelu_tanh"
     # Gated (SwiGLU/GeGLU) vs plain two-matmul MLP (starcoder2).
     gated_mlp: bool = True
     # Bias on MLP projections (starcoder2).
@@ -152,13 +157,13 @@ class LlamaForCausalLM:
             shapes["layers"]["bv"] = (L, NKV * D)
         if self.o_proj_bias:
             shapes["layers"]["bo"] = (L, H)
-        if self.norm_type == "layernorm":
+        if self.norm_type == "layernorm" and self.norm_bias:
             shapes["layers"]["input_norm_b"] = (L, H)
             shapes["layers"]["post_norm_b"] = (L, H)
             shapes["final_norm_b"] = (H,)
         if self.embedding_norm:
             shapes["embed_norm"] = (H,)
-            if self.norm_type == "layernorm":
+            if self.norm_type == "layernorm" and self.norm_bias:
                 shapes["embed_norm_b"] = (H,)
         if not self.tie_word_embeddings:
             shapes["lm_head"] = (H, V)
@@ -197,13 +202,13 @@ class LlamaForCausalLM:
             specs["layers"]["bv"] = P(None, "model")
         if self.o_proj_bias:
             specs["layers"]["bo"] = P()
-        if self.norm_type == "layernorm":
+        if self.norm_type == "layernorm" and self.norm_bias:
             specs["layers"]["input_norm_b"] = P()
             specs["layers"]["post_norm_b"] = P()
             specs["final_norm_b"] = P()
         if self.embedding_norm:
             specs["embed_norm"] = P()
-            if self.norm_type == "layernorm":
+            if self.norm_type == "layernorm" and self.norm_bias:
                 specs["embed_norm_b"] = P()
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
@@ -303,7 +308,7 @@ class LlamaForCausalLM:
         if self.o_proj_bias:
             maps.append(("model.layers.{i}.self_attn.o_proj.bias",
                          "layers.bo", False))
-        if self.norm_type == "layernorm":
+        if self.norm_type == "layernorm" and self.norm_bias:
             maps += [
                 ("model.layers.{i}.input_layernorm.bias",
                  "layers.input_norm_b", False),
@@ -326,7 +331,7 @@ class LlamaForCausalLM:
             ("model.embed_tokens.weight", "embed", False),
             ("model.norm.weight", "final_norm", False),
         ]
-        if self.norm_type == "layernorm":
+        if self.norm_type == "layernorm" and self.norm_bias:
             maps.append(("model.norm.bias", "final_norm_b", False))
         if not self.tie_word_embeddings:
             maps.append(("lm_head.weight", "lm_head", True))
@@ -560,8 +565,10 @@ class LlamaForCausalLM:
             up = qmatmul(h, lp["fc1"])
             if "fc1_b" in lp:
                 up = up + lp["fc1_b"]
-            act = jax.nn.gelu(up.astype(jnp.float32),
-                              approximate=True).astype(self.dtype)
+            act = jax.nn.gelu(
+                up.astype(jnp.float32),
+                approximate=(self.ungated_act != "gelu"),
+            ).astype(self.dtype)
             out = qmatmul(act, lp["fc2"])
             if "fc2_b" in lp:
                 out = out + lp["fc2_b"]

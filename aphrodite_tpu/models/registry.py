@@ -51,6 +51,8 @@ _LAZY_REGISTRY = {
     "LlavaForConditionalGeneration": _lazy(
         "llava", "LlavaForConditionalGeneration"),
     "BloomForCausalLM": _lazy("bloom", "BloomForCausalLM"),
+    "MptForCausalLM": _lazy("mpt", "MPTForCausalLM"),
+    "MPTForCausalLM": _lazy("mpt", "MPTForCausalLM"),
 }
 
 
