@@ -73,6 +73,10 @@ class LlamaForCausalLM:
     use_rope: bool = True
     # LayerNorm on token embeddings before the first layer (bloom).
     embedding_norm: bool = False
+    # Learned absolute position embeddings added to token embeddings
+    # (opt/gpt2); pos_offset shifts the table index (OPT reserves 2).
+    learned_positions: bool = False
+    pos_offset: int = 0
 
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
@@ -165,6 +169,14 @@ class LlamaForCausalLM:
             shapes["embed_norm"] = (H,)
             if self.norm_type == "layernorm" and self.norm_bias:
                 shapes["embed_norm_b"] = (H,)
+        if self.learned_positions:
+            # Checkpoint table length follows the HF-declared maximum
+            # (independent of a user-lowered max_model_len); OPT bakes
+            # its 2 offset rows into the stored table.
+            hf = self.config.hf_config
+            base_len = int(hf.get("max_position_embeddings")
+                           or hf.get("n_positions") or self.max_position)
+            shapes["embed_pos"] = (base_len + self.pos_offset, H)
         if not self.tie_word_embeddings:
             shapes["lm_head"] = (H, V)
         return shapes
@@ -210,6 +222,8 @@ class LlamaForCausalLM:
             specs["embed_norm"] = P()
             if self.norm_type == "layernorm" and self.norm_bias:
                 specs["embed_norm_b"] = P()
+        if self.learned_positions:
+            specs["embed_pos"] = P(None, None)
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
         if self.parallel_config.pipeline_parallel_size > 1:
@@ -395,6 +409,9 @@ class LlamaForCausalLM:
             # precomputed (vision tower + projector) embeddings verbatim.
             x = jnp.where(batch.embeds_mask[:, None],
                           batch.embeds_override.astype(self.dtype), x)
+        if self.learned_positions:
+            pos = batch.positions + self.pos_offset
+            x = x + params["embed_pos"][pos].astype(self.dtype)
         if self.embedding_norm:
             x = self._norm(x, params["embed_norm"],
                            params.get("embed_norm_b")).astype(self.dtype)
@@ -565,10 +582,13 @@ class LlamaForCausalLM:
             up = qmatmul(h, lp["fc1"])
             if "fc1_b" in lp:
                 up = up + lp["fc1_b"]
-            act = jax.nn.gelu(
-                up.astype(jnp.float32),
-                approximate=(self.ungated_act != "gelu"),
-            ).astype(self.dtype)
+            if self.ungated_act == "relu":
+                act = jax.nn.relu(up).astype(self.dtype)
+            else:
+                act = jax.nn.gelu(
+                    up.astype(jnp.float32),
+                    approximate=(self.ungated_act != "gelu"),
+                ).astype(self.dtype)
             out = qmatmul(act, lp["fc2"])
             if "fc2_b" in lp:
                 out = out + lp["fc2_b"]

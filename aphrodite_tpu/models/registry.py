@@ -53,6 +53,8 @@ _LAZY_REGISTRY = {
     "BloomForCausalLM": _lazy("bloom", "BloomForCausalLM"),
     "MptForCausalLM": _lazy("mpt", "MPTForCausalLM"),
     "MPTForCausalLM": _lazy("mpt", "MPTForCausalLM"),
+    "OPTForCausalLM": _lazy("opt", "OPTForCausalLM"),
+    "GPT2LMHeadModel": _lazy("gpt2", "GPT2LMHeadModel"),
 }
 
 
