@@ -105,6 +105,9 @@ class Sequence:
         # Extra entropy for prefix-cache block hashing (image placeholder
         # tokens are identical across different images).
         self.extra_hash: Optional[int] = None
+        # Sibling index within a seeded n>1 request (distinct PRNG
+        # streams; see model_runner._offset_seed).
+        self.seed_offset: int = 0
 
     # ---- token accounting -------------------------------------------------
 
@@ -183,6 +186,7 @@ class Sequence:
         child.fsm_state = self.fsm_state
         child.mm_spans = self.mm_spans
         child.extra_hash = self.extra_hash
+        child.seed_offset = self.seed_offset
         return child
 
     def reset_for_recompute(self) -> None:

@@ -194,7 +194,7 @@ class AphroditeEngine:
         num_initial = 1 if sampling_params.use_beam_search else \
             sampling_params.best_of
         seqs = []
-        for _ in range(num_initial):
+        for sub_idx in range(num_initial):
             seq = Sequence(
                 seq_id=self._next_seq_id(),
                 prompt_token_ids=prompt_token_ids,
@@ -208,6 +208,8 @@ class AphroditeEngine:
             if mm_spans is not None:
                 seq.mm_spans = mm_spans
                 seq.extra_hash = mm_hash
+            # Distinct PRNG stream per sibling when a seed is set.
+            seq.seed_offset = sub_idx
             seqs.append(seq)
         group = SequenceGroup(
             request_id=request_id,

@@ -77,6 +77,9 @@ class LlamaForCausalLM:
     # (opt/gpt2); pos_offset shifts the table index (OPT reserves 2).
     learned_positions: bool = False
     pos_offset: int = 0
+    # Parallel residual: x + attn(ln1(x)) + mlp(ln2(x)) in one hop
+    # (gpt-neox/pythia use_parallel_residual).
+    parallel_residual: bool = False
 
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
@@ -94,6 +97,11 @@ class LlamaForCausalLM:
         self.rope_theta = float(hf.get("rope_theta", 10000.0))
         self.rope_scaling = hf.get("rope_scaling")
         self.max_position = model_config.max_model_len
+        # Partial rotary (gpt-neox rotary_pct, phi partial_rotary_factor):
+        # RoPE applies to the leading rotary_dim dims of each head.
+        pct = float(hf.get("rotary_pct")
+                    or hf.get("partial_rotary_factor") or 1.0)
+        self.rotary_dim = max(2, int(self.head_dim * pct))
         self.tie_word_embeddings = bool(
             hf.get("tie_word_embeddings", self.tie_word_embeddings_default))
         self.attention_bias = bool(
@@ -114,7 +122,7 @@ class LlamaForCausalLM:
         # Per-head ALiBi slopes (f32[NH]); set by subclasses (bloom).
         self.alibi_slopes: Optional[jax.Array] = None
         self._cos, self._sin = compute_rope_tables(
-            self.head_dim,
+            self.rotary_dim,
             self.max_position,
             base=self.rope_theta,
             rope_scaling=self.rope_scaling,
@@ -454,8 +462,17 @@ class LlamaForCausalLM:
             v = v.astype(self.dtype).reshape(-1, NKV, D)
             q, k = self.qk_norm(q, k, lp)
             if self.use_rope:
-                q = apply_rope(q, cos, sin)
-                k = apply_rope(k, cos, sin)
+                if self.rotary_dim < D:
+                    rot = self.rotary_dim
+                    q = jnp.concatenate(
+                        [apply_rope(q[..., :rot], cos, sin), q[..., rot:]],
+                        axis=-1)
+                    k = jnp.concatenate(
+                        [apply_rope(k[..., :rot], cos, sin), k[..., rot:]],
+                        axis=-1)
+                else:
+                    q = apply_rope(q, cos, sin)
+                    k = apply_rope(k, cos, sin)
             pages = write_kv(pages, k, v, batch.slot_mapping,
                              k_scale=k_scale, v_scale=v_scale)
             if k_scale is not None:
@@ -480,10 +497,17 @@ class LlamaForCausalLM:
             o = lora_add(qmatmul(attn, lp["wo"]), attn, la, "wo")
             if "bo" in lp:
                 o = o + lp["bo"]
-            x = x + o.astype(self.dtype)
-            h = self._norm(x, lp["post_norm"], lp.get("post_norm_b"))
-            x = x + self.mlp(lp, h, mesh=inner_mesh, lora=la,
-                             lora_add=lora_add).astype(self.dtype)
+            if self.parallel_residual:
+                # x + attn(ln1(x)) + mlp(ln2(x)) (gpt-neox).
+                h2 = self._norm(x, lp["post_norm"], lp.get("post_norm_b"))
+                x = x + o.astype(self.dtype) + self.mlp(
+                    lp, h2, mesh=inner_mesh, lora=la,
+                    lora_add=lora_add).astype(self.dtype)
+            else:
+                x = x + o.astype(self.dtype)
+                h = self._norm(x, lp["post_norm"], lp.get("post_norm_b"))
+                x = x + self.mlp(lp, h, mesh=inner_mesh, lora=la,
+                                 lora_add=lora_add).astype(self.dtype)
             return x, pages
 
         k_scales, v_scales = kv_scales if kv_scales is not None else (None,

@@ -55,6 +55,7 @@ _LAZY_REGISTRY = {
     "MPTForCausalLM": _lazy("mpt", "MPTForCausalLM"),
     "OPTForCausalLM": _lazy("opt", "OPTForCausalLM"),
     "GPT2LMHeadModel": _lazy("gpt2", "GPT2LMHeadModel"),
+    "GPTNeoXForCausalLM": _lazy("gpt_neox", "GPTNeoXForCausalLM"),
 }
 
 

@@ -299,10 +299,11 @@ def build_sampling_tensors(
             flags["priority_order"] = tuple(
                 int(x) for x in p.sampler_priority)
         # Per-step PRNG key: mix(seed, step) so each decode step draws fresh
-        # randomness while staying deterministic for a given seed. An
-        # explicit request seed takes precedence over the engine-assigned
+        # randomness while staying deterministic for a given seed. The
+        # runner resolves seed precedence when it builds the row (explicit
+        # request seed — offset per sibling for seeded n>1 — else the
         # fallback (reference SamplingType.RANDOM_SEED semantics).
-        seed = p.seed if p.seed is not None else row.seed
+        seed = row.seed
         t.key_data[i, 0] = _mix32(seed)
         t.key_data[i, 1] = _mix32(seed, row.generated_len + 1)
 

@@ -657,7 +657,8 @@ class ModelRunner:
                     token_ids=seq.get_token_ids(),
                     prompt_len=seq.get_prompt_len(),
                     generated_len=seq.get_output_len(),
-                    seed=(sp.seed if sp.seed is not None else
+                    seed=(_offset_seed(sp.seed, seq)
+                          if sp.seed is not None else
                           _default_seed(ss.group.request_id, seq.seq_id)),
                     eos_token_id=seq.eos_token_id,
                 ))
@@ -906,7 +907,8 @@ class ModelRunner:
                     token_ids=seq.get_token_ids(),
                     prompt_len=seq.get_prompt_len(),
                     generated_len=seq.get_output_len(),
-                    seed=(sp.seed if sp.seed is not None else
+                    seed=(_offset_seed(sp.seed, seq)
+                          if sp.seed is not None else
                           _default_seed(ss.group.request_id, seq.seq_id)),
                     eos_token_id=seq.eos_token_id,
                 ))
@@ -1132,3 +1134,12 @@ def _fold_key_data(key_data: jax.Array, step: jax.Array) -> jax.Array:
 def _default_seed(request_id: str, seq_id: int) -> int:
     """Stable per-sequence seed for requests without an explicit seed."""
     return (hash((request_id, seq_id)) ^ 0xA5A5A5) & 0x7FFFFFFF
+
+
+def _offset_seed(seed: int, seq) -> int:
+    """Seeded request with n>1: sibling sequences must draw DIFFERENT
+    streams (reference: the seq group's torch.Generator advances across
+    sequences) while staying reproducible. Sequence 0 keeps the user
+    seed verbatim."""
+    off = getattr(seq, "seed_offset", 0)
+    return seed if not off else (hash((seed, off)) & 0x7FFFFFFF)

@@ -124,3 +124,16 @@ def test_llm_chat_api(tiny_dir):
                       [{"role": "user", "content": "different"}]], sp)
     assert outs2[0].outputs[0].token_ids == outs[0].outputs[0].token_ids
     assert outs2[1].outputs[0].token_ids != outs[0].outputs[0].token_ids
+
+
+def test_seeded_n_gt_1_gives_distinct_reproducible_siblings(tiny_dir):
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=8,
+              max_model_len=128)
+    sp = SamplingParams(temperature=1.0, seed=7, n=3, best_of=3,
+                        max_tokens=8, ignore_eos=True)
+    out = llm.generate(["seed me"], sp)[0]
+    seqs = [tuple(o.token_ids) for o in out.outputs]
+    assert len(set(seqs)) == 3  # distinct streams per sibling
+    again = [tuple(o.token_ids)
+             for o in llm.generate(["seed me"], sp)[0].outputs]
+    assert sorted(seqs) == sorted(again)  # reproducible

@@ -1,0 +1,49 @@
+"""GPT-NeoX/Pythia (partial rotary, parallel residual) vs HF."""
+
+import pytest
+
+from aphrodite_tpu import LLM, SamplingParams
+from tests.utils import hf_greedy_generate
+
+PROMPTS = ["the quick brown fox", "hello world, this is"]
+
+
+def _make(tmp_path_factory, name, **overrides):
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    kwargs = dict(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=256,
+        max_position_embeddings=128, rotary_pct=0.25)
+    kwargs.update(overrides)
+    cfg = tf.GPTNeoXConfig(**kwargs)
+    path = str(tmp_path_factory.mktemp(name))
+    make_tiny_checkpoint(path, cfg)
+    return path
+
+
+def _check(model_dir, n=10):
+    llm = LLM(model=model_dir, dtype="float32", max_num_seqs=4,
+              max_model_len=128, block_size=8)
+    tok = llm.get_tokenizer()
+    sp = SamplingParams(temperature=0.0, max_tokens=n, ignore_eos=True)
+    outs = llm.generate(PROMPTS, sp)
+    for prompt, out in zip(PROMPTS, outs):
+        expect = hf_greedy_generate(model_dir, tok.encode(prompt), n)
+        assert out.outputs[0].token_ids == expect, prompt
+
+
+def test_neox_parallel_residual_partial_rotary(tmp_path_factory):
+    _check(_make(tmp_path_factory, "tiny_neox"))
+
+
+def test_neox_sequential_residual(tmp_path_factory):
+    # use_parallel_residual=False variants exist (e.g. some fine-tunes).
+    _check(_make(tmp_path_factory, "tiny_neox_seq",
+                 use_parallel_residual=False))
+
+
+def test_neox_full_rotary(tmp_path_factory):
+    _check(_make(tmp_path_factory, "tiny_neox_full", rotary_pct=1.0))

@@ -43,7 +43,9 @@ def _row(params, token_ids=None, prompt_len=None, generated=0, seed=1234):
         token_ids=token_ids,
         prompt_len=prompt_len if prompt_len is not None else len(token_ids),
         generated_len=generated,
-        seed=seed,
+        # Seed precedence lives in the runner (model_runner row build):
+        # an explicit request seed wins over the engine-assigned default.
+        seed=params.seed if params.seed is not None else seed,
     )
 
 
