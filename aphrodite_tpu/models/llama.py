@@ -78,8 +78,12 @@ class LlamaForCausalLM:
     learned_positions: bool = False
     pos_offset: int = 0
     # Parallel residual: x + attn(ln1(x)) + mlp(ln2(x)) in one hop
-    # (gpt-neox/pythia use_parallel_residual).
+    # (gpt-neox/pythia use_parallel_residual). single_norm (phi/cohere)
+    # feeds the MLP the SAME ln1 output (no post_norm params at all).
     parallel_residual: bool = False
+    single_norm: bool = False
+    # Bias on the (untied) LM head projection (phi).
+    lm_head_bias: bool = False
 
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
@@ -187,6 +191,11 @@ class LlamaForCausalLM:
             shapes["embed_pos"] = (base_len + self.pos_offset, H)
         if not self.tie_word_embeddings:
             shapes["lm_head"] = (H, V)
+            if self.lm_head_bias:
+                shapes["lm_head_b"] = (V,)
+        if self.single_norm:
+            shapes["layers"].pop("post_norm", None)
+            shapes["layers"].pop("post_norm_b", None)
         return shapes
 
     def param_shardings(self) -> Dict[str, Any]:
@@ -234,6 +243,11 @@ class LlamaForCausalLM:
             specs["embed_pos"] = P(None, None)
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
+            if self.lm_head_bias:
+                specs["lm_head_b"] = P("model")
+        if self.single_norm:
+            specs["layers"].pop("post_norm", None)
+            specs["layers"].pop("post_norm_b", None)
         if self.parallel_config.pipeline_parallel_size > 1:
             # Layer-stacked arrays shard their leading [L] dim over the
             # "pipe" axis (each stage holds its layer slice).
@@ -498,8 +512,10 @@ class LlamaForCausalLM:
             if "bo" in lp:
                 o = o + lp["bo"]
             if self.parallel_residual:
-                # x + attn(ln1(x)) + mlp(ln2(x)) (gpt-neox).
-                h2 = self._norm(x, lp["post_norm"], lp.get("post_norm_b"))
+                # x + attn(ln1(x)) + mlp(ln2(x)) (gpt-neox); phi/cohere
+                # feed the MLP the same ln1 output (single_norm).
+                h2 = h if self.single_norm else self._norm(
+                    x, lp["post_norm"], lp.get("post_norm_b"))
                 x = x + o.astype(self.dtype) + self.mlp(
                     lp, h2, mesh=inner_mesh, lora=la,
                     lora_add=lora_add).astype(self.dtype)
@@ -641,6 +657,8 @@ class LlamaForCausalLM:
         else:
             logits = jnp.dot(hidden, params["lm_head"],
                              preferred_element_type=jnp.float32)
+            if "lm_head_b" in params:
+                logits = logits + params["lm_head_b"].astype(jnp.float32)
         if self.logit_softcap:
             cap = self.logit_softcap
             logits = cap * jnp.tanh(logits / cap)

@@ -56,6 +56,7 @@ _LAZY_REGISTRY = {
     "OPTForCausalLM": _lazy("opt", "OPTForCausalLM"),
     "GPT2LMHeadModel": _lazy("gpt2", "GPT2LMHeadModel"),
     "GPTNeoXForCausalLM": _lazy("gpt_neox", "GPTNeoXForCausalLM"),
+    "PhiForCausalLM": _lazy("phi", "PhiForCausalLM"),
 }
 
 

@@ -47,3 +47,19 @@ def test_neox_sequential_residual(tmp_path_factory):
 
 def test_neox_full_rotary(tmp_path_factory):
     _check(_make(tmp_path_factory, "tiny_neox_full", rotary_pct=1.0))
+
+
+def test_phi_single_norm_parallel_residual(tmp_path_factory):
+    """Phi-1.5/2: one layernorm feeds both attn and MLP; biased lm_head;
+    partial rotary 0.5."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.PhiConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=256,
+        max_position_embeddings=128, partial_rotary_factor=0.5)
+    path = str(tmp_path_factory.mktemp("tiny_phi"))
+    make_tiny_checkpoint(path, cfg)
+    _check(path)
