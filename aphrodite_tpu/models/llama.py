@@ -71,6 +71,9 @@ class LlamaForCausalLM:
     # Positional scheme: RoPE (llama) vs ALiBi biases (bloom; subclass
     # sets use_rope=False and fills self.alibi_slopes in __init__).
     use_rope: bool = True
+    # RoPE pairing: "neox" rotate-half (llama) or "gptj" interleaved
+    # (cohere/gpt-j).
+    rope_style: str = "neox"
     # LayerNorm on token embeddings before the first layer (bloom).
     embedding_norm: bool = False
     # Learned absolute position embeddings added to token embeddings
@@ -476,17 +479,11 @@ class LlamaForCausalLM:
             v = v.astype(self.dtype).reshape(-1, NKV, D)
             q, k = self.qk_norm(q, k, lp)
             if self.use_rope:
-                if self.rotary_dim < D:
-                    rot = self.rotary_dim
-                    q = jnp.concatenate(
-                        [apply_rope(q[..., :rot], cos, sin), q[..., rot:]],
-                        axis=-1)
-                    k = jnp.concatenate(
-                        [apply_rope(k[..., :rot], cos, sin), k[..., rot:]],
-                        axis=-1)
-                else:
-                    q = apply_rope(q, cos, sin)
-                    k = apply_rope(k, cos, sin)
+                # apply_rope handles partial rotary (table width) and
+                # both NeoX rotate-half / GPT-J interleaved styles.
+                neox = self.rope_style == "neox"
+                q = apply_rope(q, cos, sin, is_neox_style=neox)
+                k = apply_rope(k, cos, sin, is_neox_style=neox)
             pages = write_kv(pages, k, v, batch.slot_mapping,
                              k_scale=k_scale, v_scale=v_scale)
             if k_scale is not None:
@@ -659,6 +656,8 @@ class LlamaForCausalLM:
                              preferred_element_type=jnp.float32)
             if "lm_head_b" in params:
                 logits = logits + params["lm_head_b"].astype(jnp.float32)
+        if getattr(self, "logit_scale", None):
+            logits = logits * jnp.float32(self.logit_scale)
         if self.logit_softcap:
             cap = self.logit_softcap
             logits = cap * jnp.tanh(logits / cap)

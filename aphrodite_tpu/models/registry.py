@@ -57,6 +57,7 @@ _LAZY_REGISTRY = {
     "GPT2LMHeadModel": _lazy("gpt2", "GPT2LMHeadModel"),
     "GPTNeoXForCausalLM": _lazy("gpt_neox", "GPTNeoXForCausalLM"),
     "PhiForCausalLM": _lazy("phi", "PhiForCausalLM"),
+    "CohereForCausalLM": _lazy("cohere", "CohereForCausalLM"),
 }
 
 

@@ -63,3 +63,20 @@ def test_phi_single_norm_parallel_residual(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_phi"))
     make_tiny_checkpoint(path, cfg)
     _check(path)
+
+
+def test_cohere_interleaved_rope_logit_scale(tmp_path_factory):
+    """Command-R: GPT-J interleaved rotary, single bias-free layernorm,
+    parallel residual with gated MLP, logit_scale on tied head."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.CohereConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2,
+        intermediate_size=128, max_position_embeddings=128,
+        logit_scale=0.25)
+    path = str(tmp_path_factory.mktemp("tiny_cohere"))
+    make_tiny_checkpoint(path, cfg)
+    _check(path)
