@@ -109,6 +109,8 @@ class LlamaForCausalLM:
         pct = float(hf.get("rotary_pct")
                     or hf.get("partial_rotary_factor") or 1.0)
         self.rotary_dim = max(2, int(self.head_dim * pct))
+        if hf.get("rotary_dim"):  # absolute override (gpt-j)
+            self.rotary_dim = int(hf["rotary_dim"])
         self.tie_word_embeddings = bool(
             hf.get("tie_word_embeddings", self.tie_word_embeddings_default))
         self.attention_bias = bool(

@@ -58,6 +58,8 @@ _LAZY_REGISTRY = {
     "GPTNeoXForCausalLM": _lazy("gpt_neox", "GPTNeoXForCausalLM"),
     "PhiForCausalLM": _lazy("phi", "PhiForCausalLM"),
     "CohereForCausalLM": _lazy("cohere", "CohereForCausalLM"),
+    "GPTJForCausalLM": _lazy("gptj", "GPTJForCausalLM"),
+    "StableLmForCausalLM": _lazy("stablelm", "StableLmForCausalLM"),
 }
 
 

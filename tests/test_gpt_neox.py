@@ -80,3 +80,30 @@ def test_cohere_interleaved_rope_logit_scale(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_cohere"))
     make_tiny_checkpoint(path, cfg)
     _check(path)
+
+
+def test_gptj_interleaved_partial_rotary(tmp_path_factory):
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.GPTJConfig(vocab_size=256, n_embd=64, n_head=4, n_layer=2,
+                        n_positions=128, rotary_dim=8)
+    path = str(tmp_path_factory.mktemp("tiny_gptj"))
+    make_tiny_checkpoint(path, cfg)
+    _check(path)
+
+
+def test_stablelm(tmp_path_factory):
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.StableLmConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2,
+        intermediate_size=128, max_position_embeddings=128,
+        partial_rotary_factor=0.25, use_qkv_bias=True)
+    path = str(tmp_path_factory.mktemp("tiny_stablelm"))
+    make_tiny_checkpoint(path, cfg)
+    _check(path)
