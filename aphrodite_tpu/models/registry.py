@@ -60,6 +60,8 @@ _LAZY_REGISTRY = {
     "CohereForCausalLM": _lazy("cohere", "CohereForCausalLM"),
     "GPTJForCausalLM": _lazy("gptj", "GPTJForCausalLM"),
     "StableLmForCausalLM": _lazy("stablelm", "StableLmForCausalLM"),
+    "FalconForCausalLM": _lazy("falcon", "FalconForCausalLM"),
+    "RWForCausalLM": _lazy("falcon", "FalconForCausalLM"),
 }
 
 
