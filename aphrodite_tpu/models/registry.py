@@ -62,6 +62,9 @@ _LAZY_REGISTRY = {
     "StableLmForCausalLM": _lazy("stablelm", "StableLmForCausalLM"),
     "FalconForCausalLM": _lazy("falcon", "FalconForCausalLM"),
     "RWForCausalLM": _lazy("falcon", "FalconForCausalLM"),
+    "GPTBigCodeForCausalLM": _lazy("gpt_bigcode",
+                                   "GPTBigCodeForCausalLM"),
+    "Qwen3MoeForCausalLM": _lazy("qwen3_moe", "Qwen3MoeForCausalLM"),
 }
 
 

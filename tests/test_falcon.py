@@ -48,3 +48,16 @@ def test_falcon_rw_style_alibi_sequential(tmp_path_factory):
     _check(_make(tmp_path_factory, "tiny_falconrw", multi_query=False,
                  parallel_attn=False, new_decoder_architecture=False,
                  alibi=True))
+
+
+def test_gpt_bigcode_mqa_learned_positions(tmp_path_factory):
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.GPTBigCodeConfig(vocab_size=256, n_embd=64, n_head=4,
+                              n_layer=2, n_positions=128,
+                              multi_query=True)
+    path = str(tmp_path_factory.mktemp("tiny_bigcode"))
+    make_tiny_checkpoint(path, cfg)
+    _check(path)

@@ -79,3 +79,31 @@ def test_arch_greedy_matches_hf(arch, tmp_path):
     for prompt, out in zip(prompts, outs):
         expect = hf_greedy_generate(model_dir, tok.encode(prompt), 8)
         assert out.outputs[0].token_ids == expect, (arch, prompt)
+
+
+def test_qwen3_moe_matches_hf(tmp_path_factory):
+    """Qwen3-MoE: per-head QK-norm + sparse experts, no top-k renorm."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.Qwen3MoeConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2,
+        intermediate_size=128, moe_intermediate_size=64,
+        num_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, head_dim=16)
+    path = str(tmp_path_factory.mktemp("tiny_qwen3moe"))
+    make_tiny_checkpoint(path, cfg)
+    from aphrodite_tpu import LLM, SamplingParams
+    from tests.utils import hf_greedy_generate
+
+    llm = LLM(model=path, dtype="float32", max_num_seqs=4,
+              max_model_len=128, block_size=8)
+    tok = llm.get_tokenizer()
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    for prompt in ("the quick brown fox", "hello world"):
+        out = llm.generate([prompt], sp)[0].outputs[0]
+        expect = hf_greedy_generate(path, tok.encode(prompt), 10)
+        n = min(len(out.token_ids), len(expect))
+        assert out.token_ids[:n] == expect[:n], prompt
