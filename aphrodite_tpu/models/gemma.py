@@ -47,6 +47,13 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         self.sliding_window_size = hf.get("sliding_window", 4096)
         self.sliding_window = None  # handled per-layer, not globally
 
+    def _local_layer_mask(self) -> jnp.ndarray:
+        layer_types = self.config.hf_config.get("layer_types")
+        if layer_types:
+            return jnp.asarray(
+                [t == "sliding_attention" for t in layer_types])
+        return jnp.arange(self.num_layers) % 2 == 0
+
     def param_shapes(self) -> Dict[str, Any]:
         shapes = super().param_shapes()
         L, H = self.num_layers, self.hidden_size
@@ -91,10 +98,16 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
                       self.head_dim)
         x = params["embed"][batch.token_ids].astype(self.dtype)
         x = x * jnp.asarray(self.hidden_size**0.5, self.dtype)
-        cos = self._cos[batch.positions]
-        sin = self._sin[batch.positions]
+        cos_g = self._cos[batch.positions]
+        sin_g = self._sin[batch.positions]
+        # Gemma3: local (sliding) layers use their own rope base.
+        if getattr(self, "_cos_local", None) is not None:
+            cos_l = self._cos_local[batch.positions]
+            sin_l = self._sin_local[batch.positions]
+        else:
+            cos_l, sin_l = cos_g, sin_g
         layer_params = params["layers"]
-        is_local = (jnp.arange(self.num_layers) % 2 == 0)
+        is_local = self._local_layer_mask()
 
         def attention(q, pages, window):
             return ragged_paged_attention(
@@ -109,6 +122,9 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
             q = qmatmul(h, lp["wq"]).astype(self.dtype).reshape(-1, NH, D)
             k = qmatmul(h, lp["wk"]).astype(self.dtype).reshape(-1, NKV, D)
             v = qmatmul(h, lp["wv"]).astype(self.dtype).reshape(-1, NKV, D)
+            q, k = self.qk_norm(q, k, lp)
+            cos = jnp.where(local, cos_l, cos_g)
+            sin = jnp.where(local, sin_l, sin_g)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             pages = write_kv(pages, k, v, batch.slot_mapping,
@@ -139,3 +155,61 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
                                         k_scales, v_scales))
         x = self._norm(x, params["final_norm"])
         return new_kv_pages, x
+
+
+class Gemma3ForCausalLM(Gemma2ForCausalLM):
+    """Gemma3 text model: 5:1 sliding/global layer pattern with a
+    SEPARATE rope base for local layers (rope_local_base_freq), per-head
+    (1+w) RMS QK-norm, no soft-capping.
+
+    Reference: aphrodite models registry (gemma3). The multimodal
+    Gemma3 (vision) variant is not wired yet.
+    """
+
+    def __init__(self, model_config: ModelConfig,
+                 parallel_config: Optional[ParallelConfig] = None) -> None:
+        super().__init__(model_config, parallel_config)
+        hf = model_config.hf_config
+        self.logit_softcap = 0.0
+        self.attn_softcap = 0.0
+        from aphrodite_tpu.models.layers import compute_rope_tables
+
+        # Local (sliding) layers use their own base and NO scaling; the
+        # global rope keeps rope_theta (+ any rope_scaling), which the
+        # base class already built into self._cos/_sin.
+        self._cos_local, self._sin_local = compute_rope_tables(
+            self.rotary_dim,
+            self.max_position,
+            base=float(hf.get("rope_local_base_freq", 10000.0)),
+            rope_scaling=None,
+            dtype=jnp.float32,
+        )
+
+    def param_shapes(self) -> Dict[str, Any]:
+        shapes = super().param_shapes()
+        L, D = self.num_layers, self.head_dim
+        shapes["layers"]["q_norm"] = (L, D)
+        shapes["layers"]["k_norm"] = (L, D)
+        return shapes
+
+    def param_shardings(self) -> Dict[str, Any]:
+        specs = super().param_shardings()
+        specs["layers"]["q_norm"] = P()
+        specs["layers"]["k_norm"] = P()
+        return specs
+
+    def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:
+        return super().hf_param_mappings() + [
+            ("model.layers.{i}.self_attn.q_norm.weight", "layers.q_norm",
+             False),
+            ("model.layers.{i}.self_attn.k_norm.weight", "layers.k_norm",
+             False),
+        ]
+
+    def qk_norm(self, q: jax.Array, k: jax.Array,
+                lp: Dict[str, Any]) -> Tuple[jax.Array, jax.Array]:
+        from aphrodite_tpu.models.layers import rms_norm
+
+        qn, _ = rms_norm(q, lp["q_norm"] + 1.0, self.rms_eps)
+        kn, _ = rms_norm(k, lp["k_norm"] + 1.0, self.rms_eps)
+        return qn.astype(q.dtype), kn.astype(k.dtype)

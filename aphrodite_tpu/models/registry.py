@@ -47,6 +47,7 @@ _LAZY_REGISTRY = {
     "MixtralForCausalLM": _lazy("mixtral", "MixtralForCausalLM"),
     "GemmaForCausalLM": _lazy("gemma", "GemmaForCausalLM"),
     "Gemma2ForCausalLM": _lazy("gemma", "Gemma2ForCausalLM"),
+    "Gemma3ForCausalLM": _lazy("gemma", "Gemma3ForCausalLM"),
     "Phi3ForCausalLM": _lazy("phi3", "Phi3ForCausalLM"),
     "LlavaForConditionalGeneration": _lazy(
         "llava", "LlavaForConditionalGeneration"),

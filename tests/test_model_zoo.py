@@ -107,3 +107,32 @@ def test_qwen3_moe_matches_hf(tmp_path_factory):
         expect = hf_greedy_generate(path, tok.encode(prompt), 10)
         n = min(len(out.token_ids), len(expect))
         assert out.token_ids[:n] == expect[:n], prompt
+
+
+def test_gemma3_matches_hf(tmp_path_factory):
+    """Gemma3: 5:1 sliding/global pattern, dual rope bases, QK-norm."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=7,
+        intermediate_size=128, head_dim=16,
+        max_position_embeddings=128, sliding_window=16)
+    path = str(tmp_path_factory.mktemp("tiny_gemma3"))
+    make_tiny_checkpoint(path, cfg)
+    from aphrodite_tpu import LLM, SamplingParams
+    from tests.utils import hf_greedy_generate
+
+    llm = LLM(model=path, dtype="float32", max_num_seqs=4,
+              max_model_len=128, block_size=8)
+    tok = llm.get_tokenizer()
+    # Decode far enough that sliding windows (16) actually clip context.
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+    for prompt in ("the quick brown fox jumps over the lazy dog and",
+                   "hello"):
+        out = llm.generate([prompt], sp)[0].outputs[0]
+        expect = hf_greedy_generate(path, tok.encode(prompt), 24)
+        n = min(len(out.token_ids), len(expect))
+        assert out.token_ids[:n] == expect[:n], prompt
