@@ -63,6 +63,9 @@ class LlamaForCausalLM:
     o_proj_bias: bool = False
     # Multiply token embeddings by sqrt(hidden) (gemma).
     scale_embeddings: bool = False
+    # Granite-style muP multipliers (1.0 = off).
+    embedding_multiplier: float = 1.0
+    residual_multiplier: float = 1.0
     # MLP activation: "silu" (llama) or "gelu_tanh" (gemma).
     hidden_act: str = "silu"
     # Gemma2-style logit/attention soft-capping (0 = off).
@@ -431,6 +434,8 @@ class LlamaForCausalLM:
         x = x.astype(self.dtype)
         if self.scale_embeddings:
             x = x * jnp.asarray(self.hidden_size**0.5, self.dtype)
+        if self.embedding_multiplier != 1.0:
+            x = x * jnp.asarray(self.embedding_multiplier, self.dtype)
         if batch.embeds_override is not None:
             # Multimodal splice: image-placeholder positions take their
             # precomputed (vision tower + projector) embeddings verbatim.
@@ -519,10 +524,16 @@ class LlamaForCausalLM:
                     lp, h2, mesh=inner_mesh, lora=la,
                     lora_add=lora_add).astype(self.dtype)
             else:
+                rm = self.residual_multiplier
+                if rm != 1.0:
+                    o = o * jnp.asarray(rm, o.dtype)
                 x = x + o.astype(self.dtype)
                 h = self._norm(x, lp["post_norm"], lp.get("post_norm_b"))
-                x = x + self.mlp(lp, h, mesh=inner_mesh, lora=la,
-                                 lora_add=lora_add).astype(self.dtype)
+                ff = self.mlp(lp, h, mesh=inner_mesh, lora=la,
+                              lora_add=lora_add).astype(self.dtype)
+                if rm != 1.0:
+                    ff = ff * jnp.asarray(rm, ff.dtype)
+                x = x + ff
             return x, pages
 
         k_scales, v_scales = kv_scales if kv_scales is not None else (None,

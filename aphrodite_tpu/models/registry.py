@@ -66,6 +66,7 @@ _LAZY_REGISTRY = {
     "GPTBigCodeForCausalLM": _lazy("gpt_bigcode",
                                    "GPTBigCodeForCausalLM"),
     "Qwen3MoeForCausalLM": _lazy("qwen3_moe", "Qwen3MoeForCausalLM"),
+    "GraniteForCausalLM": _lazy("granite", "GraniteForCausalLM"),
 }
 
 
