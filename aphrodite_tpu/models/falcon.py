@@ -110,10 +110,12 @@ class FalconForCausalLM(LlamaForCausalLM):
             wv = w[:, :, :, 2, :].reshape(L, H, NH * D)
         reps = self.num_kv_heads_padded // KV
         if reps > 1:
-            wk = np.tile(wk.reshape(L, H, KV, D),
-                         (1, 1, reps, 1)).reshape(L, H, -1)
-            wv = np.tile(wv.reshape(L, H, KV, D),
-                         (1, 1, reps, 1)).reshape(L, H, -1)
+            # Repeat-in-place (see llama maybe_pad_kv_weight): shard s's
+            # q heads must see their own kv group.
+            wk = np.repeat(wk.reshape(L, H, KV, D), reps,
+                           axis=2).reshape(L, H, -1)
+            wv = np.repeat(wv.reshape(L, H, KV, D), reps,
+                           axis=2).reshape(L, H, -1)
         lay["wq"] = np.ascontiguousarray(wq)
         lay["wk"] = np.ascontiguousarray(wk)
         lay["wv"] = np.ascontiguousarray(wv)

@@ -388,15 +388,17 @@ class LlamaForCausalLM:
             return arr
         if our_path in ("layers.wk", "layers.wv"):
             reps = self.num_kv_heads_padded // self.num_kv_heads
-            # arr: [..., in, kv*D] -> tile head groups.
+            # arr: [..., in, kv*D] -> REPEAT each head group in place
+            # ([g1,g1,g2,g2], not tiled [g1,g2,g1,g2]): under TP the
+            # column shards must pair q-head i with kv-head i//q_per_kv.
             in_dim = arr.shape[0]
             arr = arr.reshape(in_dim, self.num_kv_heads, self.head_dim)
-            arr = np.tile(arr, (1, reps, 1))
+            arr = np.repeat(arr, reps, axis=1)
             return arr.reshape(in_dim, -1)
         if our_path in ("layers.bk", "layers.bv"):
             reps = self.num_kv_heads_padded // self.num_kv_heads
             arr = arr.reshape(self.num_kv_heads, self.head_dim)
-            arr = np.tile(arr, (reps, 1))
+            arr = np.repeat(arr, reps, axis=0)
             return arr.reshape(-1)
         return arr
 

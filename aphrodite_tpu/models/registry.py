@@ -67,6 +67,7 @@ _LAZY_REGISTRY = {
                                    "GPTBigCodeForCausalLM"),
     "Qwen3MoeForCausalLM": _lazy("qwen3_moe", "Qwen3MoeForCausalLM"),
     "GraniteForCausalLM": _lazy("granite", "GraniteForCausalLM"),
+    "OlmoeForCausalLM": _lazy("olmoe", "OlmoeForCausalLM"),
 }
 
 

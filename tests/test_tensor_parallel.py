@@ -76,3 +76,18 @@ def test_pp2_matches_pp1(tiny_dir):
               pipeline_parallel_size=2)
     got = [o.outputs[0].token_ids for o in pp2.generate(PROMPTS, sp)]
     assert got == expect
+
+
+def test_tp4_kv_head_padding_matches_tp1(tiny_dir):
+    """tp > num_kv_heads replicates KV heads onto shards; the replication
+    must REPEAT groups in place ([g1,g1,g2,g2]) so each q-head shard
+    pairs with its own group (regression: tiled [g1,g2,g1,g2] paired
+    q1 with g2)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    o1 = LLM(model=tiny_dir, dtype="float32", max_num_seqs=2,
+             max_model_len=64).generate(["pad check"],
+                                        sp)[0].outputs[0].token_ids
+    o4 = LLM(model=tiny_dir, dtype="float32", max_num_seqs=2,
+             max_model_len=64, tensor_parallel_size=4).generate(
+                 ["pad check"], sp)[0].outputs[0].token_ids
+    assert o1 == o4
