@@ -636,6 +636,9 @@ class LlamaForCausalLM:
                 up = up + lp["fc1_b"]
             if self.ungated_act == "relu":
                 act = jax.nn.relu(up).astype(self.dtype)
+            elif self.ungated_act == "relu2":
+                r = jax.nn.relu(up.astype(jnp.float32))
+                act = (r * r).astype(self.dtype)
             else:
                 act = jax.nn.gelu(
                     up.astype(jnp.float32),

@@ -68,6 +68,8 @@ _LAZY_REGISTRY = {
     "Qwen3MoeForCausalLM": _lazy("qwen3_moe", "Qwen3MoeForCausalLM"),
     "GraniteForCausalLM": _lazy("granite", "GraniteForCausalLM"),
     "OlmoeForCausalLM": _lazy("olmoe", "OlmoeForCausalLM"),
+    "Qwen2MoeForCausalLM": _lazy("qwen2_moe", "Qwen2MoeForCausalLM"),
+    "NemotronForCausalLM": _lazy("nemotron", "NemotronForCausalLM"),
 }
 
 

@@ -192,3 +192,49 @@ def test_olmoe_matches_hf(tmp_path_factory):
         expect = hf_greedy_generate(path, tok.encode(prompt), 12)
         n = min(len(out.token_ids), len(expect))
         assert out.token_ids[:n] == expect[:n], prompt
+
+
+def _zoo_check(path, n=12, prompts=("the quick brown fox", "hello world")):
+    from aphrodite_tpu import LLM, SamplingParams
+    from tests.utils import hf_greedy_generate
+
+    llm = LLM(model=path, dtype="float32", max_num_seqs=4,
+              max_model_len=128, block_size=8)
+    tok = llm.get_tokenizer()
+    sp = SamplingParams(temperature=0.0, max_tokens=n, ignore_eos=True)
+    for prompt in prompts:
+        out = llm.generate([prompt], sp)[0].outputs[0]
+        expect = hf_greedy_generate(path, tok.encode(prompt), n)
+        m = min(len(out.token_ids), len(expect))
+        assert out.token_ids[:m] == expect[:m], prompt
+
+
+def test_qwen2_moe_shared_expert_matches_hf(tmp_path_factory):
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.Qwen2MoeConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2,
+        intermediate_size=128, moe_intermediate_size=32,
+        shared_expert_intermediate_size=64, num_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=128,
+        decoder_sparse_step=1)
+    path = str(tmp_path_factory.mktemp("tiny_qwen2moe"))
+    make_tiny_checkpoint(path, cfg)
+    _zoo_check(path)
+
+
+def test_nemotron_matches_hf(tmp_path_factory):
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.NemotronConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2,
+        intermediate_size=128, max_position_embeddings=128)
+    path = str(tmp_path_factory.mktemp("tiny_nemotron"))
+    make_tiny_checkpoint(path, cfg)
+    _zoo_check(path)
