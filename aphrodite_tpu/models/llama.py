@@ -90,6 +90,8 @@ class LlamaForCausalLM:
     single_norm: bool = False
     # Bias on the (untied) LM head projection (phi).
     lm_head_bias: bool = False
+    # Clamp QKV projections to [-clip, clip] (dbrx clip_qkv; 0 = off).
+    qkv_clip: float = 0.0
 
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
@@ -483,6 +485,9 @@ class LlamaForCausalLM:
                 q = q + lp["bq"]
                 k = k + lp["bk"]
                 v = v + lp["bv"]
+            if self.qkv_clip:
+                c = self.qkv_clip
+                q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
             q = q.astype(self.dtype).reshape(-1, NH, D)
             k = k.astype(self.dtype).reshape(-1, NKV, D)
             v = v.astype(self.dtype).reshape(-1, NKV, D)

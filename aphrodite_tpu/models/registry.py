@@ -70,6 +70,7 @@ _LAZY_REGISTRY = {
     "OlmoeForCausalLM": _lazy("olmoe", "OlmoeForCausalLM"),
     "Qwen2MoeForCausalLM": _lazy("qwen2_moe", "Qwen2MoeForCausalLM"),
     "NemotronForCausalLM": _lazy("nemotron", "NemotronForCausalLM"),
+    "DbrxForCausalLM": _lazy("dbrx", "DbrxForCausalLM"),
 }
 
 

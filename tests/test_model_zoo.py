@@ -238,3 +238,20 @@ def test_nemotron_matches_hf(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_nemotron"))
     make_tiny_checkpoint(path, cfg)
     _zoo_check(path)
+
+
+def test_dbrx_matches_hf(tmp_path_factory):
+    """DBRX: fused flat expert blobs, clip_qkv, bias-free norms."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=128,
+        vocab_size=256,
+        attn_config=dict(kv_n_heads=2, clip_qkv=8.0, rope_theta=10000),
+        ffn_config=dict(ffn_hidden_size=32, moe_num_experts=4,
+                        moe_top_k=2))
+    path = str(tmp_path_factory.mktemp("tiny_dbrx"))
+    make_tiny_checkpoint(path, cfg)
+    _zoo_check(path)
