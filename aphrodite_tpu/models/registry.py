@@ -71,6 +71,8 @@ _LAZY_REGISTRY = {
     "Qwen2MoeForCausalLM": _lazy("qwen2_moe", "Qwen2MoeForCausalLM"),
     "NemotronForCausalLM": _lazy("nemotron", "NemotronForCausalLM"),
     "DbrxForCausalLM": _lazy("dbrx", "DbrxForCausalLM"),
+    "GlmForCausalLM": _lazy("glm", "GlmForCausalLM"),
+    "PersimmonForCausalLM": _lazy("persimmon", "PersimmonForCausalLM"),
 }
 
 

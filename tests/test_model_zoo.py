@@ -255,3 +255,34 @@ def test_dbrx_matches_hf(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_dbrx"))
     make_tiny_checkpoint(path, cfg)
     _zoo_check(path)
+
+
+def test_glm4_matches_hf(tmp_path_factory):
+    """GLM-4: interleaved partial rotary, QKV bias, fused gate_up."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.GlmConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2,
+        intermediate_size=128, max_position_embeddings=128,
+        head_dim=16, pad_token_id=0)
+    path = str(tmp_path_factory.mktemp("tiny_glm"))
+    make_tiny_checkpoint(path, cfg)
+    _zoo_check(path)
+
+
+def test_persimmon_matches_hf(tmp_path_factory):
+    """Persimmon: per-head QK LayerNorm, relu^2 MLP, interleaved QKV."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.PersimmonConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=128,
+        max_position_embeddings=128)
+    path = str(tmp_path_factory.mktemp("tiny_persimmon"))
+    make_tiny_checkpoint(path, cfg)
+    _zoo_check(path)
