@@ -52,6 +52,9 @@ class LlamaForCausalLM:
     norm_type: str = "rms"
     # LayerNorm bias terms present (starcoder2/bloom yes, mpt no_bias).
     norm_bias: bool = True
+    # Non-parametric norms (olmo-v1: plain LayerNorm, NO weight/bias
+    # parameters anywhere).
+    norm_parametric: bool = True
     # Ungated-MLP activation: "gelu_tanh" (starcoder2/bloom) or exact
     # "gelu" (mpt).
     ungated_act: str = "gelu_tanh"
@@ -206,6 +209,12 @@ class LlamaForCausalLM:
         if self.single_norm:
             shapes["layers"].pop("post_norm", None)
             shapes["layers"].pop("post_norm_b", None)
+        if not self.norm_parametric:
+            for key in ("input_norm", "input_norm_b", "post_norm",
+                        "post_norm_b"):
+                shapes["layers"].pop(key, None)
+            for key in ("final_norm", "final_norm_b"):
+                shapes.pop(key, None)
         return shapes
 
     def param_shardings(self) -> Dict[str, Any]:
@@ -258,6 +267,12 @@ class LlamaForCausalLM:
         if self.single_norm:
             specs["layers"].pop("post_norm", None)
             specs["layers"].pop("post_norm_b", None)
+        if not self.norm_parametric:
+            for key in ("input_norm", "input_norm_b", "post_norm",
+                        "post_norm_b"):
+                specs["layers"].pop(key, None)
+            for key in ("final_norm", "final_norm_b"):
+                specs.pop(key, None)
         if self.parallel_config.pipeline_parallel_size > 1:
             # Layer-stacked arrays shard their leading [L] dim over the
             # "pipe" axis (each stage holds its layer slice).
@@ -370,6 +385,8 @@ class LlamaForCausalLM:
                 ("model.layers.{i}.self_attn.v_proj.bias", "layers.bv",
                  False),
             ]
+        if not self.norm_parametric:
+            maps = [m for m in maps if "norm" not in m[1]]
         return maps
 
     def hf_global_mappings(self) -> List[Tuple[str, str, bool]]:
@@ -381,6 +398,8 @@ class LlamaForCausalLM:
             maps.append(("model.norm.bias", "final_norm_b", False))
         if not self.tie_word_embeddings:
             maps.append(("lm_head.weight", "lm_head", True))
+        if not self.norm_parametric:
+            maps = [m for m in maps if "norm" not in m[1]]
         return maps
 
     def maybe_pad_kv_weight(self, our_path: str,
@@ -477,7 +496,8 @@ class LlamaForCausalLM:
 
         def layer_fn(x, scanned):
             lp, pages, k_scale, v_scale, la = scanned
-            h = self._norm(x, lp["input_norm"], lp.get("input_norm_b"))
+            h = self._norm(x, lp.get("input_norm"),
+                           lp.get("input_norm_b"))
             q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
             k = lora_add(qmatmul(h, lp["wk"]), h, la, "wk")
             v = lora_add(qmatmul(h, lp["wv"]), h, la, "wv")
@@ -526,7 +546,7 @@ class LlamaForCausalLM:
                 # x + attn(ln1(x)) + mlp(ln2(x)) (gpt-neox); phi/cohere
                 # feed the MLP the same ln1 output (single_norm).
                 h2 = h if self.single_norm else self._norm(
-                    x, lp["post_norm"], lp.get("post_norm_b"))
+                    x, lp.get("post_norm"), lp.get("post_norm_b"))
                 x = x + o.astype(self.dtype) + self.mlp(
                     lp, h2, mesh=inner_mesh, lora=la,
                     lora_add=lora_add).astype(self.dtype)
@@ -535,7 +555,8 @@ class LlamaForCausalLM:
                 if rm != 1.0:
                     o = o * jnp.asarray(rm, o.dtype)
                 x = x + o.astype(self.dtype)
-                h = self._norm(x, lp["post_norm"], lp.get("post_norm_b"))
+                h = self._norm(x, lp.get("post_norm"),
+                               lp.get("post_norm_b"))
                 ff = self.mlp(lp, h, mesh=inner_mesh, lora=la,
                               lora_add=lora_add).astype(self.dtype)
                 if rm != 1.0:
@@ -555,7 +576,8 @@ class LlamaForCausalLM:
             x, new_kv_pages = jax.lax.scan(layer_fn, x,
                                            (layer_params, kv_pages,
                                             k_scales, v_scales, lora_scan))
-        x = self._norm(x, params["final_norm"], params.get("final_norm_b"))
+        x = self._norm(x, params.get("final_norm"),
+                       params.get("final_norm_b"))
         return new_kv_pages, x
 
     @staticmethod
@@ -618,8 +640,14 @@ class LlamaForCausalLM:
         Qwen3 overrides with head-dim RMSNorm)."""
         return q, k
 
-    def _norm(self, x: jax.Array, weight: jax.Array,
+    def _norm(self, x: jax.Array, weight: Optional[jax.Array],
               bias: Optional[jax.Array] = None) -> jax.Array:
+        if weight is None:  # non-parametric (olmo-v1)
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.var(xf, axis=-1, keepdims=True)
+            return ((xf - mu) * jax.lax.rsqrt(var + self.rms_eps)).astype(
+                x.dtype)
         w = weight + self.norm_weight_offset if self.norm_weight_offset \
             else weight
         if self.norm_type == "layernorm":

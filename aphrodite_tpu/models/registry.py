@@ -73,6 +73,7 @@ _LAZY_REGISTRY = {
     "DbrxForCausalLM": _lazy("dbrx", "DbrxForCausalLM"),
     "GlmForCausalLM": _lazy("glm", "GlmForCausalLM"),
     "PersimmonForCausalLM": _lazy("persimmon", "PersimmonForCausalLM"),
+    "OlmoForCausalLM": _lazy("olmo", "OlmoForCausalLM"),
 }
 
 

@@ -286,3 +286,19 @@ def test_persimmon_matches_hf(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_persimmon"))
     make_tiny_checkpoint(path, cfg)
     _zoo_check(path)
+
+
+def test_olmo_v1_matches_hf(tmp_path_factory):
+    """OLMo v1: non-parametric LayerNorm, clip_qkv."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.OlmoConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2,
+        intermediate_size=128, max_position_embeddings=128,
+        clip_qkv=8.0)
+    path = str(tmp_path_factory.mktemp("tiny_olmo1"))
+    make_tiny_checkpoint(path, cfg)
+    _zoo_check(path)
