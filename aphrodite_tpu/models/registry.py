@@ -74,6 +74,8 @@ _LAZY_REGISTRY = {
     "GlmForCausalLM": _lazy("glm", "GlmForCausalLM"),
     "PersimmonForCausalLM": _lazy("persimmon", "PersimmonForCausalLM"),
     "OlmoForCausalLM": _lazy("olmo", "OlmoForCausalLM"),
+    "GraniteMoeForCausalLM": _lazy("granitemoe",
+                                   "GraniteMoeForCausalLM"),
 }
 
 

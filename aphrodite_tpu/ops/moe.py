@@ -25,13 +25,20 @@ def topk_routing(
     router_logits: jax.Array,  # [T, E]
     top_k: int,
     renormalize: bool = True,
+    pre_softmax: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (weights f32[T, k], expert_ids i32[T, k]).
 
-    Mixtral-style: softmax over all experts, take top-k, renormalize
-    (reference fused_moe.py fused_topk).
+    pre_softmax=True is Mixtral-style: softmax over all experts, take
+    top-k, optionally renormalize (reference fused_moe.py fused_topk).
+    pre_softmax=False is GraniteMoe-style: take top-k LOGITS, softmax
+    over just the selected k.
     """
-    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    logits = router_logits.astype(jnp.float32)
+    if not pre_softmax:
+        top, ids = jax.lax.top_k(logits, top_k)
+        return jax.nn.softmax(top, axis=-1), ids.astype(jnp.int32)
+    probs = jax.nn.softmax(logits, axis=-1)
     weights, ids = jax.lax.top_k(probs, top_k)
     if renormalize:
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
@@ -89,6 +96,7 @@ def moe_mlp(
     top_k: int,
     *,
     renormalize: bool = True,
+    pre_softmax: bool = True,
     mesh: Optional[Mesh] = None,
 ) -> jax.Array:
     """Full MoE block: route + grouped expert MLP (+ EP over the mesh).
@@ -99,7 +107,8 @@ def moe_mlp(
     nothing), and a psum combines shards.
     """
     router_logits = jnp.dot(x, router, preferred_element_type=jnp.float32)
-    weights, expert_ids = topk_routing(router_logits, top_k, renormalize)
+    weights, expert_ids = topk_routing(router_logits, top_k, renormalize,
+                                       pre_softmax)
 
     if mesh is None:
         return grouped_expert_mlp(x, w1, w3, w2, weights, expert_ids)

@@ -302,3 +302,22 @@ def test_olmo_v1_matches_hf(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_olmo1"))
     make_tiny_checkpoint(path, cfg)
     _zoo_check(path)
+
+
+def test_granitemoe_matches_hf(tmp_path_factory):
+    """GraniteMoe: fused expert input_linear, topk-then-softmax routing,
+    muP multipliers."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.GraniteMoeConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2,
+        intermediate_size=32, num_local_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=128,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        attention_multiplier=0.1, logits_scaling=4.0)
+    path = str(tmp_path_factory.mktemp("tiny_granitemoe"))
+    make_tiny_checkpoint(path, cfg)
+    _zoo_check(path)
