@@ -105,23 +105,29 @@ def load_hf_params_to_host(
             lookup[template.format(i=i)] = ("layer", our_path, transpose, i)
     for hf_name, our_path, transpose in global_maps:
         lookup[hf_name] = ("global", our_path, transpose, None)
+    e_start, e_end = getattr(model, "expert_layer_range",
+                             (0, num_layers))
     for template, our_path, transpose in expert_maps:
-        for i in range(num_layers):
+        for i in range(e_start, e_end):
             for e in range(num_experts):
-                lookup[template.format(i=i, e=e)] = ("expert", our_path,
-                                                     transpose, (i, e))
+                lookup[template.format(i=i, e=e)] = (
+                    "expert", our_path, transpose, (i - e_start, e))
     for template, slices, transpose in split_maps:
         for i in range(num_layers):
             lookup[template.format(i=i)] = ("split", slices, transpose, i)
     aux_counts: Dict[str, int] = {}
-    for template, our_path, transpose, count in aux_maps:
-        aux_counts[our_path] = count
-        if count == 1:
+    for entry in aux_maps:
+        template, our_path, transpose, count = entry[:4]
+        # Optional 5th element: layer-index offset into the template
+        # (e.g. deepseek MoE layers start after first_k_dense_replace).
+        start = entry[4] if len(entry) > 4 else 0
+        if count == 1 and start == 0 and "{i}" not in template:
             lookup[template] = ("global", our_path, transpose, None)
         else:
+            aux_counts[our_path] = count
             for i in range(count):
-                lookup[template.format(i=i)] = ("aux", our_path,
-                                                transpose, i)
+                lookup[template.format(i=start + i)] = ("aux", our_path,
+                                                        transpose, i)
 
     pieces: Dict[str, List[Optional[np.ndarray]]] = {
         our_path: [None] * num_layers
@@ -131,12 +137,12 @@ def load_hf_params_to_host(
         for our_path, _, _ in slices:
             pieces[our_path] = [None] * num_layers
     expert_pieces: Dict[str, List[List[Optional[np.ndarray]]]] = {
-        our_path: [[None] * num_experts for _ in range(num_layers)]
+        our_path: [[None] * num_experts for _ in range(e_end - e_start)]
         for _, our_path, _ in expert_maps
     }
     aux_pieces: Dict[str, List[Optional[np.ndarray]]] = {
         our_path: [None] * count
-        for our_path, count in aux_counts.items() if count > 1
+        for our_path, count in aux_counts.items()
     }
     params: Dict[str, Any] = {}
     for name, arr in safetensors_weight_iterator(model_dir):

@@ -76,6 +76,8 @@ _LAZY_REGISTRY = {
     "OlmoForCausalLM": _lazy("olmo", "OlmoForCausalLM"),
     "GraniteMoeForCausalLM": _lazy("granitemoe",
                                    "GraniteMoeForCausalLM"),
+    "DeepseekV3ForCausalLM": _lazy("deepseek",
+                                   "DeepseekV3ForCausalLM"),
 }
 
 

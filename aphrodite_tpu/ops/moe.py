@@ -109,11 +109,26 @@ def moe_mlp(
     router_logits = jnp.dot(x, router, preferred_element_type=jnp.float32)
     weights, expert_ids = topk_routing(router_logits, top_k, renormalize,
                                        pre_softmax)
+    return apply_experts(x, w1, w3, w2, weights, expert_ids, mesh=mesh)
 
+
+def apply_experts(
+    x: jax.Array,
+    w1: jax.Array,
+    w3: jax.Array,
+    w2: jax.Array,
+    weights: jax.Array,  # f32[T, k]
+    expert_ids: jax.Array,  # i32[T, k]
+    *,
+    mesh: Optional[Mesh] = None,
+) -> jax.Array:
+    """Grouped expert application with optional EP over the mesh (the
+    routing-agnostic half of moe_mlp; deepseek's sigmoid/group router
+    computes its own weights and reuses this)."""
     if mesh is None:
         return grouped_expert_mlp(x, w1, w3, w2, weights, expert_ids)
 
-    E = router.shape[-1]
+    E = w1.shape[0]
     ep = mesh.shape["model"]
     e_local = E // ep
 
