@@ -57,7 +57,8 @@ class MambaForCausalLM:
         self.rms_eps = float(hf.get("layer_norm_epsilon", 1e-5))
         self.use_conv_bias = bool(hf.get("use_conv_bias", True))
         self.use_bias = bool(hf.get("use_bias", False))
-        self.tie_word_embeddings = True  # mamba ties the LM head
+        self.tie_word_embeddings = bool(
+            hf.get("tie_word_embeddings", True))
         self.dtype = jnp.dtype(model_config.dtype)
         self.sliding_window = None
 
@@ -85,6 +86,8 @@ class MambaForCausalLM:
         }
         if self.use_conv_bias:
             shapes["layers"]["conv_b"] = (L, Din)
+        if not self.tie_word_embeddings:
+            shapes["lm_head"] = (H, self.vocab_size)
         return shapes
 
     def param_shardings(self) -> Dict[str, Any]:
@@ -137,10 +140,13 @@ class MambaForCausalLM:
         return maps
 
     def hf_global_mappings(self) -> List[Tuple[str, str, bool]]:
-        return [
+        maps = [
             ("backbone.embeddings.weight", "embed", False),
             ("backbone.norm_f.weight", "final_norm", False),
         ]
+        if not self.tie_word_embeddings:
+            maps.append(("lm_head.weight", "lm_head", True))
+        return maps
 
     def maybe_pad_kv_weight(self, our_path: str,
                             arr: np.ndarray) -> np.ndarray:
@@ -182,8 +188,10 @@ class MambaForCausalLM:
         token_ids: jax.Array,  # i32[S, Lc]
         q_lens: jax.Array,  # i32[S] valid lengths (0 for padding rows)
         slots: jax.Array,  # i32[S] state slots (trash = num_slots)
+        fresh: Optional[jax.Array] = None,  # bool[S]: zero initial state
     ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
-        """Returns (new_cache, last_hidden [S, H])."""
+        """Returns (new_cache, last_hidden [S, H]). `fresh` rows ignore
+        whatever a previous occupant left in the recycled state slot."""
         conv_cache, ssm_cache = cache
         S, Lc = token_ids.shape
         Din, N, R, C = (self.d_inner, self.d_state, self.dt_rank,
@@ -201,6 +209,9 @@ class MambaForCausalLM:
 
             # Causal depthwise conv with carried state.
             init = conv_l[slots]  # [S, C-1, Din]
+            if fresh is not None:
+                init = jnp.where(fresh[:, None, None], 0.0,
+                                 init.astype(jnp.float32)).astype(init.dtype)
             full = jnp.concatenate([init.astype(xpart.dtype), xpart],
                                    axis=1)  # [S, C-1+Lc, Din]
             conv = jnp.zeros_like(xpart)
@@ -236,7 +247,9 @@ class MambaForCausalLM:
             a_t = jnp.where(valid[..., None, None], a_t, 1.0)
             b_t = jnp.where(valid[..., None, None], b_t, 0.0)
 
-            h0 = ssm_cache_l = ssm_l[slots].astype(jnp.float32)
+            h0 = ssm_l[slots].astype(jnp.float32)
+            if fresh is not None:
+                h0 = jnp.where(fresh[:, None, None], 0.0, h0)
 
             def ssm_step(hc, t):
                 hc = a_t[:, t] * hc + b_t[:, t]
@@ -269,5 +282,8 @@ class MambaForCausalLM:
 
     def compute_logits(self, params: Dict[str, Any],
                        hidden: jax.Array) -> jax.Array:
-        return jnp.dot(hidden, params["embed"].T,
+        if self.tie_word_embeddings:
+            return jnp.dot(hidden, params["embed"].T,
+                           preferred_element_type=jnp.float32)
+        return jnp.dot(hidden, params["lm_head"],
                        preferred_element_type=jnp.float32)

@@ -78,6 +78,7 @@ _LAZY_REGISTRY = {
                                    "GraniteMoeForCausalLM"),
     "DeepseekV3ForCausalLM": _lazy("deepseek",
                                    "DeepseekV3ForCausalLM"),
+    "Mamba2ForCausalLM": _lazy("mamba2", "Mamba2ForCausalLM"),
 }
 
 

@@ -888,6 +888,7 @@ class ModelRunner:
         token_ids = np.zeros((S, Lc), np.int32)
         q_lens = np.zeros((S,), np.int32)
         slots = np.full((S,), self.num_pages, np.int32)  # trash slot
+        fresh = np.zeros((S,), bool)
         for i, ss in enumerate(scheduled):
             seq = ss.seq
             ids = seq.get_token_ids()
@@ -896,6 +897,9 @@ class ModelRunner:
             token_ids[i, :len(chunk)] = chunk
             q_lens[i] = len(chunk)
             slots[i] = ss.block_ids[0]
+            # A sequence starting at position 0 must IGNORE whatever a
+            # previous occupant left in the (recycled) state slot.
+            fresh[i] = ss.first_token_idx == 0
 
         rows = []
         for ss in scheduled:
@@ -928,10 +932,10 @@ class ModelRunner:
         key = ("ssm", flags)
         fn = self._multi_step_fns.get(key)
         if fn is None:
-            def ssm_step(params, cache, token_ids, q_lens, slots, tensors,
-                         history, history_lens, prompt_lens):
+            def ssm_step(params, cache, token_ids, q_lens, slots, fresh,
+                         tensors, history, history_lens, prompt_lens):
                 cache, last = self.model.forward_chunk(
-                    params, cache, token_ids, q_lens, slots)
+                    params, cache, token_ids, q_lens, slots, fresh=fresh)
                 logits = self.model.compute_logits(params, last)
                 out = sample(logits, tensors, flags, history,
                              history_lens, prompt_lens)
@@ -942,6 +946,7 @@ class ModelRunner:
         self.kv_pages, out = fn(self.params, self.kv_pages,
                                 jnp.asarray(token_ids),
                                 jnp.asarray(q_lens), jnp.asarray(slots),
+                                jnp.asarray(fresh),
                                 tensors_dev, history, history_lens,
                                 prompt_lens)
         return StepResult(
