@@ -119,8 +119,10 @@ class LlamaForCausalLM:
         self.rotary_dim = max(2, int(self.head_dim * pct))
         if hf.get("rotary_dim"):  # absolute override (gpt-j)
             self.rotary_dim = int(hf["rotary_dim"])
+        tie_cfg = hf.get("tie_word_embeddings")
         self.tie_word_embeddings = bool(
-            hf.get("tie_word_embeddings", self.tie_word_embeddings_default))
+            self.tie_word_embeddings_default if tie_cfg is None
+            else tie_cfg)
         self.attention_bias = bool(
             hf.get("attention_bias", self.attention_bias))
         self.sliding_window = model_config.get_sliding_window()
@@ -138,6 +140,9 @@ class LlamaForCausalLM:
 
         # Per-head ALiBi slopes (f32[NH]); set by subclasses (bloom).
         self.alibi_slopes: Optional[jax.Array] = None
+        # Per-layer rope enable mask (bool[L]); None = rope everywhere.
+        # SmolLM3-style NoPE layers set entries False.
+        self.rope_layer_mask: Optional[jax.Array] = None
         self._cos, self._sin = compute_rope_tables(
             self.rotary_dim,
             self.max_position,
@@ -495,7 +500,7 @@ class LlamaForCausalLM:
             return y + delta
 
         def layer_fn(x, scanned):
-            lp, pages, k_scale, v_scale, la = scanned
+            lp, pages, k_scale, v_scale, la, rope_on = scanned
             h = self._norm(x, lp.get("input_norm"),
                            lp.get("input_norm_b"))
             q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
@@ -515,9 +520,16 @@ class LlamaForCausalLM:
             if self.use_rope:
                 # apply_rope handles partial rotary (table width) and
                 # both NeoX rotate-half / GPT-J interleaved styles.
+                # NoPE layers (rope_on False) get the identity rotation
+                # cos=1/sin=0 (smollm3 no_rope_layers).
                 neox = self.rope_style == "neox"
-                q = apply_rope(q, cos, sin, is_neox_style=neox)
-                k = apply_rope(k, cos, sin, is_neox_style=neox)
+                if rope_on is None:
+                    c, s = cos, sin
+                else:
+                    c = jnp.where(rope_on, cos, 1.0)
+                    s = jnp.where(rope_on, sin, 0.0)
+                q = apply_rope(q, c, s, is_neox_style=neox)
+                k = apply_rope(k, c, s, is_neox_style=neox)
             pages = write_kv(pages, k, v, batch.slot_mapping,
                              k_scale=k_scale, v_scale=v_scale)
             if k_scale is not None:
@@ -567,13 +579,23 @@ class LlamaForCausalLM:
         k_scales, v_scales = kv_scales if kv_scales is not None else (None,
                                                                       None)
         lora_scan = lora if use_lora else None
+
+        def scan_body(x, sc):
+            # rope_layer_mask None keeps the scanned pytree unchanged
+            # (and the compiled graph identical) for non-NoPE models.
+            return layer_fn(x, (*sc, None))
+
         pp = self.parallel_config.pipeline_parallel_size
         if pp > 1 and mesh is not None:
             x, new_kv_pages = self._layers_pipeline(
-                layer_fn, x, layer_params, kv_pages, k_scales, v_scales,
+                scan_body, x, layer_params, kv_pages, k_scales, v_scales,
                 lora_scan, mesh, pp)
+        elif self.rope_layer_mask is not None:
+            x, new_kv_pages = jax.lax.scan(
+                layer_fn, x, (layer_params, kv_pages, k_scales, v_scales,
+                              lora_scan, self.rope_layer_mask))
         else:
-            x, new_kv_pages = jax.lax.scan(layer_fn, x,
+            x, new_kv_pages = jax.lax.scan(scan_body, x,
                                            (layer_params, kv_pages,
                                             k_scales, v_scales, lora_scan))
         x = self._norm(x, params.get("final_norm"),

@@ -79,6 +79,7 @@ _LAZY_REGISTRY = {
     "DeepseekV3ForCausalLM": _lazy("deepseek",
                                    "DeepseekV3ForCausalLM"),
     "Mamba2ForCausalLM": _lazy("mamba2", "Mamba2ForCausalLM"),
+    "SmolLM3ForCausalLM": _lazy("smollm3", "SmolLM3ForCausalLM"),
 }
 
 

@@ -321,3 +321,19 @@ def test_granitemoe_matches_hf(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_granitemoe"))
     make_tiny_checkpoint(path, cfg)
     _zoo_check(path)
+
+
+def test_smollm3_nope_layers_match_hf(tmp_path_factory):
+    """SmolLM3: every 4th layer skips rope (NoPE)."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.SmolLM3Config(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=4,
+        intermediate_size=128, max_position_embeddings=128,
+        pad_token_id=0)
+    path = str(tmp_path_factory.mktemp("tiny_smollm3"))
+    make_tiny_checkpoint(path, cfg)
+    _zoo_check(path)
