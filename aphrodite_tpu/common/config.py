@@ -119,7 +119,8 @@ class ModelConfig:
     def get_num_layers(self) -> int:
         return int(self.hf_config.get("num_hidden_layers")
                    or self.hf_config.get("n_layer")
-                   or self.hf_config.get("n_layers"))
+                   or self.hf_config.get("n_layers")
+                   or self.hf_config.get("num_layers"))
 
     def get_num_attention_heads(self) -> int:
         # Attention-free (SSM) configs have no heads; report 1 so

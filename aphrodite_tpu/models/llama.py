@@ -590,6 +590,13 @@ class LlamaForCausalLM:
             x, new_kv_pages = self._layers_pipeline(
                 scan_body, x, layer_params, kv_pages, k_scales, v_scales,
                 lora_scan, mesh, pp)
+        elif getattr(self, "bskcn", None) is not None:
+            # Solar-style backbone skip connections: the layer stack runs
+            # as scans over segments, with snapshot/blend ops at the
+            # (static) bskcn layer indices between segments.
+            x, new_kv_pages = self._layers_bskcn(
+                scan_body, x, (layer_params, kv_pages, k_scales, v_scales,
+                               lora_scan))
         elif self.rope_layer_mask is not None:
             x, new_kv_pages = jax.lax.scan(
                 layer_fn, x, (layer_params, kv_pages, k_scales, v_scales,
@@ -601,6 +608,38 @@ class LlamaForCausalLM:
         x = self._norm(x, params.get("final_norm"),
                        params.get("final_norm_b"))
         return new_kv_pages, x
+
+    def _layers_bskcn(self, layer_fn, x, scanned):
+        """Segmented layer execution for Solar bskcn skip connections
+        (reference modeling/models/solar.py:321-339): at layer i, first
+        snapshot the activation if i ∈ bskcn_1/bskcn_2, then blend it
+        with the stored snapshot if i ∈ bskcn_3/bskcn_4 (inference uses
+        bskcn_tv[1]). The reference tracks (hidden, residual) pairs; our
+        x carries the full activation, and blending x directly is the
+        same linear combination."""
+        cfg = self.bskcn
+        tv = jnp.asarray(cfg["tv"], self.dtype)
+        L = self.num_layers
+        s1, s2 = set(cfg["s1"]), set(cfg["s2"])
+        s3, s4 = set(cfg["s3"]), set(cfg["s4"])
+        bounds = sorted({0, L, *s1, *s2, *s3, *s4})
+        h1 = h2 = None
+        kv_segments = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if lo in s1:
+                h1 = x
+            if lo in s2:
+                h2 = x
+            if lo in s3:
+                x = h1 * tv + x * (1 - tv)
+            if lo in s4:
+                x = h2 * tv + x * (1 - tv)
+            seg = jax.tree.map(lambda a: a[lo:hi], scanned)
+            x, kv_seg = jax.lax.scan(layer_fn, x, seg)
+            kv_segments.append(kv_seg)
+        new_kv = jnp.concatenate(kv_segments, axis=0) if \
+            len(kv_segments) > 1 else kv_segments[0]
+        return x, new_kv
 
     @staticmethod
     def _layers_pipeline(layer_fn, x, layer_params, kv_pages, k_scales,

@@ -21,6 +21,17 @@ class MistralForCausalLM(LlamaForCausalLM):
     """Mistral: Llama topology + sliding-window attention via config."""
 
 
+class LlamaEmbeddingModel(LlamaForCausalLM):
+    """Bare decoder used for embeddings (reference
+    models/llama_embedding.py, e5-mistral-7b-instruct): checkpoints have
+    no LM head, so the head ties to the embedding table (pooling never
+    reads logits)."""
+
+    def __init__(self, model_config, parallel_config=None) -> None:
+        super().__init__(model_config, parallel_config)
+        self.tie_word_embeddings = True
+
+
 def _lazy(module: str, cls: str):
     def load():
         import importlib
@@ -35,6 +46,18 @@ _MODEL_REGISTRY: Dict[str, Type[LlamaForCausalLM]] = {
     "LlamaForCausalLM": LlamaForCausalLM,
     "MistralForCausalLM": MistralForCausalLM,
     "Qwen2ForCausalLM": Qwen2ForCausalLM,
+    # Llama-checkpoint aliases (reference models/__init__.py:11-36:
+    # Aquila/AquilaChat2, InternLM v1, decapoda LLaMA, XVERSE all reuse
+    # the llama graph + naming).
+    "AquilaModel": LlamaForCausalLM,
+    "AquilaForCausalLM": LlamaForCausalLM,
+    "InternLMForCausalLM": LlamaForCausalLM,
+    "LLaMAForCausalLM": LlamaForCausalLM,
+    "XverseForCausalLM": LlamaForCausalLM,
+    # Embedding models (reference _EMBEDDING_MODELS: MistralModel ->
+    # LlamaEmbeddingModel); served via the pooling runner.
+    "MistralModel": LlamaEmbeddingModel,
+    "LlamaModel": LlamaEmbeddingModel,
 }
 
 # Lazily imported architectures (reference models/__init__.py lazy import).
@@ -80,6 +103,16 @@ _LAZY_REGISTRY = {
                                    "DeepseekV3ForCausalLM"),
     "Mamba2ForCausalLM": _lazy("mamba2", "Mamba2ForCausalLM"),
     "SmolLM3ForCausalLM": _lazy("smollm3", "SmolLM3ForCausalLM"),
+    "ExaoneForCausalLM": _lazy("exaone", "ExaoneForCausalLM"),
+    "OrionForCausalLM": _lazy("orion", "OrionForCausalLM"),
+    "InternLM2ForCausalLM": _lazy("internlm2", "InternLM2ForCausalLM"),
+    "BaiChuanForCausalLM": _lazy("baichuan", "BaiChuanForCausalLM"),
+    "BaichuanForCausalLM": _lazy("baichuan", "BaichuanForCausalLM"),
+    "MiniCPMForCausalLM": _lazy("minicpm", "MiniCPMForCausalLM"),
+    "SolarForCausalLM": _lazy("solar", "SolarForCausalLM"),
+    "QuantMixtralForCausalLM": _lazy("mixtral", "MixtralForCausalLM"),
+    "StableLMEpochForCausalLM": _lazy("stablelm", "StableLmForCausalLM"),
+    "StablelmForCausalLM": _lazy("stablelm", "StableLmForCausalLM"),
 }
 
 

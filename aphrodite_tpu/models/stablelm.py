@@ -14,7 +14,12 @@ class StableLmForCausalLM(LlamaForCausalLM):
 
     def __init__(self, model_config, parallel_config=None) -> None:
         hf = model_config.hf_config
-        hf.setdefault("rms_norm_eps", hf.get("layer_norm_eps", 1e-5))
+        # StableLM-Epoch (stablelm-3b-4e1t era) configs use norm_eps /
+        # rope_pct instead of layer_norm_eps / partial_rotary_factor.
+        hf.setdefault("rms_norm_eps",
+                      hf.get("layer_norm_eps", hf.get("norm_eps", 1e-5)))
+        if hf.get("rope_pct") and not hf.get("partial_rotary_factor"):
+            hf["partial_rotary_factor"] = hf["rope_pct"]
         # StableLM uses use_qkv_bias rather than attention_bias.
         hf.setdefault("attention_bias", bool(hf.get("use_qkv_bias")))
         if hf.get("use_parallel_residual"):
