@@ -35,10 +35,23 @@ from aphrodite_tpu.quantization.qlinear import qmatmul
 
 
 class DeepseekV3ForCausalLM(LlamaForCausalLM):
+    # Router flavor: "v3" = sigmoid + correction bias + group top-2 sums
+    # (noaux_tc); "v2" = softmax + group max, no bias
+    # (greedy/group_limited_greedy); "v1" = softmax top-k + optional
+    # renorm.
+    route_mode = "v3"
+    # Multi-head latent attention (False = standard GQA, DeepSeek V1).
+    mla = True
+
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
         hf = model_config.hf_config
         super().__init__(model_config, parallel_config)
+        if self.mla:
+            self._init_mla(hf)
+        self._init_moe(hf)
+
+    def _init_mla(self, hf) -> None:
         self.q_rank = hf.get("q_lora_rank")  # None on V2-Lite
         self.kv_rank = int(hf["kv_lora_rank"])
         self.rope_dim = int(hf["qk_rope_head_dim"])
@@ -56,7 +69,12 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
                       if factor > 1 else 1.0)
             self.sm_scale = self.sm_scale * mscale * mscale
         self.rope_interleave = bool(hf.get("rope_interleave", True))
-        # MoE config.
+        self._cos, self._sin = compute_rope_tables(
+            self.rope_dim, self.max_position,
+            base=self.rope_theta, rope_scaling=self.rope_scaling,
+            dtype=jnp.float32)
+
+    def _init_moe(self, hf) -> None:
         self.num_dense = int(hf.get("first_k_dense_replace", 0))
         self.num_moe = self.num_layers - self.num_dense
         self.num_experts = int(hf.get("n_routed_experts", 0))
@@ -68,15 +86,13 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
         self.moe_intermediate = int(hf.get("moe_intermediate_size"))
         self.n_shared = int(hf.get("n_shared_experts", 0) or 0)
         self.expert_layer_range = (self.num_dense, self.num_layers)
-        self._cos, self._sin = compute_rope_tables(
-            self.rope_dim, self.max_position,
-            base=self.rope_theta, rope_scaling=self.rope_scaling,
-            dtype=jnp.float32)
 
     # ---- cache geometry ----------------------------------------------
 
     @property
     def kv_cache_shape_suffix(self) -> Tuple[int, int]:
+        if not self.mla:
+            return super().kv_cache_shape_suffix
         # Materialized K/V per q-head at the qk dim (V zero-padded).
         return (2 * self.num_heads, self.qk_dim)
 
@@ -90,17 +106,33 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
         layers = {
             "input_norm": (L, H),
             "post_norm": (L, H),
-            "kv_a": (L, H, self.kv_rank + self.rope_dim),
-            "kv_a_norm": (L, self.kv_rank),
-            "kv_b": (L, self.kv_rank, NH * (self.nope_dim + self.v_dim)),
-            "wo": (L, NH * self.v_dim, H),
         }
-        if self.q_rank:
-            layers["q_a"] = (L, H, self.q_rank)
-            layers["q_a_norm"] = (L, self.q_rank)
-            layers["q_b"] = (L, self.q_rank, NH * self.qk_dim)
+        if self.mla:
+            layers.update({
+                "kv_a": (L, H, self.kv_rank + self.rope_dim),
+                "kv_a_norm": (L, self.kv_rank),
+                "kv_b": (L, self.kv_rank,
+                         NH * (self.nope_dim + self.v_dim)),
+                "wo": (L, NH * self.v_dim, H),
+            })
+            if self.q_rank:
+                layers["q_a"] = (L, H, self.q_rank)
+                layers["q_a_norm"] = (L, self.q_rank)
+                layers["q_b"] = (L, self.q_rank, NH * self.qk_dim)
+            else:
+                layers["wq"] = (L, H, NH * self.qk_dim)
         else:
-            layers["wq"] = (L, H, NH * self.qk_dim)
+            D, NKV = self.head_dim, self.num_kv_heads_padded
+            layers.update({
+                "wq": (L, H, NH * D),
+                "wk": (L, H, NKV * D),
+                "wv": (L, H, NKV * D),
+                "wo": (L, NH * D, H),
+            })
+            if self.attention_bias:
+                layers["bq"] = (L, NH * D)
+                layers["bk"] = (L, NKV * D)
+                layers["bv"] = (L, NKV * D)
         shapes: Dict[str, Any] = {
             "embed": (self.vocab_size, H),
             "final_norm": (H,),
@@ -116,7 +148,6 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
         Fs = Fm * self.n_shared
         shapes["moe_layers"] = {
             "router": (Lm, H, E),
-            "router_bias": (Lm, E),
             "w1": (Lm, E, H, Fm),
             "w3": (Lm, E, H, Fm),
             "w2": (Lm, E, Fm, H),
@@ -124,6 +155,8 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             "shared_up": (Lm, H, Fs),
             "shared_down": (Lm, Fs, H),
         }
+        if self.route_mode == "v3":
+            shapes["moe_layers"]["router_bias"] = (Lm, E)
         if not self.tie_word_embeddings:
             shapes["lm_head"] = (H, self.vocab_size)
         return shapes
@@ -131,15 +164,28 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
     def param_shardings(self) -> Dict[str, Any]:
         layers = {
             "input_norm": P(), "post_norm": P(),
-            "kv_a": P(), "kv_a_norm": P(),
-            "kv_b": P(None, None, "model"),
             "wo": P(None, "model", None),
         }
-        if self.q_rank:
-            layers.update({"q_a": P(), "q_a_norm": P(),
-                           "q_b": P(None, None, "model")})
+        if self.mla:
+            layers.update({
+                "kv_a": P(), "kv_a_norm": P(),
+                "kv_b": P(None, None, "model"),
+            })
+            if self.q_rank:
+                layers.update({"q_a": P(), "q_a_norm": P(),
+                               "q_b": P(None, None, "model")})
+            else:
+                layers["wq"] = P(None, None, "model")
         else:
-            layers["wq"] = P(None, None, "model")
+            layers.update({
+                "wq": P(None, None, "model"),
+                "wk": P(None, None, "model"),
+                "wv": P(None, None, "model"),
+            })
+            if self.attention_bias:
+                layers["bq"] = P(None, "model")
+                layers["bk"] = P(None, "model")
+                layers["bv"] = P(None, "model")
         specs: Dict[str, Any] = {
             "embed": P(None, None),
             "final_norm": P(),
@@ -152,6 +198,8 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             "moe_layers": {
                 "router": P(), "router_bias": P(),
                 "w1": P(None, "model", None, None),
+                # router_bias dropped below for non-v3 routers
+
                 "w3": P(None, "model", None, None),
                 "w2": P(None, "model", None, None),
                 "shared_gate": P(None, None, "model"),
@@ -159,6 +207,8 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
                 "shared_down": P(None, "model", None),
             },
         }
+        if self.route_mode != "v3":
+            specs["moe_layers"].pop("router_bias")
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
         return specs
@@ -174,12 +224,27 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             (la + "input_layernorm.weight", "layers.input_norm", False),
             (la + "post_attention_layernorm.weight", "layers.post_norm",
              False),
+            (la + "self_attn.o_proj.weight", "layers.wo", True),
+        ]
+        if not self.mla:
+            maps += [
+                (la + "self_attn.q_proj.weight", "layers.wq", True),
+                (la + "self_attn.k_proj.weight", "layers.wk", True),
+                (la + "self_attn.v_proj.weight", "layers.wv", True),
+            ]
+            if self.attention_bias:
+                maps += [
+                    (la + "self_attn.q_proj.bias", "layers.bq", False),
+                    (la + "self_attn.k_proj.bias", "layers.bk", False),
+                    (la + "self_attn.v_proj.bias", "layers.bv", False),
+                ]
+            return maps
+        maps += [
             (la + "self_attn.kv_a_proj_with_mqa.weight", "layers.kv_a",
              True),
             (la + "self_attn.kv_a_layernorm.weight", "layers.kv_a_norm",
              False),
             (la + "self_attn.kv_b_proj.weight", "layers.kv_b", True),
-            (la + "self_attn.o_proj.weight", "layers.wo", True),
         ]
         if self.q_rank:
             maps += [
@@ -201,8 +266,6 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             (la + "mlp.up_proj.weight", "dense_layers.up", True, Ld),
             (la + "mlp.down_proj.weight", "dense_layers.down", True, Ld),
             (la + "mlp.gate.weight", "moe_layers.router", True, Lm, Ld),
-            (la + "mlp.gate.e_score_correction_bias",
-             "moe_layers.router_bias", False, Lm, Ld),
             (la + "mlp.shared_experts.gate_proj.weight",
              "moe_layers.shared_gate", True, Lm, Ld),
             (la + "mlp.shared_experts.up_proj.weight",
@@ -210,6 +273,9 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             (la + "mlp.shared_experts.down_proj.weight",
              "moe_layers.shared_down", True, Lm, Ld),
         ]
+        if self.route_mode == "v3":
+            out.append((la + "mlp.gate.e_score_correction_bias",
+                        "moe_layers.router_bias", False, Lm, Ld))
         return out
 
     def hf_expert_mappings(self) -> List[Tuple[str, str, bool]]:
@@ -223,26 +289,55 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
     # ---- forward ------------------------------------------------------
 
     def _route(self, h: jax.Array, router: jax.Array,
-               bias: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """V3 gate: sigmoid scores, group-limited top-k with the
-        selection bias, weights from UNBIASED scores."""
+               bias: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+        """Gate dispatch by route_mode.
+
+        v3 ("noaux_tc"): sigmoid scores, group-limited top-k with the
+        selection bias (group score = sum of top-2), weights from
+        UNBIASED scores, optional renorm, x routed_scaling.
+        v2 ("greedy"/"group_limited_greedy", HF modeling_deepseek_v2
+        MoEGate): softmax scores, group score = max, NO renorm,
+        x routed_scaling.
+        v1 (deepseek-moe): softmax scores, plain top-k, renorm iff
+        norm_topk_prob.
+        """
         T = h.shape[0]
         logits = jnp.dot(h, router, preferred_element_type=jnp.float32)
-        scores = jax.nn.sigmoid(logits)  # [T, E]
-        choice = scores + bias.astype(jnp.float32)
         E, G = self.num_experts, self.n_group
-        grouped = choice.reshape(T, G, E // G)
-        group_scores = jnp.sum(jax.lax.top_k(grouped, 2)[0], axis=-1)
-        _, group_idx = jax.lax.top_k(group_scores, self.topk_group)
-        group_mask = jnp.zeros((T, G), jnp.bool_).at[
-            jnp.arange(T)[:, None], group_idx].set(True)
-        masked = jnp.where(
-            jnp.repeat(group_mask, E // G, axis=-1), choice, 0.0)
-        _, ids = jax.lax.top_k(masked, self.top_k)
-        weights = jnp.take_along_axis(scores, ids, axis=-1)
-        if self.norm_topk_prob:
-            weights = weights / (jnp.sum(weights, -1, keepdims=True)
-                                 + 1e-20)
+
+        def group_limit(choice):
+            if G <= 1 or self.topk_group >= G:
+                return choice
+            grouped = choice.reshape(T, G, E // G)
+            if self.route_mode == "v3":
+                group_scores = jnp.sum(jax.lax.top_k(grouped, 2)[0],
+                                       axis=-1)
+            else:
+                group_scores = jnp.max(grouped, axis=-1)
+            _, group_idx = jax.lax.top_k(group_scores, self.topk_group)
+            group_mask = jnp.zeros((T, G), jnp.bool_).at[
+                jnp.arange(T)[:, None], group_idx].set(True)
+            return jnp.where(jnp.repeat(group_mask, E // G, axis=-1),
+                             choice, 0.0)
+
+        if self.route_mode == "v3":
+            scores = jax.nn.sigmoid(logits)
+            choice = group_limit(scores + bias.astype(jnp.float32))
+            _, ids = jax.lax.top_k(choice, self.top_k)
+            weights = jnp.take_along_axis(scores, ids, axis=-1)
+            if self.norm_topk_prob:
+                weights = weights / (jnp.sum(weights, -1, keepdims=True)
+                                     + 1e-20)
+            return weights * self.routed_scaling, ids.astype(jnp.int32)
+        scores = jax.nn.softmax(logits, axis=-1)
+        if self.route_mode == "v2":
+            choice = group_limit(scores)
+            weights, ids = jax.lax.top_k(choice, self.top_k)
+            return (weights * self.routed_scaling,
+                    ids.astype(jnp.int32))
+        weights, ids = jax.lax.top_k(scores, self.top_k)  # v1
+        if self.norm_topk_prob and self.top_k > 1:
+            weights = weights / jnp.sum(weights, -1, keepdims=True)
         return weights * self.routed_scaling, ids.astype(jnp.int32)
 
     def forward(
@@ -260,13 +355,35 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
         x = params["embed"][batch.token_ids].astype(self.dtype)
         cos = self._cos[batch.positions]
         sin = self._sin[batch.positions]
-        neox = not self.rope_interleave
+        neox = not self.mla or not self.rope_interleave
 
         def rms(v, w):
             out, _ = rms_norm(v, w, self.rms_eps)
             return out
 
-        def attention(x, lp, pages):
+        def attention_gqa(x, lp, pages):
+            # Standard llama-style attention (DeepSeek V1).
+            NKV, D = self.num_kv_heads_padded, self.head_dim
+            h = rms(x, lp["input_norm"])
+            q, k, v = (qmatmul(h, lp["wq"]), qmatmul(h, lp["wk"]),
+                       qmatmul(h, lp["wv"]))
+            if "bq" in lp:
+                q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+            q = q.astype(self.dtype).reshape(-1, NH, D)
+            k = k.astype(self.dtype).reshape(-1, NKV, D)
+            v = v.astype(self.dtype).reshape(-1, NKV, D)
+            q = apply_rope(q, cos, sin, is_neox_style=True)
+            k = apply_rope(k, cos, sin, is_neox_style=True)
+            pages = write_kv(pages, k, v, batch.slot_mapping)
+            attn = ragged_paged_attention(
+                q, pages, batch.kv_lens, batch.page_indices,
+                batch.cu_q_lens, batch.num_seqs, sm_scale=self.sm_scale,
+                mesh=mesh, use_kernel=use_attention_kernel)
+            attn = attn.reshape(-1, NH * D)
+            o = qmatmul(attn, lp["wo"]).astype(self.dtype)
+            return x + o, pages
+
+        def attention_mla(x, lp, pages):
             h = rms(x, lp["input_norm"])
             if self.q_rank:
                 qa = rms(qmatmul(h, lp["q_a"]).astype(self.dtype),
@@ -303,6 +420,8 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             o = qmatmul(attn, lp["wo"]).astype(self.dtype)
             return x + o, pages
 
+        attention = attention_mla if self.mla else attention_gqa
+
         def dense_layer(x, scanned):
             lp, mp, pages = scanned
             x, pages = attention(x, lp, pages)
@@ -318,7 +437,8 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             lp, mp, pages = scanned
             x, pages = attention(x, lp, pages)
             h = rms(x, lp["post_norm"])
-            weights, ids = self._route(h, mp["router"], mp["router_bias"])
+            weights, ids = self._route(h, mp["router"],
+                                       mp.get("router_bias"))
             routed = apply_experts(h, mp["w1"], mp["w3"], mp["w2"],
                                    weights, ids, mesh=mesh)
             gate = qmatmul(h, mp["shared_gate"])
@@ -343,3 +463,22 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
         new_kv_pages = jnp.concatenate([dense_pages, moe_pages], axis=0)
         x = rms(x, params["final_norm"])
         return new_kv_pages, x
+
+
+class DeepseekV2ForCausalLM(DeepseekV3ForCausalLM):
+    """DeepSeek-V2/V2-Lite: same MLA attention; softmax gate with
+    greedy / group_limited_greedy (group max) top-k, no correction bias,
+    no top-k renorm (HF modeling_deepseek_v2 MoEGate semantics).
+    Reference: aphrodite/modeling/models/deepseek_v2.py."""
+
+    route_mode = "v2"
+
+
+class DeepseekForCausalLM(DeepseekV3ForCausalLM):
+    """DeepSeek V1 / deepseek-moe-16b: standard GQA attention (no MLA),
+    softmax top-k routing with optional renorm (norm_topk_prob), shared
+    experts, leading dense layers.
+    Reference: aphrodite/modeling/models/deepseek.py."""
+
+    route_mode = "v1"
+    mla = False

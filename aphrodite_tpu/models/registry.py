@@ -101,6 +101,9 @@ _LAZY_REGISTRY = {
                                    "GraniteMoeForCausalLM"),
     "DeepseekV3ForCausalLM": _lazy("deepseek",
                                    "DeepseekV3ForCausalLM"),
+    "DeepseekV2ForCausalLM": _lazy("deepseek",
+                                   "DeepseekV2ForCausalLM"),
+    "DeepseekForCausalLM": _lazy("deepseek", "DeepseekForCausalLM"),
     "Mamba2ForCausalLM": _lazy("mamba2", "Mamba2ForCausalLM"),
     "SmolLM3ForCausalLM": _lazy("smollm3", "SmolLM3ForCausalLM"),
     "ExaoneForCausalLM": _lazy("exaone", "ExaoneForCausalLM"),
