@@ -26,7 +26,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from aphrodite_tpu.common.config import ModelConfig, ParallelConfig
 from aphrodite_tpu.models.interface import ForwardBatch
 from aphrodite_tpu.models.layers import (apply_rope, compute_rope_tables,
-                                         rms_norm, silu_and_mul)
+                                         rms_norm, scan_layers_paged,
+                                         silu_and_mul)
 from aphrodite_tpu.models.llama import LlamaForCausalLM
 from aphrodite_tpu.ops.attention import ragged_paged_attention
 from aphrodite_tpu.ops.kv_cache import write_kv
@@ -361,7 +362,7 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             out, _ = rms_norm(v, w, self.rms_eps)
             return out
 
-        def attention_gqa(x, lp, pages):
+        def attention_gqa(x, lp, pages, slots, pidx):
             # Standard llama-style attention (DeepSeek V1).
             NKV, D = self.num_kv_heads_padded, self.head_dim
             h = rms(x, lp["input_norm"])
@@ -374,16 +375,16 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             v = v.astype(self.dtype).reshape(-1, NKV, D)
             q = apply_rope(q, cos, sin, is_neox_style=True)
             k = apply_rope(k, cos, sin, is_neox_style=True)
-            pages = write_kv(pages, k, v, batch.slot_mapping)
+            pages = write_kv(pages, k, v, slots)
             attn = ragged_paged_attention(
-                q, pages, batch.kv_lens, batch.page_indices,
+                q, pages, batch.kv_lens, pidx,
                 batch.cu_q_lens, batch.num_seqs, sm_scale=self.sm_scale,
                 mesh=mesh, use_kernel=use_attention_kernel)
             attn = attn.reshape(-1, NH * D)
             o = qmatmul(attn, lp["wo"]).astype(self.dtype)
             return x + o, pages
 
-        def attention_mla(x, lp, pages):
+        def attention_mla(x, lp, pages, slots, pidx):
             h = rms(x, lp["input_norm"])
             if self.q_rank:
                 qa = rms(qmatmul(h, lp["q_a"]).astype(self.dtype),
@@ -411,9 +412,9 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             k = jnp.concatenate([k_nope, k_rot], axis=-1)
             v_pad = jnp.pad(v, ((0, 0), (0, 0),
                                 (0, self.qk_dim - self.v_dim)))
-            pages = write_kv(pages, k, v_pad, batch.slot_mapping)
+            pages = write_kv(pages, k, v_pad, slots)
             attn = ragged_paged_attention(
-                q, pages, batch.kv_lens, batch.page_indices,
+                q, pages, batch.kv_lens, pidx,
                 batch.cu_q_lens, batch.num_seqs, sm_scale=self.sm_scale,
                 mesh=mesh, use_kernel=use_attention_kernel)
             attn = attn[..., :self.v_dim].reshape(-1, NH * self.v_dim)
@@ -422,9 +423,9 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
 
         attention = attention_mla if self.mla else attention_gqa
 
-        def dense_layer(x, scanned):
-            lp, mp, pages = scanned
-            x, pages = attention(x, lp, pages)
+        def dense_layer(x, pages, slots, pidx, scanned):
+            lp, mp = scanned
+            x, pages = attention(x, lp, pages, slots, pidx)
             h = rms(x, lp["post_norm"])
             gate = qmatmul(h, mp["gate"])
             up = qmatmul(h, mp["up"])
@@ -433,9 +434,9 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             x = x + qmatmul(act, mp["down"]).astype(self.dtype)
             return x, pages
 
-        def moe_layer(x, scanned):
-            lp, mp, pages = scanned
-            x, pages = attention(x, lp, pages)
+        def moe_layer(x, pages, slots, pidx, scanned):
+            lp, mp = scanned
+            x, pages = attention(x, lp, pages, slots, pidx)
             h = rms(x, lp["post_norm"])
             weights, ids = self._route(h, mp["router"],
                                        mp.get("router_bias"))
@@ -454,13 +455,14 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
         lp_dense = jax.tree.map(lambda a: a[:Ld], lp_all)
         lp_moe = jax.tree.map(lambda a: a[Ld:], lp_all)
 
-        x, dense_pages = jax.lax.scan(
-            dense_layer, x,
-            (lp_dense, params["dense_layers"], kv_pages[:Ld]))
-        x, moe_pages = jax.lax.scan(
-            moe_layer, x,
-            (lp_moe, params["moe_layers"], kv_pages[Ld:]))
-        new_kv_pages = jnp.concatenate([dense_pages, moe_pages], axis=0)
+        x, kv_pages = scan_layers_paged(
+            dense_layer, x, kv_pages,
+            (lp_dense, params["dense_layers"]), batch,
+            layer_ids=jnp.arange(Ld, dtype=jnp.int32))
+        x, new_kv_pages = scan_layers_paged(
+            moe_layer, x, kv_pages,
+            (lp_moe, params["moe_layers"]), batch,
+            layer_ids=jnp.arange(Ld, self.num_layers, dtype=jnp.int32))
         x = rms(x, params["final_norm"])
         return new_kv_pages, x
 

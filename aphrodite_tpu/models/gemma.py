@@ -19,7 +19,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from aphrodite_tpu.common.config import ModelConfig, ParallelConfig
 from aphrodite_tpu.models.interface import ForwardBatch
 from aphrodite_tpu.models.llama import LlamaForCausalLM
-from aphrodite_tpu.models.layers import apply_rope
+from aphrodite_tpu.models.layers import (apply_rope,
+                                         scan_layers_paged)
 from aphrodite_tpu.ops.attention import ragged_paged_attention
 from aphrodite_tpu.ops.kv_cache import write_kv
 from aphrodite_tpu.quantization.qlinear import qmatmul
@@ -109,15 +110,15 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         layer_params = params["layers"]
         is_local = self._local_layer_mask()
 
-        def attention(q, pages, window):
+        def attention(q, pages, pidx, window):
             return ragged_paged_attention(
-                q[0], pages, batch.kv_lens, batch.page_indices,
+                q[0], pages, batch.kv_lens, pidx,
                 batch.cu_q_lens, batch.num_seqs, sm_scale=self.sm_scale,
                 sliding_window=window, soft_cap=self.attn_softcap or None,
                 mesh=mesh, use_kernel=use_attention_kernel)
 
-        def layer_fn(x, scanned):
-            lp, pages, local, k_scale, v_scale = scanned
+        def layer_fn(x, pages, slots, pidx, scanned):
+            lp, local, k_scale, v_scale = scanned
             h = self._norm(x, lp["input_norm"])
             q = qmatmul(h, lp["wq"]).astype(self.dtype).reshape(-1, NH, D)
             k = qmatmul(h, lp["wk"]).astype(self.dtype).reshape(-1, NKV, D)
@@ -127,16 +128,18 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
             sin = jnp.where(local, sin_l, sin_g)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            pages = write_kv(pages, k, v, batch.slot_mapping,
+            pages = write_kv(pages, k, v, slots,
                              k_scale=k_scale, v_scale=v_scale)
             if k_scale is not None:
                 q = q * k_scale.astype(q.dtype)
             attn = jax.lax.cond(
                 local,
                 lambda operands: attention(operands[0], operands[1],
+                                           operands[2],
                                            self.sliding_window_size),
-                lambda operands: attention(operands[0], operands[1], None),
-                ((q[None], pages)),
+                lambda operands: attention(operands[0], operands[1],
+                                           operands[2], None),
+                ((q[None], pages, pidx)),
             )
             if v_scale is not None:
                 attn = attn * v_scale.astype(attn.dtype)
@@ -150,9 +153,9 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
 
         k_scales, v_scales = kv_scales if kv_scales is not None else (None,
                                                                       None)
-        x, new_kv_pages = jax.lax.scan(layer_fn, x,
-                                       (layer_params, kv_pages, is_local,
-                                        k_scales, v_scales))
+        x, new_kv_pages = scan_layers_paged(
+            layer_fn, x, kv_pages,
+            (layer_params, is_local, k_scales, v_scales), batch)
         x = self._norm(x, params["final_norm"])
         return new_kv_pages, x
 

@@ -236,3 +236,54 @@ def apply_rope(
     if rotary_dim < head_dim:
         rotated = jnp.concatenate([rotated, x_pass], axis=-1)
     return rotated.astype(x.dtype)
+
+
+def flatten_kv_pages(kv_pages: jax.Array):
+    """Fold the layer axis of the paged KV cache into the page axis.
+
+    [L, P, page, 2K, D] -> [L*P, page, 2K, D] (a bitcast). Layer l's
+    region starts at page l*P; its trash page stays at the end of that
+    region, so the runner's slot bookkeeping is unchanged.
+
+    Why: when the cache is threaded through a lax.scan over layers as
+    stacked xs/ys, every step rewrites ALL cache bytes into the fresh ys
+    buffer (~full-cache HBM traffic per decode step — measured 10x off
+    the weight-streaming roofline at 1.4B). Holding ONE flat array as
+    the scan *carry* and scattering at layer-offset slots keeps the
+    update in-place (XLA aliases while-loop carries; the scatter only
+    touches the new tokens' slots). This replaces the reference's
+    per-layer `kv_caches: List[torch.Tensor]` in-place
+    `reshape_and_cache` writes (cache_kernels.cu) with the XLA-native
+    equivalent.
+    """
+    L, P = kv_pages.shape[0], kv_pages.shape[1]
+    flat = kv_pages.reshape((L * P,) + kv_pages.shape[2:])
+    return flat, L, P
+
+
+def scan_layers_paged(layer_fn, x, kv_pages: jax.Array, xs, batch,
+                      *, layer_ids: Optional[jax.Array] = None):
+    """Scan `layer_fn` over [L]-stacked xs with the paged KV cache held
+    flat as the scan carry (in-place per-layer scatters — see
+    flatten_kv_pages).
+
+    layer_fn(x, pages_flat, slots, page_indices, sc) -> (x, pages_flat)
+    receives slot_mapping/page_indices already offset into its layer's
+    page region.  Returns (x, new_kv_pages) with the cache back in
+    [L, P, ...] shape.
+    """
+    flat, L, P = flatten_kv_pages(kv_pages)
+    page_size = kv_pages.shape[2]
+    if layer_ids is None:
+        layer_ids = jnp.arange(L, dtype=jnp.int32)
+
+    def body(carry, sc):
+        x, flat = carry
+        lidx, inner = sc
+        slots = batch.slot_mapping + lidx * (P * page_size)
+        pidx = batch.page_indices + lidx * P
+        x, flat = layer_fn(x, flat, slots, pidx, inner)
+        return (x, flat), None
+
+    (x, flat), _ = jax.lax.scan(body, (x, flat), (layer_ids, xs))
+    return x, flat.reshape(kv_pages.shape)

@@ -25,7 +25,8 @@ from aphrodite_tpu.common.logger import init_logger
 from aphrodite_tpu.models.interface import ForwardBatch
 from aphrodite_tpu.models.layers import (apply_rope, compute_rope_tables,
                                          gelu_and_mul, layer_norm,
-                                         rms_norm, silu_and_mul)
+                                         rms_norm, scan_layers_paged,
+                                         silu_and_mul)
 from aphrodite_tpu.ops.attention import ragged_paged_attention
 from aphrodite_tpu.ops.kv_cache import write_kv
 from aphrodite_tpu.quantization.qlinear import qmatmul
@@ -499,8 +500,11 @@ class LlamaForCausalLM:
                                batch.lora_group_sizes)
             return y + delta
 
-        def layer_fn(x, scanned):
-            lp, pages, k_scale, v_scale, la, rope_on = scanned
+        def layer_fn(x, pages, slots, pidx, scanned):
+            # pages: the FLAT [L*P, page, 2K, D] cache (scan carry);
+            # slots/pidx are pre-offset into this layer's page region
+            # (scan_layers_paged) so the write is an in-place scatter.
+            lp, k_scale, v_scale, la, rope_on = scanned
             h = self._norm(x, lp.get("input_norm"),
                            lp.get("input_norm_b"))
             q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
@@ -530,7 +534,7 @@ class LlamaForCausalLM:
                     s = jnp.where(rope_on, sin, 0.0)
                 q = apply_rope(q, c, s, is_neox_style=neox)
                 k = apply_rope(k, c, s, is_neox_style=neox)
-            pages = write_kv(pages, k, v, batch.slot_mapping,
+            pages = write_kv(pages, k, v, slots,
                              k_scale=k_scale, v_scale=v_scale)
             if k_scale is not None:
                 q = q * k_scale.astype(q.dtype)
@@ -538,7 +542,7 @@ class LlamaForCausalLM:
                 q,
                 pages,
                 batch.kv_lens,
-                batch.page_indices,
+                pidx,
                 batch.cu_q_lens,
                 batch.num_seqs,
                 sm_scale=self.sm_scale,
@@ -580,36 +584,37 @@ class LlamaForCausalLM:
                                                                       None)
         lora_scan = lora if use_lora else None
 
-        def scan_body(x, sc):
+        def scan_body(x, pages, slots, pidx, sc):
             # rope_layer_mask None keeps the scanned pytree unchanged
             # (and the compiled graph identical) for non-NoPE models.
-            return layer_fn(x, (*sc, None))
+            return layer_fn(x, pages, slots, pidx, (*sc, None))
 
         pp = self.parallel_config.pipeline_parallel_size
         if pp > 1 and mesh is not None:
             x, new_kv_pages = self._layers_pipeline(
                 scan_body, x, layer_params, kv_pages, k_scales, v_scales,
-                lora_scan, mesh, pp)
+                lora_scan, batch, mesh, pp)
         elif getattr(self, "bskcn", None) is not None:
             # Solar-style backbone skip connections: the layer stack runs
             # as scans over segments, with snapshot/blend ops at the
             # (static) bskcn layer indices between segments.
             x, new_kv_pages = self._layers_bskcn(
-                scan_body, x, (layer_params, kv_pages, k_scales, v_scales,
-                               lora_scan))
+                scan_body, x, kv_pages,
+                (layer_params, k_scales, v_scales, lora_scan), batch)
         elif self.rope_layer_mask is not None:
-            x, new_kv_pages = jax.lax.scan(
-                layer_fn, x, (layer_params, kv_pages, k_scales, v_scales,
-                              lora_scan, self.rope_layer_mask))
+            x, new_kv_pages = scan_layers_paged(
+                layer_fn, x, kv_pages,
+                (layer_params, k_scales, v_scales, lora_scan,
+                 self.rope_layer_mask), batch)
         else:
-            x, new_kv_pages = jax.lax.scan(scan_body, x,
-                                           (layer_params, kv_pages,
-                                            k_scales, v_scales, lora_scan))
+            x, new_kv_pages = scan_layers_paged(
+                scan_body, x, kv_pages,
+                (layer_params, k_scales, v_scales, lora_scan), batch)
         x = self._norm(x, params.get("final_norm"),
                        params.get("final_norm_b"))
         return new_kv_pages, x
 
-    def _layers_bskcn(self, layer_fn, x, scanned):
+    def _layers_bskcn(self, layer_fn, x, kv_pages, scanned, batch):
         """Segmented layer execution for Solar bskcn skip connections
         (reference modeling/models/solar.py:321-339): at layer i, first
         snapshot the activation if i ∈ bskcn_1/bskcn_2, then blend it
@@ -624,7 +629,6 @@ class LlamaForCausalLM:
         s3, s4 = set(cfg["s3"]), set(cfg["s4"])
         bounds = sorted({0, L, *s1, *s2, *s3, *s4})
         h1 = h2 = None
-        kv_segments = []
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             if lo in s1:
                 h1 = x
@@ -635,15 +639,14 @@ class LlamaForCausalLM:
             if lo in s4:
                 x = h2 * tv + x * (1 - tv)
             seg = jax.tree.map(lambda a: a[lo:hi], scanned)
-            x, kv_seg = jax.lax.scan(layer_fn, x, seg)
-            kv_segments.append(kv_seg)
-        new_kv = jnp.concatenate(kv_segments, axis=0) if \
-            len(kv_segments) > 1 else kv_segments[0]
-        return x, new_kv
+            x, kv_pages = scan_layers_paged(
+                layer_fn, x, kv_pages, seg, batch,
+                layer_ids=jnp.arange(lo, hi, dtype=jnp.int32))
+        return x, kv_pages
 
     @staticmethod
     def _layers_pipeline(layer_fn, x, layer_params, kv_pages, k_scales,
-                         v_scales, lora_scan, mesh, pp: int):
+                         v_scales, lora_scan, batch, mesh, pp: int):
         """Pipeline-parallel layer execution.
 
         The stacked [L, ...] params and KV pages are sharded over the
@@ -666,11 +669,12 @@ class LlamaForCausalLM:
 
                 def run(args):
                     xx, kv_in = args
-                    yy, kv_out = jax.lax.scan(
-                        layer_fn, xx,
-                        (local_layers, kv_in, local_ks, local_vs,
-                         local_lora))
-                    return yy, kv_out
+                    # Local layer ids 0..L/pp-1: the local cache shard
+                    # only covers this stage's layers.
+                    return scan_layers_paged(
+                        layer_fn, xx, kv_in,
+                        (local_layers, local_ks, local_vs, local_lora),
+                        batch)
 
                 x, kv = jax.lax.cond(my == s, run, lambda a: a, (x, kv))
                 x = jax.lax.ppermute(x, "pipe", perm)

@@ -14,7 +14,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from aphrodite_tpu.models.interface import ForwardBatch
 from aphrodite_tpu.models.llama import LlamaForCausalLM
-from aphrodite_tpu.models.layers import apply_rope, rms_norm
+from aphrodite_tpu.models.layers import (apply_rope, rms_norm,
+                                         scan_layers_paged)
 from aphrodite_tpu.ops.attention import ragged_paged_attention
 from aphrodite_tpu.ops.kv_cache import write_kv
 from aphrodite_tpu.quantization.qlinear import qmatmul
@@ -78,8 +79,8 @@ class Olmo2ForCausalLM(LlamaForCausalLM):
         inner_mesh = mesh if \
             self.parallel_config.pipeline_parallel_size == 1 else None
 
-        def layer_fn(x, scanned):
-            lp, pages, k_scale, v_scale = scanned
+        def layer_fn(x, pages, slots, pidx, scanned):
+            lp, k_scale, v_scale = scanned[:3]
             q = qmatmul(x, lp["wq"])
             k = qmatmul(x, lp["wk"])
             v = qmatmul(x, lp["wv"])
@@ -92,12 +93,12 @@ class Olmo2ForCausalLM(LlamaForCausalLM):
             v = v.astype(self.dtype).reshape(-1, NKV, D)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            pages = write_kv(pages, k, v, batch.slot_mapping,
+            pages = write_kv(pages, k, v, slots,
                              k_scale=k_scale, v_scale=v_scale)
             if k_scale is not None:
                 q = q * k_scale.astype(q.dtype)
             attn = ragged_paged_attention(
-                q, pages, batch.kv_lens, batch.page_indices,
+                q, pages, batch.kv_lens, pidx,
                 batch.cu_q_lens, batch.num_seqs, sm_scale=self.sm_scale,
                 sliding_window=self.sliding_window, mesh=inner_mesh,
                 use_kernel=use_attention_kernel)
@@ -117,10 +118,11 @@ class Olmo2ForCausalLM(LlamaForCausalLM):
         pp = self.parallel_config.pipeline_parallel_size
         if pp > 1 and mesh is not None:
             x, new_kv_pages = self._layers_pipeline(
-                lambda c, sc: layer_fn(c, sc[:4]), x, layer_params,
-                kv_pages, k_scales, v_scales, None, mesh, pp)
+                layer_fn, x, layer_params,
+                kv_pages, k_scales, v_scales, None, batch, mesh, pp)
         else:
-            x, new_kv_pages = jax.lax.scan(
-                layer_fn, x, (layer_params, kv_pages, k_scales, v_scales))
+            x, new_kv_pages = scan_layers_paged(
+                layer_fn, x, kv_pages,
+                (layer_params, k_scales, v_scales), batch)
         x, _ = rms_norm(x, params["final_norm"], self.rms_eps)
         return new_kv_pages, x
