@@ -226,12 +226,22 @@ def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     T, num_q_heads, head_dim = q.shape
     num_pages, page_size, num_combined, _ = kv_pages.shape
     pages_per_seq = page_indices.shape[1]
-    try:
-        bkv, bq = get_tuned_block_sizes(
-            q.dtype, kv_pages.dtype, num_q_heads, num_combined // 2,
-            head_dim, page_size, T, pages_per_seq)
-    except Exception:
-        bkv, bq = min(pages_per_seq, 128), min(T, 32)
+    if T <= 128:
+        # Decode buckets (q_len=1 per seq): the kernel's cost is
+        # dominated by per-(seq, kv-block) grid-iteration overhead
+        # (~1.4us + ~0.07us/page DMA issue, measured on v5e via
+        # tools/probe_attn_in_scan.py), not by flops. Small q blocks
+        # and a moderate kv block more than halve the per-call cost vs
+        # the tuned table's prefill-oriented (128, 32):
+        # 0.39 -> 0.145 ms/call at S=64, kv~160, 16 combined heads.
+        bkv, bq = min(pages_per_seq, 16), min(T, 8)
+    else:
+        try:
+            bkv, bq = get_tuned_block_sizes(
+                q.dtype, kv_pages.dtype, num_q_heads, num_combined // 2,
+                head_dim, page_size, T, pages_per_seq)
+        except Exception:
+            bkv, bq = min(pages_per_seq, 128), min(T, 32)
     # Clamp the KV block so the kernel's double-buffered KV scratch
     # (2 x bkv x page_size x combined_heads x head_dim) stays within
     # ~8 MB of the 16 MB v5e VMEM (the tuned table assumes fewer
