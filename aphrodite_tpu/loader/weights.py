@@ -239,23 +239,79 @@ def _container_child_spec(base_spec, child_key: str, arr: np.ndarray):
     return P(*fixed)
 
 
+# Dummy-weight leaves at or above this element count are re-generated
+# directly on device instead of transferred (the host->device path can be
+# very slow, e.g. a remote-relay link; a 1.4B model is minutes of H2D).
+_SYNTH_MIN_ELEMS = 1 << 20
+
+
+def _synthesize_leaf_on_device(arr: np.ndarray, spec, target_dtype,
+                               mesh: Optional[Mesh], seed: int):
+    """Generate a device array statistically matching `arr` without
+    transferring it: floats become normal(mean, std) draws, ints become
+    uniform random bits (shape/dtype/sharding preserved). Only used for
+    dummy (profiling) weights, where values need sane magnitudes, not
+    specific contents."""
+    import jax.numpy as jnp
+
+    sharding = (NamedSharding(mesh, spec) if mesh is not None else None)
+    key = jax.random.key(seed)
+    if np.issubdtype(arr.dtype, np.floating):
+        std = float(arr.std()) or 1.0
+        mean = float(arr.mean())
+
+        def gen(k, s, m):
+            x = jax.random.normal(k, arr.shape, jnp.float32)
+            return (x * s + m).astype(jnp.dtype(target_dtype))
+
+        fn = jax.jit(gen, out_shardings=sharding)
+        return fn(key, std, mean)
+
+    if not np.issubdtype(arr.dtype, np.integer):
+        # Exotic dtype (fp8/bf16 on host) — random bits could encode
+        # NaN/inf; signal the caller to transfer normally.
+        return None
+
+    # Integer (packed quantized) leaf: random bits of the same width.
+    bits_dtype = jnp.dtype(f"uint{arr.dtype.itemsize * 8}")
+
+    def gen_bits(k):
+        return jax.lax.bitcast_convert_type(
+            jax.random.bits(k, arr.shape, bits_dtype),
+            jnp.dtype(arr.dtype))
+
+    fn = jax.jit(gen_bits, out_shardings=sharding)
+    return fn(key)
+
+
 def place_params_on_mesh(
     model,
     host_params: Dict[str, Any],
     mesh: Optional[Mesh],
     dtype,
+    synthesize_large: bool = False,
 ) -> Dict[str, Any]:
     """Cast + transfer the host pytree to (sharded) device arrays.
 
     Quantized containers keep their member dtypes (int8/fp8 values, f32
-    scales); dense float weights are cast to the model dtype.
+    scales); dense float weights are cast to the model dtype. With
+    `synthesize_large` (dummy weights only), big leaves are generated on
+    device instead of transferred.
     """
     import jax.numpy as jnp
 
     shardings = model.param_shardings()
+    synth_seed = [0]
 
     def place(arr, spec, cast):
         arr = np.asarray(arr)
+        if synthesize_large and arr.size >= _SYNTH_MIN_ELEMS:
+            synth_seed[0] += 1
+            synth = _synthesize_leaf_on_device(
+                arr, spec, dtype if cast else arr.dtype, mesh,
+                synth_seed[0])
+            if synth is not None:
+                return synth
         target = jnp.asarray(arr, dtype=dtype) if cast else jnp.asarray(arr)
         if mesh is not None:
             return jax.device_put(target, NamedSharding(mesh, spec))
@@ -522,7 +578,8 @@ def load_model_params(
     else:
         raise ValueError(f"unknown load format {fmt}")
     return place_params_on_mesh(model, host, mesh,
-                                jnp.dtype(model_config.dtype))
+                                jnp.dtype(model_config.dtype),
+                                synthesize_large=(fmt == "dummy"))
 
 
 # ---------------------------------------------------------------------------

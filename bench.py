@@ -65,10 +65,7 @@ def main() -> None:
     quant = os.environ.get("APHRODITE_BENCH_QUANT") or None
     kv_dtype = os.environ.get("APHRODITE_BENCH_KV", "auto")
     if on_tpu:
-        # batch 64 measured optimal on this fabric (128 regresses ~2.3x
-        # per token — superlinear cost in S under investigation,
-        # docs/roadmap.md item 2).
-        batch = int(os.environ.get("APHRODITE_BENCH_BATCH", "64"))
+        batch = int(os.environ.get("APHRODITE_BENCH_BATCH", "128"))
         prompt_len, decode_len = 128, 128
         dtype = "bfloat16"
         blocks_override = None  # profile HBM
@@ -101,12 +98,11 @@ def main() -> None:
         sp = SamplingParams(temperature=0.0, max_tokens=decode_len,
                             ignore_eos=True, detokenize=False)
 
-        # Warmup: compile prefill+decode buckets.
-        warm = [p[:prompt_len] for p in prompts[:batch]]
-        llm.generate(prompt_token_ids=warm,
-                     sampling_params=SamplingParams(
-                         temperature=0.0, max_tokens=4, ignore_eos=True,
-                         detokenize=False))
+        # Warmup: a FULL-length pass. Compiles/loads every program the
+        # timed pass will hit (prefill buckets AND every decode-window
+        # variant) — a short warmup leaves multi-second XLA-cache
+        # deserializations inside the timed region.
+        llm.generate(prompt_token_ids=prompts, sampling_params=sp)
 
         t0 = time.monotonic()
         outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)

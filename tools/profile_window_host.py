@@ -1,0 +1,81 @@
+"""Time the host-side phases of one multi-step decode window (TPU).
+
+Phases: batch assembly (numpy + H2D), device program (dispatch +
+block_until_ready), output fetch (np.asarray per field).
+
+Usage: timeout 590 python tools/profile_window_host.py
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tools.profile_step_ablation import build_llm
+
+
+def main():
+    llm = build_llm()
+    runner = llm.engine.runner
+
+    from aphrodite_tpu.common.sampling_params import SamplingParams
+    from aphrodite_tpu.sampling.metadata import (SamplerInputRow,
+                                                 build_sampling_tensors)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                        detokenize=False)
+    rows = [SamplerInputRow(params=sp, token_ids=[1] * 8, prompt_len=8,
+                            generated_len=0, seed=1, eos_token_id=2)
+            for _ in range(64)]
+
+    S = 64
+    for it in range(6):
+        t0 = time.monotonic()
+        tensors, flags, _, _ = build_sampling_tensors(rows, S, 32000,
+                                                      history_pad=8)
+        tensors_dev = jax.tree.map(jnp.asarray, tensors)
+        token_ids = np.ones((S,), np.int32)
+        positions = np.full((S,), 150, np.int32)
+        pi = np.zeros((S, runner.pages_per_seq), np.int32)
+        for i in range(S):
+            pi[i, :16] = np.arange(i * 16, (i + 1) * 16)
+        kv_capacity = np.full((S,), 16 * runner.block_size, np.int32)
+        tok_dev = jnp.asarray(token_ids)
+        pos_dev = jnp.asarray(positions)
+        pages_dev = jnp.asarray(pi)
+        cap_dev = jnp.asarray(kv_capacity)
+        num_seqs = jnp.asarray([S], np.int32)
+        jax.block_until_ready(cap_dev)
+        t1 = time.monotonic()
+
+        fn = runner._get_multi_step_fn(flags, 32)
+        out = fn(runner.params, runner.kv_pages, tok_dev, pos_dev,
+                 pages_dev, cap_dev, num_seqs, tensors_dev,
+                 jnp.asarray(0, jnp.int32))
+        runner.kv_pages = out[0]
+        jax.block_until_ready(out[1:])
+        t2 = time.monotonic()
+
+        outs = out[3]
+        fields = [np.asarray(getattr(outs, f)) for f in
+                  ("sampled", "sampled_logprob", "sampled_rank",
+                   "topk_ids", "topk_logprobs")]
+        t3 = time.monotonic()
+        # Single packed fetch for comparison.
+        flat = jnp.concatenate([
+            outs.sampled.reshape(-1),
+            outs.sampled_logprob.view(jnp.int32).reshape(-1)
+            if hasattr(outs.sampled_logprob, "view")
+            else outs.sampled.reshape(-1),
+            outs.sampled_rank.reshape(-1),
+        ])
+        _ = np.asarray(flat)
+        t4 = time.monotonic()
+        print(f"iter {it}: assemble+h2d={1e3*(t1-t0):7.1f}ms  "
+              f"device={1e3*(t2-t1):7.1f}ms  "
+              f"fetch5={1e3*(t3-t2):7.1f}ms  fetch1={1e3*(t4-t3):7.1f}ms")
+
+
+if __name__ == "__main__":
+    main()
