@@ -469,7 +469,18 @@ class ModelRunner:
                 lambda c, i: body(c, i),
                 (kv_pages, token_ids, positions),
                 jnp.arange(num_steps, dtype=jnp.int32))
-            return kv_pages, last_tokens, last_pos, outs
+            # Pack every per-step output into ONE int32 buffer (floats
+            # bitcast): each D2H fetch pays a fixed round-trip on a
+            # relay-attached device (~25-30ms measured), so the host
+            # reads one array per window instead of five.
+            i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+            parts = [outs.sampled.reshape(-1),
+                     outs.sampled_rank.reshape(-1),
+                     i32(outs.sampled_logprob).reshape(-1)]
+            if outs.topk_ids.shape[-1]:
+                parts.append(outs.topk_ids.reshape(-1))
+                parts.append(i32(outs.topk_logprobs).reshape(-1))
+            return kv_pages, last_tokens, last_pos, jnp.concatenate(parts)
 
         fn = jax.jit(multi_step, donate_argnums=(1,))
         self._multi_step_fns[key] = fn
@@ -1106,26 +1117,48 @@ class ModelRunner:
         cap_dev = jnp.asarray(kv_capacity)
         window_outs = []
         for w in range(num_windows):
-            self.kv_pages, tok_dev, pos_dev, outs = fn(
+            self.kv_pages, tok_dev, pos_dev, packed = fn(
                 self.params, self.kv_pages, tok_dev, pos_dev, pages_dev,
                 cap_dev, num_seqs, tensors_dev,
                 jnp.asarray(w * W, jnp.int32))
-            window_outs.append(outs)
+            window_outs.append(packed)
 
         n = len(scheduled)
+        K = flags.max_logprobs
+        unpacked = [_unpack_step_outputs(np.asarray(p), W, S, K, n)
+                    for p in window_outs]
 
-        def cat(field):
-            return np.concatenate(
-                [np.asarray(getattr(o, field))[:, :n]
-                 for o in window_outs], axis=0)[:num_steps]
+        def cat(idx):
+            return np.concatenate([u[idx] for u in unpacked],
+                                  axis=0)[:num_steps]
 
         return StepResult(
-            sampled=cat("sampled"),
-            sampled_logprob=cat("sampled_logprob"),
-            sampled_rank=cat("sampled_rank"),
-            topk_ids=cat("topk_ids"),
-            topk_logprobs=cat("topk_logprobs"),
+            sampled=cat(0),
+            sampled_rank=cat(1),
+            sampled_logprob=cat(2),
+            topk_ids=cat(3),
+            topk_logprobs=cat(4),
         )
+
+
+def _unpack_step_outputs(raw: np.ndarray, W: int, S: int, K: int,
+                         n: int):
+    """Split the single packed int32 window buffer back into
+    (sampled, rank, logprob, topk_ids, topk_logprobs), each sliced to
+    the n live rows (see _get_multi_step_fn's packing order)."""
+    ws = W * S
+    sampled = raw[:ws].reshape(W, S)[:, :n]
+    rank = raw[ws:2 * ws].reshape(W, S)[:, :n]
+    lp = raw[2 * ws:3 * ws].view(np.float32).reshape(W, S)[:, :n]
+    if K:
+        wsk = ws * K
+        topk_ids = raw[3 * ws:3 * ws + wsk].reshape(W, S, K)[:, :n]
+        topk_lp = raw[3 * ws + wsk:3 * ws + 2 * wsk].view(
+            np.float32).reshape(W, S, K)[:, :n]
+    else:
+        topk_ids = np.zeros((W, n, 0), np.int32)
+        topk_lp = np.zeros((W, n, 0), np.float32)
+    return sampled, rank, lp, topk_ids, topk_lp
 
 
 def _fold_key_data(key_data: jax.Array, step: jax.Array) -> jax.Array:

@@ -57,24 +57,14 @@ def main():
         jax.block_until_ready(out[1:])
         t2 = time.monotonic()
 
-        outs = out[3]
-        fields = [np.asarray(getattr(outs, f)) for f in
-                  ("sampled", "sampled_logprob", "sampled_rank",
-                   "topk_ids", "topk_logprobs")]
+        raw = np.asarray(out[3])  # single packed window buffer
         t3 = time.monotonic()
-        # Single packed fetch for comparison.
-        flat = jnp.concatenate([
-            outs.sampled.reshape(-1),
-            outs.sampled_logprob.view(jnp.int32).reshape(-1)
-            if hasattr(outs.sampled_logprob, "view")
-            else outs.sampled.reshape(-1),
-            outs.sampled_rank.reshape(-1),
-        ])
-        _ = np.asarray(flat)
+        from aphrodite_tpu.worker.model_runner import _unpack_step_outputs
+        _ = _unpack_step_outputs(raw, 32, S, flags.max_logprobs, S)
         t4 = time.monotonic()
         print(f"iter {it}: assemble+h2d={1e3*(t1-t0):7.1f}ms  "
               f"device={1e3*(t2-t1):7.1f}ms  "
-              f"fetch5={1e3*(t3-t2):7.1f}ms  fetch1={1e3*(t4-t3):7.1f}ms")
+              f"fetch1={1e3*(t3-t2):7.1f}ms  unpack={1e3*(t4-t3):7.1f}ms")
 
 
 if __name__ == "__main__":
