@@ -269,22 +269,32 @@ class PromptAdapterConfig:
 class SpeculativeConfig:
     """Speculative decoding (reference aphrodite/spec_decode/, §2.10).
 
-    Round-1 scope: n-gram prompt-lookup proposals ("[ngram]",
-    reference NGramWorker) verified by the target model in one ragged
-    forward with in-graph rejection sampling. Draft-model proposers slot
-    into the same verify path later.
+    Two proposers share one in-graph verify path
+    (sampling/spec_verify.py):
+    - "ngram": prompt-lookup proposals (reference NGramWorker), host-side
+      and free; rows without a match fall back to plain decode.
+    - "draft": a small draft model (reference MultiStepWorker) proposes k
+      tokens via a fused on-device scan; every row always gets k
+      proposals. The draft keeps its own paged KV cache that shares the
+      target's page tables, and runs alongside every prefill so no
+      catch-up pass is ever needed (accepted proposals wrote exactly the
+      right draft KV during proposal).
     """
 
     method: str = "ngram"
     num_speculative_tokens: int = 5
     ngram_prompt_lookup_max: int = 4
     ngram_prompt_lookup_min: int = 1
+    # method == "draft": the draft model's config (built by EngineArgs).
+    draft_model_config: Optional["ModelConfig"] = None
 
     def __post_init__(self) -> None:
-        if self.method not in ("ngram",):
+        if self.method not in ("ngram", "draft"):
             raise ValueError(
                 f"speculative method {self.method!r} not supported (yet); "
-                "use 'ngram'")
+                "use 'ngram' or 'draft'")
+        if self.method == "draft" and self.draft_model_config is None:
+            raise ValueError("draft speculation needs draft_model_config")
         if self.num_speculative_tokens < 1:
             raise ValueError("num_speculative_tokens must be >= 1")
         if self.ngram_prompt_lookup_min > self.ngram_prompt_lookup_max:

@@ -97,15 +97,37 @@ class EngineArgs:
         )
         speculative_config = None
         if self.speculative_model is not None:
-            if self.speculative_model != "[ngram]":
-                raise ValueError(
-                    "only '[ngram]' speculation is supported for now")
-            speculative_config = SpeculativeConfig(
-                method="ngram",
-                num_speculative_tokens=self.num_speculative_tokens,
-                ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
-                ngram_prompt_lookup_min=self.ngram_prompt_lookup_min,
-            )
+            if self.speculative_model == "[ngram]":
+                speculative_config = SpeculativeConfig(
+                    method="ngram",
+                    num_speculative_tokens=self.num_speculative_tokens,
+                    ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
+                    ngram_prompt_lookup_min=self.ngram_prompt_lookup_min,
+                )
+            else:
+                # Draft-model speculation (reference MultiStepWorker):
+                # the draft serves the SAME token space at the target's
+                # context length, in the target's dtype.
+                draft_config = ModelConfig(
+                    model=self.speculative_model,
+                    tokenizer=self.tokenizer or self.model,
+                    dtype=model_config.dtype,
+                    seed=self.seed,
+                    max_model_len=model_config.max_model_len,
+                    trust_remote_code=self.trust_remote_code,
+                    skip_tokenizer_init=True,
+                )
+                if (draft_config.get_vocab_size()
+                        != model_config.get_vocab_size()):
+                    raise ValueError(
+                        "draft model vocab size "
+                        f"({draft_config.get_vocab_size()}) must match "
+                        f"the target ({model_config.get_vocab_size()})")
+                speculative_config = SpeculativeConfig(
+                    method="draft",
+                    num_speculative_tokens=self.num_speculative_tokens,
+                    draft_model_config=draft_config,
+                )
         return EngineConfig(
             model_config=model_config,
             cache_config=cache_config,

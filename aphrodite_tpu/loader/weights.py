@@ -105,13 +105,19 @@ def load_hf_params_to_host(
             lookup[template.format(i=i)] = ("layer", our_path, transpose, i)
     for hf_name, our_path, transpose in global_maps:
         lookup[hf_name] = ("global", our_path, transpose, None)
-    e_start, e_end = getattr(model, "expert_layer_range",
-                             (0, num_layers))
+    # MoE layers: either a contiguous [start, end) range or an explicit
+    # (possibly interleaved) index list (e.g. Jamba's period/offset
+    # expert layers).
+    e_indices = getattr(model, "expert_layer_indices", None)
+    if e_indices is None:
+        e_start, e_end = getattr(model, "expert_layer_range",
+                                 (0, num_layers))
+        e_indices = list(range(e_start, e_end))
     for template, our_path, transpose in expert_maps:
-        for i in range(e_start, e_end):
+        for pos, i in enumerate(e_indices):
             for e in range(num_experts):
                 lookup[template.format(i=i, e=e)] = (
-                    "expert", our_path, transpose, (i - e_start, e))
+                    "expert", our_path, transpose, (pos, e))
     for template, slices, transpose in split_maps:
         for i in range(num_layers):
             lookup[template.format(i=i)] = ("split", slices, transpose, i)
@@ -119,15 +125,21 @@ def load_hf_params_to_host(
     for entry in aux_maps:
         template, our_path, transpose, count = entry[:4]
         # Optional 5th element: layer-index offset into the template
-        # (e.g. deepseek MoE layers start after first_k_dense_replace).
+        # (e.g. deepseek MoE layers start after first_k_dense_replace),
+        # OR an explicit index list for interleaved sub-stacks (e.g.
+        # Jamba's mamba/attention layers).
         start = entry[4] if len(entry) > 4 else 0
-        if count == 1 and start == 0 and "{i}" not in template:
+        if isinstance(start, (list, tuple)):
+            indices = list(start)
+        else:
+            indices = [start + i for i in range(count)]
+        if count == 1 and indices == [0] and "{i}" not in template:
             lookup[template] = ("global", our_path, transpose, None)
         else:
             aux_counts[our_path] = count
-            for i in range(count):
-                lookup[template.format(i=start + i)] = ("aux", our_path,
-                                                        transpose, i)
+            for pos, i in enumerate(indices):
+                lookup[template.format(i=i)] = ("aux", our_path,
+                                                transpose, pos)
 
     pieces: Dict[str, List[Optional[np.ndarray]]] = {
         our_path: [None] * num_layers
@@ -137,7 +149,7 @@ def load_hf_params_to_host(
         for our_path, _, _ in slices:
             pieces[our_path] = [None] * num_layers
     expert_pieces: Dict[str, List[List[Optional[np.ndarray]]]] = {
-        our_path: [[None] * num_experts for _ in range(e_end - e_start)]
+        our_path: [[None] * num_experts for _ in range(len(e_indices))]
         for _, our_path, _ in expert_maps
     }
     aux_pieces: Dict[str, List[Optional[np.ndarray]]] = {

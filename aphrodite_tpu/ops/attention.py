@@ -27,6 +27,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from aphrodite_tpu.ops.decode_attention import (
+    paged_decode_attention, supports as decode_supports)
+
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -146,16 +149,41 @@ def ragged_paged_attention(
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() in ("tpu", "axon")
-    if use_kernel and alibi_slopes is not None:
+
+    # cu_q_lens=None marks a pure-decode batch (q_len == 1 per row, set
+    # by the fused multi-step runner): route to the grouped decode
+    # kernel, which amortizes per-sequence overhead across sequence
+    # groups and supports ALiBi natively (ops/decode_attention.py).
+    decode_mode = cu_q_lens is None
+    if decode_mode:
+        cu_q_lens = jnp.arange(q.shape[0] + 1, dtype=jnp.int32)
+    import os
+    use_decode_kernel = (
+        use_kernel and decode_mode and k_scale is None and v_scale is None
+        and decode_supports(q, kv_pages, page_indices)
+        and os.environ.get("APHRODITE_DECODE_KERNEL", "1") != "0")
+
+    if use_kernel and not use_decode_kernel and alibi_slopes is not None:
         # The bundled Pallas kernel has no ALiBi bias input; ALiBi models
-        # (bloom/mpt/jais) run the jnp path. TODO(round 2): fork the
-        # kernel with an in-loop distance bias.
+        # (bloom/mpt/jais) run the jnp path for prefill. TODO(round 2):
+        # fork the ragged kernel with an in-loop distance bias.
         use_kernel = False
     if use_kernel and not _kernel_supports(q, kv_pages):
         # The Pallas kernel has alignment requirements (e.g. head_dim
         # tiling); tiny test models fall back to the jnp reference.
         use_kernel = False
-    impl = _kernel_attention if use_kernel else ref_ragged_paged_attention
+
+    if use_decode_kernel:
+        def impl(q_, kv_, kl_, pi_, cq_, ns_, *, sm_scale, sliding_window,
+                 soft_cap, k_scale, v_scale, alibi_slopes=None):
+            del cq_, k_scale, v_scale
+            return paged_decode_attention(
+                q_, kv_, kl_, pi_, ns_, sm_scale=sm_scale,
+                sliding_window=sliding_window, soft_cap=soft_cap,
+                alibi_slopes=alibi_slopes)
+    else:
+        impl = (_kernel_attention if use_kernel
+                else ref_ragged_paged_attention)
 
     kwargs = dict(sm_scale=sm_scale, sliding_window=sliding_window,
                   soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
@@ -168,8 +196,9 @@ def ragged_paged_attention(
 
     if alibi_slopes is not None:
         # Slopes shard with the query heads.
+        alibi_impl = impl if use_decode_kernel else ref_ragged_paged_attention
         fn = jax.shard_map(
-            lambda q_, kv_, kl_, pi_, cq_, ns_, sl_: ref_ragged_paged_attention(
+            lambda q_, kv_, kl_, pi_, cq_, ns_, sl_: alibi_impl(
                 q_, kv_, kl_, pi_, cq_, ns_, **{**kwargs,
                                                 "alibi_slopes": sl_}),
             mesh=mesh,

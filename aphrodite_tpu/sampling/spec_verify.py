@@ -2,7 +2,7 @@
 
 Reference: aphrodite/modeling/layers/rejection_sampler.py (:303).
 
-Two acceptance rules:
+Acceptance rules:
 - greedy (lossless by construction): accept proposal t_j while
   argmax(p_target at j) == t_j; emit the argmax at the first mismatch.
 - stochastic rejection sampling for delta-distribution drafts (n-gram
@@ -13,6 +13,11 @@ Two acceptance rules:
   the target distribution (the standard speculative-sampling theorem).
   The target distribution is the *shaped* one (full sampler pipeline
   applied per position), matching non-speculative sampling.
+- stochastic rejection sampling for model drafts (draft_lp given, the
+  draft's full shaped log-distribution q per position): accept t_j
+  with probability min(1, p(t_j)/q(t_j)); on the first rejection
+  resample from norm(relu(p - q)) via Gumbel-argmax on log(p - q)+
+  (positions where p <= q masked to -inf).
 """
 
 from typing import NamedTuple, Optional
@@ -61,8 +66,11 @@ def verify_proposals(
     proposals: jax.Array,  # i32[S, k]
     t: SamplingTensors,
     flags: SamplingFlags,
+    draft_lp: Optional[jax.Array] = None,  # f32[S, k, V] shaped draft q
 ) -> SpecVerifyResult:
     """Mixed greedy/stochastic verification under the shaped target
+    distribution. draft_lp=None means delta-distribution drafts
+    (n-gram); otherwise full rejection sampling against the draft's
     distribution."""
     S, kp1, V = logits.shape
     k = kp1 - 1
@@ -88,7 +96,13 @@ def verify_proposals(
         u = jax.vmap(lambda kk: jax.random.uniform(kk, (k,)))(u_keys)
         prop_lp = jnp.take_along_axis(lp[:, :k, :], props_c[..., None],
                                       axis=-1)[..., 0]
-        accept_rand = u < jnp.exp(prop_lp)
+        if draft_lp is None:
+            accept_rand = u < jnp.exp(prop_lp)
+        else:
+            q_lp = jnp.take_along_axis(draft_lp, props_c[..., None],
+                                       axis=-1)[..., 0]
+            accept_rand = u < jnp.exp(
+                jnp.minimum(prop_lp - q_lp, 0.0))
         greedy_match = target[:, :k] == props_c
         accepted = jnp.where(t.greedy_mask[:, None], greedy_match,
                              accept_rand) & has_prop
@@ -97,9 +111,10 @@ def verify_proposals(
     else:
         a = jnp.zeros((S,), jnp.int32)
 
-    # Resample distribution at each position: the proposal token masked
-    # out (norm(relu(p - q)) for delta drafts); at the bonus position
-    # (j == k, no proposal) nothing is masked.
+    # Resample distribution at each position: norm(relu(p - q)). For
+    # delta drafts that is p with the proposal token masked out; for
+    # model drafts it is log(p - q) where positive. At the bonus
+    # position (j == k, no proposal) nothing is masked.
     j_idx = jnp.arange(kp1, dtype=jnp.int32)[None, :]
     if k > 0:
         mask_tok = jnp.concatenate(
@@ -110,6 +125,16 @@ def verify_proposals(
         mask_tok = jnp.full((S, 1), V, jnp.int32)
     vocab_ids = jnp.arange(V, dtype=jnp.int32)[None, None, :]
     lp_masked = jnp.where(vocab_ids == mask_tok[:, :, None], NEG_INF, lp)
+    if draft_lp is not None and k > 0:
+        diff = jnp.exp(lp[:, :k, :]) - jnp.exp(draft_lp)  # [S, k, V]
+        resid_lp = jnp.where(diff > 0.0,
+                             jnp.log(jnp.maximum(diff, 1e-38)), NEG_INF)
+        # Rows where p <= q everywhere (p == q numerically) have no
+        # residual mass; the delta-style masked p is the safe fallback
+        # (rejection there has probability ~0 anyway).
+        has_mass = jnp.any(diff > 0.0, axis=-1, keepdims=True)
+        lp_masked = lp_masked.at[:, :k, :].set(
+            jnp.where(has_mass, resid_lp, lp_masked[:, :k, :]))
 
     g_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, 0x5B))(keys)
     gumbel = jax.vmap(

@@ -173,6 +173,27 @@ class ModelRunner:
                 self.cache_config.quantization_param_path)
             self.kv_scales = (jnp.asarray(k_s), jnp.asarray(v_s))
 
+        # Draft-model speculation (reference spec_decode/multi_step_worker
+        # .py): the draft shares the target's page tables, so its paged KV
+        # cache uses the same (num_pages, block_size) geometry and needs
+        # NO host-side position tracking — the draft runs on every
+        # prefill batch and writes proposal KV during its fused k-step
+        # scan, which is exactly right for whatever prefix gets accepted.
+        self.draft_model = None
+        self.draft_params: Optional[Dict[str, Any]] = None
+        self.draft_kv: Optional[jax.Array] = None
+        spec_cfg = engine_config.speculative_config
+        if spec_cfg is not None and spec_cfg.method == "draft":
+            self.draft_model_config = spec_cfg.draft_model_config
+            self.draft_model = get_model_class(self.draft_model_config)(
+                self.draft_model_config, self.parallel_config)
+            if (self.attention_free
+                    or getattr(self.draft_model, "is_attention_free",
+                               False)):
+                raise ValueError(
+                    "draft speculation requires paged-attention models "
+                    "on both sides")
+
         self.lora_manager = None
         if engine_config.lora_config is not None:
             from aphrodite_tpu.lora.manager import LoRAManager
@@ -214,6 +235,10 @@ class ModelRunner:
                 self.params["embed"].dtype)
             self.params["embed"] = jnp.concatenate(
                 [self.params["embed"], extra], axis=0)
+        if self.draft_model is not None:
+            self.draft_params = load_model_params(
+                self.draft_model, self.draft_model_config,
+                self.config.load_config, self.mesh)
         jax.block_until_ready(self.params)
         logger.info("model loaded in %.1fs", time.monotonic() - t0)
 
@@ -221,8 +246,14 @@ class ModelRunner:
         ckv, d = self.model.kv_cache_shape_suffix
         tp = self.parallel_config.tensor_parallel_size
         itemsize = jnp.dtype(self.kv_dtype).itemsize
-        return (self.model.num_layers * self.block_size * ckv * d *
-                itemsize) // tp
+        total = (self.model.num_layers * self.block_size * ckv * d *
+                 itemsize) // tp
+        if self.draft_model is not None:
+            dckv, dd = self.draft_model.kv_cache_shape_suffix
+            ditem = jnp.dtype(self.draft_model_config.dtype).itemsize
+            total += (self.draft_model.num_layers * self.block_size *
+                      dckv * dd * ditem) // tp
+        return total
 
     def determine_num_pages(self) -> int:
         """Size the KV cache from free device memory (reference
@@ -276,6 +307,20 @@ class ModelRunner:
                 jnp.zeros(shape, dtype=self.kv_dtype), sharding)
         else:
             self.kv_pages = jnp.zeros(shape, dtype=self.kv_dtype)
+        if self.draft_model is not None:
+            dckv, dd = self.draft_model.kv_cache_shape_suffix
+            dshape = (self.draft_model.num_layers, num_pages + 1,
+                      self.block_size, dckv, dd)
+            ddtype = jnp.dtype(self.draft_model_config.dtype)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                dsharding = NamedSharding(
+                    self.mesh, self.draft_model.kv_cache_spec())
+                self.draft_kv = jax.device_put(
+                    jnp.zeros(dshape, dtype=ddtype), dsharding)
+            else:
+                self.draft_kv = jnp.zeros(dshape, dtype=ddtype)
 
     @property
     def trash_slot_base(self) -> int:
@@ -286,6 +331,19 @@ class ModelRunner:
     # Step program
     # ------------------------------------------------------------------
 
+    def _run_draft_forward(self, dparams, draft_kv, batch: ForwardBatch):
+        """Draft-KV sync pass: the draft model consumes the SAME batch as
+        the target (shared page tables -> shared slot mapping), so its KV
+        cache advances in lock-step through prefills and non-speculative
+        decodes. Multimodal embeds are target-sized; the draft sees raw
+        token ids."""
+        dbatch = batch._replace(embeds_override=None, embeds_mask=None,
+                                lora_sorted_idx=None, lora_unsort_idx=None,
+                                lora_group_sizes=None)
+        draft_kv, _ = self.draft_model.forward(
+            dparams, draft_kv, dbatch, mesh=self.mesh)
+        return draft_kv
+
     def _get_step_fn(self, flags: SamplingFlags):
         fn = self._step_fns.get(flags)
         if fn is not None:
@@ -293,7 +351,7 @@ class ModelRunner:
 
         def step(params, kv_pages, batch: ForwardBatch, tensors, history,
                  history_lens, prompt_lens, target_ids, guided_mask,
-                 lora):
+                 lora, dparams=None, draft_kv=None):
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
                 kv_scales=self.kv_scales, lora=lora)
@@ -314,9 +372,12 @@ class ModelRunner:
                 ranks = jnp.sum(lp > tgt_lp[:, None], axis=-1) + 1
                 prompt_out = (tgt_lp, ranks.astype(jnp.int32), pk_ids,
                               pk_lp)
-            return kv_pages, out, prompt_out
+            if self.draft_model is not None:
+                draft_kv = self._run_draft_forward(dparams, draft_kv,
+                                                   batch)
+            return kv_pages, out, prompt_out, draft_kv
 
-        fn = jax.jit(step, donate_argnums=(1,))
+        fn = jax.jit(step, donate_argnums=(1, 11))
         self._step_fns[flags] = fn
         return fn
 
@@ -332,7 +393,7 @@ class ModelRunner:
             return fn
 
         def logits_step(params, kv_pages, batch: ForwardBatch, target_ids,
-                        lora):
+                        lora, dparams=None, draft_kv=None):
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
                 kv_scales=self.kv_scales, lora=lora)
@@ -348,9 +409,12 @@ class ModelRunner:
                 ranks = jnp.sum(lp > tgt_lp[:, None], axis=-1) + 1
                 prompt_out = (tgt_lp, ranks.astype(jnp.int32), pk_ids,
                               pk_lp)
-            return kv_pages, logits, prompt_out
+            if self.draft_model is not None:
+                draft_kv = self._run_draft_forward(dparams, draft_kv,
+                                                   batch)
+            return kv_pages, logits, prompt_out, draft_kv
 
-        fn = jax.jit(logits_step, donate_argnums=(1,))
+        fn = jax.jit(logits_step, donate_argnums=(1, 6))
         self._multi_step_fns[key] = fn
         return fn
 
@@ -441,7 +505,11 @@ class ModelRunner:
                 slot_mapping=slot,
                 kv_lens=jnp.where(valid, pos + 1, 0),
                 page_indices=page_indices,
-                cu_q_lens=jnp.arange(S + 1, dtype=jnp.int32),
+                # None marks a pure-decode batch (q_len == 1 per row):
+                # the attention op dispatches to the grouped decode
+                # kernel (ops/decode_attention.py) and fallback paths
+                # synthesize arange(S + 1) themselves.
+                cu_q_lens=None,
                 num_seqs=num_seqs,
                 logits_indices=rows,
             )
@@ -762,6 +830,9 @@ class ModelRunner:
                 and not flags.do_min_tokens and not flags.do_banned_tokens
                 and not flags.do_beam and not flags.do_guided
                 and not has_lora and not has_procs):
+            if spec.method == "draft":
+                return self._execute_spec_draft(scheduled, S, spec,
+                                                tensors_dev, flags)
             result = self._execute_spec(scheduled, S, spec, tensors_dev,
                                         flags)
             if result is not None:
@@ -805,9 +876,9 @@ class ModelRunner:
             # Split program: forward->raw logits, host callables, then
             # the full in-graph sampler pipeline on the edited logits.
             logits_fn = self._get_logits_fn(max_plp)
-            self.kv_pages, logits, prompt_out = logits_fn(
+            self.kv_pages, logits, prompt_out, self.draft_kv = logits_fn(
                 self.params, self.kv_pages, batch, target_ids,
-                lora_params)
+                lora_params, self.draft_params, self.draft_kv)
             logits_np = np.asarray(logits).astype(np.float32, copy=True)
             logits_np = self._apply_logits_processors(logits_np, scheduled)
             out = self._get_sample_fn(flags)(
@@ -816,10 +887,10 @@ class ModelRunner:
                 guided_mask=guided_mask)
         else:
             step_fn = self._get_step_fn(flags)
-            self.kv_pages, out, prompt_out = step_fn(
+            self.kv_pages, out, prompt_out, self.draft_kv = step_fn(
                 self.params, self.kv_pages, batch, tensors_dev, history,
                 history_lens, prompt_lens, target_ids, guided_mask,
-                lora_params)
+                lora_params, self.draft_params, self.draft_kv)
 
         n = len(scheduled)
         prompt_np = None
@@ -1081,6 +1152,175 @@ class ModelRunner:
                                               flags)
 
         fn = jax.jit(spec_step, donate_argnums=(1,))
+        self._multi_step_fns[key] = fn
+        return fn
+
+    def _execute_spec_draft(self, scheduled: List[ScheduledSequence],
+                            S: int, spec, tensors_dev,
+                            flags) -> StepResult:
+        """Draft-model speculative decode (reference MultiStepWorker +
+        SpecDecodeWorker.execute_model): ONE fused device program runs a
+        k-step draft proposal scan, the target's ragged verification
+        forward over [last_token, k proposals] per row, and in-graph
+        rejection sampling against the draft's shaped distributions.
+        The host syncs once, on a single packed output buffer."""
+        k = spec.num_speculative_tokens
+        n = len(scheduled)
+        token_ids = np.zeros((S,), np.int32)
+        positions = np.zeros((S,), np.int32)
+        page_indices = np.zeros((S, self.pages_per_seq), np.int32)
+        kv_capacity = np.zeros((S,), np.int32)
+        for i, ss in enumerate(scheduled):
+            seq = ss.seq
+            token_ids[i] = seq.get_last_token_id()
+            positions[i] = seq.num_computed_tokens
+            table = ss.block_ids
+            page_indices[i, :len(table)] = table
+            kv_capacity[i] = len(table) * self.block_size
+        fn = self._get_spec_draft_fn(k, flags)
+        self.kv_pages, self.draft_kv, packed = fn(
+            self.params, self.draft_params, self.kv_pages, self.draft_kv,
+            jnp.asarray(token_ids), jnp.asarray(positions),
+            jnp.asarray(page_indices), jnp.asarray(kv_capacity),
+            jnp.asarray([n], np.int32), tensors_dev)
+        raw = np.asarray(packed)
+        kp1 = k + 1
+        sk = S * kp1
+        tokens = raw[:sk].reshape(S, kp1)[:n]
+        lps = raw[sk:2 * sk].view(np.float32).reshape(S, kp1)[:n]
+        valid = raw[2 * sk:2 * sk + S][:n]
+        return StepResult(
+            sampled=tokens.T.copy(),  # [k+1, n]
+            sampled_logprob=lps.T.copy(),
+            sampled_rank=np.ones((kp1, n), np.int32),
+            topk_ids=np.zeros((kp1, n, 0), np.int32),
+            topk_logprobs=np.zeros((kp1, n, 0), np.float32),
+            valid_lens=valid,
+        )
+
+    def _get_spec_draft_fn(self, k: int, flags: SamplingFlags):
+        key = ("spec_draft", k, flags)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+
+        from aphrodite_tpu.sampling.sampler import (NEG_INF,
+                                                    _keys_from_data,
+                                                    shaped_logprobs)
+        from aphrodite_tpu.sampling.spec_verify import verify_proposals
+
+        block_size = self.block_size
+        max_pos = self.model_config.max_model_len - 1
+
+        def decode_batch(tok, pos, page_indices, kv_capacity, num_seqs):
+            S = tok.shape[0]
+            rows = jnp.arange(S, dtype=jnp.int32)
+            valid = rows < num_seqs[0]
+            in_cap = pos < kv_capacity
+            page_idx = jnp.take_along_axis(
+                page_indices, (pos // block_size)[:, None], axis=1)[:, 0]
+            slot = page_idx * block_size + pos % block_size
+            trash = self.num_pages * block_size + rows % block_size
+            slot = jnp.where(valid & in_cap, slot, trash)
+            return ForwardBatch(
+                token_ids=tok,
+                positions=jnp.minimum(pos, max_pos),
+                slot_mapping=slot,
+                kv_lens=jnp.where(valid, pos + 1, 0),
+                page_indices=page_indices,
+                cu_q_lens=None,
+                num_seqs=num_seqs,
+                logits_indices=rows,
+            )
+
+        def spec_step(params, dparams, kv_pages, draft_kv, token_ids,
+                      positions, page_indices, kv_capacity, num_seqs,
+                      tensors):
+            S = token_ids.shape[0]
+            kp1 = k + 1
+            rows = jnp.arange(S, dtype=jnp.int32)
+            valid = rows < num_seqs[0]
+            pos0 = jnp.maximum(positions, 0)
+
+            # ---- draft: k fused single-token proposal steps. The scan
+            # writes draft KV at positions pos0..pos0+k-1 with the
+            # starting token + its own proposals — exactly correct for
+            # any accepted prefix, garbage past it (overwritten later).
+            def prop_iter(carry, step_idx):
+                draft_kv, tok, pos = carry
+                batch = decode_batch(tok, pos, page_indices, kv_capacity,
+                                     num_seqs)
+                draft_kv, hidden = self.draft_model.forward(
+                    dparams, draft_kv, batch, mesh=self.mesh)
+                logits = self.draft_model.compute_logits(dparams, hidden)
+                # Draft randomness: decorrelated from the verifier's
+                # accept/resample streams by the 0xD4A7 fold.
+                step_t = tensors._replace(key_data=_fold_key_data(
+                    _fold_key_data(tensors.key_data, step_idx),
+                    jnp.uint32(0xD4A7)))
+                q_lp = shaped_logprobs(logits, step_t, flags)  # [S, V]
+                keys = jax.vmap(lambda kk: jax.random.fold_in(kk, 0x6A))(
+                    _keys_from_data(step_t.key_data))
+                gumbel = jax.vmap(lambda kk: jax.random.gumbel(
+                    kk, (q_lp.shape[-1],), dtype=jnp.float32))(keys)
+                noised = jnp.where(jnp.isfinite(q_lp), q_lp + gumbel,
+                                   NEG_INF)
+                stoch = jnp.argmax(noised, axis=-1).astype(jnp.int32)
+                greedy = jnp.argmax(q_lp, axis=-1).astype(jnp.int32)
+                prop = jnp.where(tensors.greedy_mask, greedy, stoch)
+                return (draft_kv, prop, pos + 1), (prop, q_lp)
+
+            (draft_kv, _, _), (props_k, q_lps_k) = jax.lax.scan(
+                prop_iter, (draft_kv, token_ids, pos0),
+                jnp.arange(k, dtype=jnp.int32))
+            props = props_k.T  # [S, k]
+            q_lps = jnp.swapaxes(q_lps_k, 0, 1)  # [S, k, V]
+
+            # ---- target: one ragged forward over [t0, p1..pk] per row
+            # (uniform q_len == k+1; batch built fully in-graph).
+            all_tokens = jnp.concatenate([token_ids[:, None], props],
+                                         axis=1)  # [S, k+1]
+            flat_tok = all_tokens.reshape(S * kp1)
+            flat_pos = (pos0[:, None] +
+                        jnp.arange(kp1, dtype=jnp.int32)[None, :]
+                        ).reshape(S * kp1)
+            seq_of = jnp.repeat(rows, kp1)
+            valid_f = jnp.repeat(valid, kp1)
+            in_cap_f = flat_pos < jnp.repeat(kv_capacity, kp1)
+            page_f = jnp.take_along_axis(
+                page_indices[seq_of], (flat_pos // block_size)[:, None],
+                axis=1)[:, 0]
+            slot_f = page_f * block_size + flat_pos % block_size
+            trash_f = (self.num_pages * block_size +
+                       jnp.arange(S * kp1, dtype=jnp.int32) % block_size)
+            slot_f = jnp.where(valid_f & in_cap_f, slot_f, trash_f)
+            batch = ForwardBatch(
+                token_ids=flat_tok,
+                positions=jnp.minimum(flat_pos, max_pos),
+                slot_mapping=slot_f,
+                kv_lens=jnp.where(valid,
+                                  jnp.minimum(pos0 + kp1, kv_capacity), 0),
+                page_indices=page_indices,
+                cu_q_lens=jnp.arange(S + 1, dtype=jnp.int32) * kp1,
+                num_seqs=num_seqs,
+                logits_indices=rows * kp1,
+            )
+            kv_pages, hidden = self.model.forward(
+                params, kv_pages, batch, mesh=self.mesh,
+                kv_scales=self.kv_scales)
+            logits = self.model.compute_logits(params, hidden)
+            logits = logits.reshape(S, kp1, -1)
+            out = verify_proposals(logits, props, tensors, flags,
+                                   draft_lp=q_lps)
+            i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+            packed = jnp.concatenate([
+                out.tokens.reshape(-1),
+                i32(out.tokens_logprob).reshape(-1),
+                out.valid_len,
+            ])
+            return kv_pages, draft_kv, packed
+
+        fn = jax.jit(spec_step, donate_argnums=(2, 3))
         self._multi_step_fns[key] = fn
         return fn
 

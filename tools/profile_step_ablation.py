@@ -33,8 +33,10 @@ def build_llm():
     }
     with open(f"{td}/config.json", "w") as f:
         json.dump(cfg, f)
+    import os
+    S = int(os.environ.get("PROF_S", "64"))
     return LLM(model=td, dtype="bfloat16", load_format="dummy",
-               skip_tokenizer_init=True, max_num_seqs=64,
+               skip_tokenizer_init=True, max_num_seqs=S,
                max_num_batched_tokens=2048, block_size=16,
                num_scheduler_steps=32)
 

@@ -31,12 +31,12 @@ def main():
                         detokenize=False)
     rows = [SamplerInputRow(params=sp, token_ids=[1] * 8, prompt_len=8,
                             generated_len=0, seed=1, eos_token_id=2)
-            for _ in range(64)]
-    tensors, flags, _, _ = build_sampling_tensors(rows, 64, 32000,
+            for _ in range(int(os.environ.get("PROF_S", "64")))]
+    tensors, flags, _, _ = build_sampling_tensors(rows, len(rows), 32000,
                                                   history_pad=8)
     tensors_dev = jax.tree.map(jnp.asarray, tensors)
 
-    S = 64
+    S = len(rows)
     token_ids = jnp.ones((S,), jnp.int32)
     positions = jnp.full((S,), 150, jnp.int32)
     pi = np.zeros((S, runner.pages_per_seq), np.int32)

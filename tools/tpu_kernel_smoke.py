@@ -8,6 +8,7 @@ numerically.
 Usage: python tools/tpu_kernel_smoke.py
 """
 
+import functools
 import os
 import sys
 
@@ -130,6 +131,38 @@ def main() -> int:
                                       cu_q_lens, num_seqs, sm_scale=0.125)
     ok &= check("ragged_paged_attention_fp8kv",
                 np.asarray(got)[:T2], np.asarray(want)[:T2], rtol=8e-2)
+
+    # 2c. Grouped decode kernel vs oracle (pure-decode batch).
+    from aphrodite_tpu.ops.decode_attention import paged_decode_attention
+
+    Sd = 16
+    kv_lens_d = np.zeros((Sd,), np.int32)
+    pi_d = np.zeros((Sd, pages_per_seq), np.int32)
+    perm = rng.permutation(num_pages - 1) + 1
+    j = 0
+    for i in range(Sd):
+        kv_lens_d[i] = int(rng.integers(1, pages_per_seq * page_size))
+        npg = -(-int(kv_lens_d[i]) // page_size)
+        pi_d[i, :npg] = perm[(j + np.arange(npg)) % len(perm)]
+        j += npg
+    qd = jnp.asarray(rng.standard_normal((Sd, QH, D)) * 0.3, jnp.bfloat16)
+    kvl_d = jnp.asarray(kv_lens_d)
+    pi_dj = jnp.asarray(pi_d)
+    cu_d = jnp.arange(Sd + 1, dtype=jnp.int32)
+    ns_d = jnp.asarray([Sd], jnp.int32)
+    slopes = jnp.asarray(rng.uniform(0.01, 0.5, QH), jnp.float32)
+    for name, dkw in [
+        ("decode_attention_kernel", {}),
+        ("decode_attention_window", dict(sliding_window=30)),
+        ("decode_attention_softcap", dict(soft_cap=30.0)),
+        ("decode_attention_alibi", dict(alibi_slopes=slopes)),
+    ]:
+        got = jax.jit(functools.partial(
+            paged_decode_attention, sm_scale=0.125, **dkw))(
+                qd, kv_pages, kvl_d, pi_dj, ns_d)
+        want = ref_ragged_paged_attention(
+            qd, kv_pages, kvl_d, pi_dj, cu_d, ns_d, sm_scale=0.125, **dkw)
+        ok &= check(name, np.asarray(got), np.asarray(want), rtol=3e-2)
 
     # 3. fp8 W8A8 matmul on device.
     from aphrodite_tpu.quantization import fp8
