@@ -189,6 +189,7 @@ class MambaForCausalLM:
         q_lens: jax.Array,  # i32[S] valid lengths (0 for padding rows)
         slots: jax.Array,  # i32[S] state slots (trash = num_slots)
         fresh: Optional[jax.Array] = None,  # bool[S]: zero initial state
+        start_pos: Optional[jax.Array] = None,  # unused (stateful SSM)
     ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
         """Returns (new_cache, last_hidden [S, H]). `fresh` rows ignore
         whatever a previous occupant left in the recycled state slot."""

@@ -109,6 +109,7 @@ class Mamba2ForCausalLM(MambaForCausalLM):
         q_lens: jax.Array,  # i32[S]
         slots: jax.Array,  # i32[S]
         fresh: Optional[jax.Array] = None,  # bool[S]
+        start_pos: Optional[jax.Array] = None,  # unused (stateful SSM)
     ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
         conv_cache, ssm_cache = cache
         S, Lc = token_ids.shape

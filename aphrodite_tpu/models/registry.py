@@ -67,6 +67,7 @@ _LAZY_REGISTRY = {
                                    "Starcoder2ForCausalLM"),
     "Olmo2ForCausalLM": _lazy("olmo2", "Olmo2ForCausalLM"),
     "MambaForCausalLM": _lazy("mamba", "MambaForCausalLM"),
+    "JambaForCausalLM": _lazy("jamba", "JambaForCausalLM"),
     "MixtralForCausalLM": _lazy("mixtral", "MixtralForCausalLM"),
     "GemmaForCausalLM": _lazy("gemma", "GemmaForCausalLM"),
     "Gemma2ForCausalLM": _lazy("gemma", "Gemma2ForCausalLM"),

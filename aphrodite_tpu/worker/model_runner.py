@@ -971,6 +971,7 @@ class ModelRunner:
         q_lens = np.zeros((S,), np.int32)
         slots = np.full((S,), self.num_pages, np.int32)  # trash slot
         fresh = np.zeros((S,), bool)
+        start_pos = np.zeros((S,), np.int32)
         for i, ss in enumerate(scheduled):
             seq = ss.seq
             ids = seq.get_token_ids()
@@ -982,6 +983,9 @@ class ModelRunner:
             # A sequence starting at position 0 must IGNORE whatever a
             # previous occupant left in the (recycled) state slot.
             fresh[i] = ss.first_token_idx == 0
+            # Absolute position of the chunk's first token (hybrid
+            # models keep per-slot KV alongside SSM state).
+            start_pos[i] = ss.first_token_idx
 
         rows = []
         for ss in scheduled:
@@ -1015,9 +1019,11 @@ class ModelRunner:
         fn = self._multi_step_fns.get(key)
         if fn is None:
             def ssm_step(params, cache, token_ids, q_lens, slots, fresh,
-                         tensors, history, history_lens, prompt_lens):
+                         start_pos, tensors, history, history_lens,
+                         prompt_lens):
                 cache, last = self.model.forward_chunk(
-                    params, cache, token_ids, q_lens, slots, fresh=fresh)
+                    params, cache, token_ids, q_lens, slots, fresh=fresh,
+                    start_pos=start_pos)
                 logits = self.model.compute_logits(params, last)
                 out = sample(logits, tensors, flags, history,
                              history_lens, prompt_lens)
@@ -1029,6 +1035,7 @@ class ModelRunner:
                                 jnp.asarray(token_ids),
                                 jnp.asarray(q_lens), jnp.asarray(slots),
                                 jnp.asarray(fresh),
+                                jnp.asarray(start_pos),
                                 tensors_dev, history, history_lens,
                                 prompt_lens)
         return StepResult(
