@@ -90,7 +90,8 @@ class ModelConfig:
         derived_max = int(
             self.hf_config.get("max_position_embeddings")
             or self.hf_config.get("n_positions")
-            or self.hf_config.get("max_seq_len") or 2048)
+            or self.hf_config.get("max_seq_len")
+            or self.hf_config.get("seq_length") or 2048)
         if self.max_model_len is None:
             self.max_model_len = derived_max
         elif self.max_model_len > derived_max:
@@ -145,7 +146,8 @@ class ModelConfig:
         return self.get_hidden_size() // self.get_num_attention_heads()
 
     def get_vocab_size(self) -> int:
-        return int(self.hf_config["vocab_size"])
+        return int(self.hf_config.get("vocab_size")
+                   or self.hf_config.get("padded_vocab_size"))
 
     def get_sliding_window(self) -> Optional[int]:
         if self.hf_config.get("use_sliding_window") is False:

@@ -174,7 +174,11 @@ def load_hf_params_to_host(
                     part = model.maybe_pad_kv_weight(our_path, part)
                 pieces[our_path][idx] = part
             continue
-        if hasattr(model, "maybe_pad_kv_weight"):
+        if kind == "layer" and hasattr(model, "maybe_pad_kv_weight_layer"):
+            # Layer-aware variant for per-layer-heterogeneous weights
+            # (DeciLM variable GQA degrouping).
+            arr = model.maybe_pad_kv_weight_layer(target, arr, idx)
+        elif hasattr(model, "maybe_pad_kv_weight"):
             arr = model.maybe_pad_kv_weight(target, arr)
         if kind == "global":
             _set_path(params, target, arr)

@@ -178,6 +178,10 @@ class LlamaForCausalLM:
                 "up": (L, H, F),
                 "down": (L, F, H),
             })
+            if self.mlp_bias:
+                shapes["layers"]["gate_b"] = (L, F)
+                shapes["layers"]["up_b"] = (L, F)
+                shapes["layers"]["down_b"] = (L, H)
         else:
             shapes["layers"].update({
                 "fc1": (L, H, F),
@@ -242,6 +246,10 @@ class LlamaForCausalLM:
                 "up": P(None, None, "model"),
                 "down": P(None, "model", None),
             })
+            if self.mlp_bias:
+                specs["layers"]["gate_b"] = P(None, "model")
+                specs["layers"]["up_b"] = P(None, "model")
+                specs["layers"]["down_b"] = P()
         else:
             specs["layers"].update({
                 "fc1": P(None, None, "model"),
@@ -749,13 +757,20 @@ class LlamaForCausalLM:
 
         gate = maybe_lora(qmatmul(h, lp["gate"]), h, "gate")
         up = maybe_lora(qmatmul(h, lp["up"]), h, "up")
+        if "gate_b" in lp:
+            gate = gate + lp["gate_b"]
+        if "up_b" in lp:
+            up = up + lp["up_b"]
         if self.hidden_act == "gelu_tanh":
             act = gelu_and_mul(gate.astype(self.dtype),
                                up.astype(self.dtype))
         else:
             act = silu_and_mul(gate.astype(self.dtype),
                                up.astype(self.dtype))
-        return maybe_lora(qmatmul(act, lp["down"]), act, "down")
+        out = maybe_lora(qmatmul(act, lp["down"]), act, "down")
+        if "down_b" in lp:
+            out = out + lp["down_b"]
+        return out
 
     def compute_logits(self, params: Dict[str, Any],
                        hidden: jax.Array) -> jax.Array:

@@ -80,6 +80,12 @@ _LAZY_REGISTRY = {
     "MPTForCausalLM": _lazy("mpt", "MPTForCausalLM"),
     "OPTForCausalLM": _lazy("opt", "OPTForCausalLM"),
     "GPT2LMHeadModel": _lazy("gpt2", "GPT2LMHeadModel"),
+    "QWenLMHeadModel": _lazy("qwen", "QWenLMHeadModel"),
+    "ChatGLMForConditionalGeneration":
+        _lazy("chatglm", "ChatGLMForConditionalGeneration"),
+    "ChatGLMModel": _lazy("chatglm", "ChatGLMForConditionalGeneration"),
+    "JAISLMHeadModel": _lazy("jais", "JAISLMHeadModel"),
+    "DeciLMForCausalLM": _lazy("decilm", "DeciLMForCausalLM"),
     "GPTNeoXForCausalLM": _lazy("gpt_neox", "GPTNeoXForCausalLM"),
     "PhiForCausalLM": _lazy("phi", "PhiForCausalLM"),
     "CohereForCausalLM": _lazy("cohere", "CohereForCausalLM"),
