@@ -85,6 +85,8 @@ _LAZY_REGISTRY = {
         _lazy("chatglm", "ChatGLMForConditionalGeneration"),
     "ChatGLMModel": _lazy("chatglm", "ChatGLMForConditionalGeneration"),
     "JAISLMHeadModel": _lazy("jais", "JAISLMHeadModel"),
+    "PhiMoEForCausalLM": _lazy("phimoe", "PhiMoEForCausalLM"),
+    "PhimoeForCausalLM": _lazy("phimoe", "PhiMoEForCausalLM"),
     "DeciLMForCausalLM": _lazy("decilm", "DeciLMForCausalLM"),
     "GPTNeoXForCausalLM": _lazy("gpt_neox", "GPTNeoXForCausalLM"),
     "PhiForCausalLM": _lazy("phi", "PhiForCausalLM"),

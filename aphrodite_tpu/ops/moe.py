@@ -45,6 +45,37 @@ def topk_routing(
     return weights, ids.astype(jnp.int32)
 
 
+def sparsemixer_routing(
+    router_logits: jax.Array,  # [T, E]
+    jitter_eps: float = 0.01,
+) -> Tuple[jax.Array, jax.Array]:
+    """PhiMoE inference-mode sparsemixer (reference phimoe sparsemixer;
+    HF modeling_phimoe.sparsemixer with training=False): iterated
+    masked-argmax top-2 where each expert's weight is its softmax
+    probability over the 2*eps-thresholded gate set — weights are NOT
+    renormalized over the selected pair."""
+    s = router_logits.astype(jnp.float32)
+    T = s.shape[0]
+
+    def pick(scores_masked):
+        m = jnp.max(scores_masked, axis=-1, keepdims=True)
+        # scores.abs().clamp(min=m): threshold relative to the current
+        # max, in units of the original score magnitudes.
+        factor = jnp.maximum(jnp.abs(s), m)
+        drop = ((m - s) / factor) > (2 * jitter_eps)
+        gates = jnp.where(drop, -jnp.inf, scores_masked)
+        sel = jnp.argmax(scores_masked, axis=-1).astype(jnp.int32)
+        p = jax.nn.softmax(gates, axis=-1)
+        w = jnp.take_along_axis(p, sel[:, None], axis=-1)[:, 0]
+        return w, sel
+
+    w1, e1 = pick(s)
+    s2 = s.at[jnp.arange(T), e1].set(-jnp.inf)
+    w2, e2 = pick(s2)
+    return (jnp.stack([w1, w2], axis=-1),
+            jnp.stack([e1, e2], axis=-1))
+
+
 def grouped_expert_mlp(
     x: jax.Array,  # [T, H]
     w1: jax.Array,  # [E, H, F]  (gate proj)

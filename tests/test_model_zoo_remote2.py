@@ -286,3 +286,23 @@ def test_jais_matches_reference_impl(tmp_path):
     for prompt_ids, got in zip(ids, outs):
         expect = _jais_reference_greedy(t, cfg, prompt_ids, 8)
         assert got == expect
+
+
+def test_phimoe_matches_hf(tmp_path):
+    import transformers as tf
+
+    cfg = tf.PhimoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, num_local_experts=4,
+        num_experts_per_tok=2, attention_bias=True, lm_head_bias=True,
+        rope_theta=10000.0, max_position_embeddings=128,
+        tie_word_embeddings=False, router_jitter_noise=0.01,
+        input_jitter_noise=0.0, sliding_window=None)
+    d = str(tmp_path / "phimoe")
+    make_tiny_checkpoint(d, cfg)
+    outs, ids = _ours_greedy(d, PROMPTS, 8)
+    for prompt_ids, got in zip(ids, outs):
+        expect = _hf_greedy_with_class(d, "PhimoeForCausalLM",
+                                       prompt_ids, 8)
+        assert got == expect
