@@ -291,12 +291,13 @@ class SpeculativeConfig:
     draft_model_config: Optional["ModelConfig"] = None
 
     def __post_init__(self) -> None:
-        if self.method not in ("ngram", "draft"):
+        if self.method not in ("ngram", "draft", "medusa",
+                               "mlp_speculator"):
             raise ValueError(
-                f"speculative method {self.method!r} not supported (yet); "
-                "use 'ngram' or 'draft'")
-        if self.method == "draft" and self.draft_model_config is None:
-            raise ValueError("draft speculation needs draft_model_config")
+                f"speculative method {self.method!r} not supported (yet)")
+        if self.method != "ngram" and self.draft_model_config is None:
+            raise ValueError(
+                f"{self.method} speculation needs draft_model_config")
         if self.num_speculative_tokens < 1:
             raise ValueError("num_speculative_tokens must be >= 1")
         if self.ngram_prompt_lookup_min > self.ngram_prompt_lookup_max:

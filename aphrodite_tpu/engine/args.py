@@ -105,9 +105,11 @@ class EngineArgs:
                     ngram_prompt_lookup_min=self.ngram_prompt_lookup_min,
                 )
             else:
-                # Draft-model speculation (reference MultiStepWorker):
-                # the draft serves the SAME token space at the target's
-                # context length, in the target's dtype.
+                # Model-based speculation: a small draft LM (reference
+                # MultiStepWorker) or a hidden-state proposer (Medusa /
+                # MLPSpeculator) — detected from the checkpoint's
+                # architectures. All serve the SAME token space at the
+                # target's context length, in the target's dtype.
                 draft_config = ModelConfig(
                     model=self.speculative_model,
                     tokenizer=self.tokenizer or self.model,
@@ -123,8 +125,15 @@ class EngineArgs:
                         "draft model vocab size "
                         f"({draft_config.get_vocab_size()}) must match "
                         f"the target ({model_config.get_vocab_size()})")
+                from aphrodite_tpu.spec_decode.proposers import (
+                    PROPOSER_ARCHS)
+
+                archs = draft_config.hf_config.get("architectures") or []
+                method = "draft"
+                if archs and archs[0] in PROPOSER_ARCHS:
+                    method = PROPOSER_ARCHS[archs[0]][0]
                 speculative_config = SpeculativeConfig(
-                    method="draft",
+                    method=method,
                     num_speculative_tokens=self.num_speculative_tokens,
                     draft_model_config=draft_config,
                 )

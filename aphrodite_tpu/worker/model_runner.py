@@ -182,7 +182,30 @@ class ModelRunner:
         self.draft_model = None
         self.draft_params: Optional[Dict[str, Any]] = None
         self.draft_kv: Optional[jax.Array] = None
+        # Hidden-state proposers (Medusa / MLPSpeculator): proposals for
+        # the NEXT step fall out of the current step's forward (heads on
+        # the hidden that emitted the last token) and are carried here
+        # per sequence id.
+        self.hidden_proposer = None
+        self._pending_props: Dict[int, np.ndarray] = {}
         spec_cfg = engine_config.speculative_config
+        if spec_cfg is not None and spec_cfg.method in (
+                "medusa", "mlp_speculator"):
+            from aphrodite_tpu.spec_decode.proposers import PROPOSER_ARCHS
+
+            self.draft_model_config = spec_cfg.draft_model_config
+            arch = (self.draft_model_config.hf_config.get("architectures")
+                    or [None])[0]
+            self.hidden_proposer = PROPOSER_ARCHS[arch][1](
+                self.draft_model_config, self.parallel_config)
+            if (self.hidden_proposer.in_dim
+                    != self.model_config.get_hidden_size()):
+                raise ValueError(
+                    f"{spec_cfg.method} proposer expects hidden size "
+                    f"{self.hidden_proposer.in_dim}, target has "
+                    f"{self.model_config.get_hidden_size()}")
+            spec_cfg.num_speculative_tokens = min(
+                spec_cfg.num_speculative_tokens, self.hidden_proposer.k)
         if spec_cfg is not None and spec_cfg.method == "draft":
             self.draft_model_config = spec_cfg.draft_model_config
             self.draft_model = get_model_class(self.draft_model_config)(
@@ -238,6 +261,10 @@ class ModelRunner:
         if self.draft_model is not None:
             self.draft_params = load_model_params(
                 self.draft_model, self.draft_model_config,
+                self.config.load_config, self.mesh)
+        if self.hidden_proposer is not None:
+            self.draft_params = load_model_params(
+                self.hidden_proposer, self.draft_model_config,
                 self.config.load_config, self.mesh)
         jax.block_until_ready(self.params)
         logger.info("model loaded in %.1fs", time.monotonic() - t0)
@@ -818,6 +845,9 @@ class ModelRunner:
                     and not flags.do_guided and not has_lora
                     and not has_procs)
         if multi_ok:
+            if self.hidden_proposer is not None and self._pending_props:
+                for ss in scheduled:
+                    self._pending_props.pop(ss.seq.seq_id, None)
             return self._execute_multi(scheduled, S, tensors_dev, flags,
                                        num_steps)
 
@@ -833,10 +863,20 @@ class ModelRunner:
             if spec.method == "draft":
                 return self._execute_spec_draft(scheduled, S, spec,
                                                 tensors_dev, flags)
+            if spec.method in ("medusa", "mlp_speculator"):
+                return self._execute_spec_hidden(scheduled, S, spec,
+                                                 tensors_dev, flags)
             result = self._execute_spec(scheduled, S, spec, tensors_dev,
                                         flags)
             if result is not None:
                 return result
+
+        # Any non-spec path advances sequences without refreshing the
+        # hidden-proposer carry — drop it so the next spec step
+        # re-bootstraps instead of verifying stale proposals.
+        if self.hidden_proposer is not None and self._pending_props:
+            for ss in scheduled:
+                self._pending_props.pop(ss.seq.seq_id, None)
 
         total_tokens = sum(ss.num_tokens for ss in scheduled)
         T = _pad_to_bucket(total_tokens, self.token_buckets)
@@ -1068,7 +1108,32 @@ class ModelRunner:
                 any_props = True
         if not any_props:
             return None
+        batch, logits_idx = self._build_spec_verify_batch(
+            scheduled, S, k, proposals)
 
+        fn = self._get_spec_fn(k, flags)
+        self.kv_pages, out = fn(self.params, self.kv_pages, batch,
+                                jnp.asarray(logits_idx),
+                                jnp.asarray(proposals), tensors_dev)
+        tokens = np.asarray(out.tokens)[:n]  # [n, k+1]
+        lps = np.asarray(out.tokens_logprob)[:n]
+        valid = np.asarray(out.valid_len)[:n]
+        return StepResult(
+            sampled=tokens.T.copy(),  # [k+1, n]
+            sampled_logprob=lps.T.copy(),
+            sampled_rank=np.ones((k + 1, n), np.int32),
+            topk_ids=np.zeros((k + 1, n, 0), np.int32),
+            topk_logprobs=np.zeros((k + 1, n, 0), np.float32),
+            valid_lens=valid,
+        )
+
+    def _build_spec_verify_batch(self, scheduled, S: int, k: int,
+                                 proposals: np.ndarray):
+        """Ragged verification batch over [last_token, proposals...] per
+        row (proposal padding = -1). Returns (ForwardBatch, logits_idx
+        i32[S, k+1]) where logits_idx maps (row, step) -> flat token
+        index, clamped to each row's own range."""
+        n = len(scheduled)
         total_tokens = int(n + (proposals[:n] >= 0).sum())
         T = _pad_to_bucket(total_tokens, self.token_buckets)
         token_ids = np.zeros((T,), np.int32)
@@ -1121,22 +1186,96 @@ class ModelRunner:
             num_seqs=jnp.asarray([n], np.int32),
             logits_indices=jnp.asarray(logits_idx[:, 0]),
         )
+        return batch, logits_idx
 
-        fn = self._get_spec_fn(k, flags)
-        self.kv_pages, out = fn(self.params, self.kv_pages, batch,
-                                jnp.asarray(logits_idx),
-                                jnp.asarray(proposals), tensors_dev)
-        tokens = np.asarray(out.tokens)[:n]  # [n, k+1]
-        lps = np.asarray(out.tokens_logprob)[:n]
-        valid = np.asarray(out.valid_len)[:n]
+    def _execute_spec_hidden(self, scheduled: List[ScheduledSequence],
+                             S: int, spec, tensors_dev,
+                             flags) -> StepResult:
+        """Hidden-state speculative decode (Medusa / MLPSpeculator,
+        reference spec_decode/medusa_worker.py + mlp_speculator.py):
+        ONE fused program runs the target's ragged verification forward
+        over [last_token, carried proposals], delta-draft rejection
+        sampling, and the proposer heads on the hidden state that
+        emitted each row's last accepted token — so proposals for the
+        NEXT step come out of THIS step's forward. The first decode
+        step of a sequence has no carried proposals (q_len == 1) and
+        bootstraps the carry."""
+        k = spec.num_speculative_tokens
+        n = len(scheduled)
+        proposals = np.full((S, k), -1, np.int32)
+        pending = self._pending_props
+        for i, ss in enumerate(scheduled):
+            p = pending.get(ss.seq.seq_id)
+            if p is not None:
+                proposals[i, :k] = p[:k]
+        batch, logits_idx = self._build_spec_verify_batch(
+            scheduled, S, k, proposals)
+
+        fn = self._get_spec_hidden_fn(k, flags)
+        self.kv_pages, packed = fn(
+            self.params, self.draft_params, self.kv_pages, batch,
+            jnp.asarray(logits_idx), jnp.asarray(proposals), tensors_dev)
+        raw = np.asarray(packed)
+        kp1 = k + 1
+        sk = S * kp1
+        tokens = raw[:sk].reshape(S, kp1)[:n]
+        lps = raw[sk:2 * sk].view(np.float32).reshape(S, kp1)[:n]
+        valid = raw[2 * sk:2 * sk + S][:n]
+        props_next = raw[2 * sk + S:].reshape(S, k)
+        self._pending_props = {
+            ss.seq.seq_id: props_next[i] for i, ss in enumerate(scheduled)
+        }
         return StepResult(
             sampled=tokens.T.copy(),  # [k+1, n]
             sampled_logprob=lps.T.copy(),
-            sampled_rank=np.ones((k + 1, n), np.int32),
-            topk_ids=np.zeros((k + 1, n, 0), np.int32),
-            topk_logprobs=np.zeros((k + 1, n, 0), np.float32),
+            sampled_rank=np.ones((kp1, n), np.int32),
+            topk_ids=np.zeros((kp1, n, 0), np.int32),
+            topk_logprobs=np.zeros((kp1, n, 0), np.float32),
             valid_lens=valid,
         )
+
+    def _get_spec_hidden_fn(self, k: int, flags: SamplingFlags):
+        key = ("spec_hidden", k, flags)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+
+        from aphrodite_tpu.sampling.spec_verify import verify_proposals
+
+        proposer = self.hidden_proposer
+
+        def spec_step(params, dparams, kv_pages, batch: ForwardBatch,
+                      logits_idx, proposals, tensors):
+            kv_pages, hidden = self.model.forward(
+                params, kv_pages, batch, mesh=self.mesh,
+                kv_scales=self.kv_scales)
+            S, kp1 = logits_idx.shape
+            sel = hidden[logits_idx.reshape(-1)]  # [S*(k+1), H]
+            logits = self.model.compute_logits(params, sel)
+            logits = logits.reshape(S, kp1, -1)
+            out = verify_proposals(logits, proposals, tensors, flags)
+            # Proposer epilogue: hidden h at the position that emitted
+            # the last accepted token predicts the token after it —
+            # head/stage j then proposes the (j+1)-th token after that.
+            vl1 = jnp.maximum(out.valid_len - 1, 0)  # [S]
+            h_idx = jnp.take_along_axis(logits_idx, vl1[:, None],
+                                        axis=1)[:, 0]
+            last_tok = jnp.take_along_axis(out.tokens, vl1[:, None],
+                                           axis=1)[:, 0]
+            props_next = proposer.propose(dparams, hidden[h_idx],
+                                          last_tok)[:, :k]
+            i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+            packed = jnp.concatenate([
+                out.tokens.reshape(-1),
+                i32(out.tokens_logprob).reshape(-1),
+                out.valid_len,
+                props_next.reshape(-1),
+            ])
+            return kv_pages, packed
+
+        fn = jax.jit(spec_step, donate_argnums=(2,))
+        self._multi_step_fns[key] = fn
+        return fn
 
     def _get_spec_fn(self, k: int, flags: SamplingFlags):
         key = ("spec", k, flags)
