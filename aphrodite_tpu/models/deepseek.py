@@ -76,9 +76,19 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             dtype=jnp.float32)
 
     def _init_moe(self, hf) -> None:
+        self.num_experts = int(hf.get("n_routed_experts") or 0)
+        if not self.num_experts:
+            # Dense variant (MiniCPM3): every layer is a SwiGLU MLP.
+            self.num_dense, self.num_moe = self.num_layers, 0
+            self.top_k = 0
+            self.n_group = self.topk_group = 1
+            self.norm_topk_prob = False
+            self.routed_scaling = 1.0
+            self.moe_intermediate = self.n_shared = 0
+            self.expert_layer_range = (0, 0)
+            return
         self.num_dense = int(hf.get("first_k_dense_replace", 0))
         self.num_moe = self.num_layers - self.num_dense
-        self.num_experts = int(hf.get("n_routed_experts", 0))
         self.top_k = int(hf.get("num_experts_per_tok", 8))
         self.n_group = int(hf.get("n_group", 1) or 1)
         self.topk_group = int(hf.get("topk_group", 1) or 1)
@@ -145,19 +155,21 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             "up": (self.num_dense, H, F),
             "down": (self.num_dense, F, H),
         }
-        Fm, E, Lm = self.moe_intermediate, self.num_experts, self.num_moe
-        Fs = Fm * self.n_shared
-        shapes["moe_layers"] = {
-            "router": (Lm, H, E),
-            "w1": (Lm, E, H, Fm),
-            "w3": (Lm, E, H, Fm),
-            "w2": (Lm, E, Fm, H),
-            "shared_gate": (Lm, H, Fs),
-            "shared_up": (Lm, H, Fs),
-            "shared_down": (Lm, Fs, H),
-        }
-        if self.route_mode == "v3":
-            shapes["moe_layers"]["router_bias"] = (Lm, E)
+        if self.num_moe:
+            Fm, E, Lm = (self.moe_intermediate, self.num_experts,
+                         self.num_moe)
+            Fs = Fm * self.n_shared
+            shapes["moe_layers"] = {
+                "router": (Lm, H, E),
+                "w1": (Lm, E, H, Fm),
+                "w3": (Lm, E, H, Fm),
+                "w2": (Lm, E, Fm, H),
+                "shared_gate": (Lm, H, Fs),
+                "shared_up": (Lm, H, Fs),
+                "shared_down": (Lm, Fs, H),
+            }
+            if self.route_mode == "v3":
+                shapes["moe_layers"]["router_bias"] = (Lm, E)
         if not self.tie_word_embeddings:
             shapes["lm_head"] = (H, self.vocab_size)
         return shapes
@@ -208,7 +220,9 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
                 "shared_down": P(None, "model", None),
             },
         }
-        if self.route_mode != "v3":
+        if not self.num_moe:
+            specs.pop("moe_layers")
+        elif self.route_mode != "v3":
             specs["moe_layers"].pop("router_bias")
         if not self.tie_word_embeddings:
             specs["lm_head"] = P(None, "model")
@@ -266,6 +280,10 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             (la + "mlp.gate_proj.weight", "dense_layers.gate", True, Ld),
             (la + "mlp.up_proj.weight", "dense_layers.up", True, Ld),
             (la + "mlp.down_proj.weight", "dense_layers.down", True, Ld),
+        ]
+        if not Lm:
+            return out
+        out += [
             (la + "mlp.gate.weight", "moe_layers.router", True, Lm, Ld),
             (la + "mlp.shared_experts.gate_proj.weight",
              "moe_layers.shared_gate", True, Lm, Ld),
@@ -280,6 +298,8 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
         return out
 
     def hf_expert_mappings(self) -> List[Tuple[str, str, bool]]:
+        if not self.num_moe:
+            return []
         p = "model.layers.{i}.mlp.experts.{e}"
         return [
             (f"{p}.gate_proj.weight", "moe_layers.w1", True),
@@ -354,6 +374,9 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
     ) -> Tuple[jax.Array, jax.Array]:
         NH = self.num_heads
         x = params["embed"][batch.token_ids].astype(self.dtype)
+        if self.embedding_multiplier != 1.0:
+            x = x * jnp.asarray(self.embedding_multiplier, self.dtype)
+        rm = self.residual_multiplier  # muP scale_depth (MiniCPM3)
         cos = self._cos[batch.positions]
         sin = self._sin[batch.positions]
         neox = not self.mla or not self.rope_interleave
@@ -382,6 +405,8 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
                 mesh=mesh, use_kernel=use_attention_kernel)
             attn = attn.reshape(-1, NH * D)
             o = qmatmul(attn, lp["wo"]).astype(self.dtype)
+            if rm != 1.0:
+                o = o * jnp.asarray(rm, o.dtype)
             return x + o, pages
 
         def attention_mla(x, lp, pages, slots, pidx):
@@ -419,6 +444,8 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
                 mesh=mesh, use_kernel=use_attention_kernel)
             attn = attn[..., :self.v_dim].reshape(-1, NH * self.v_dim)
             o = qmatmul(attn, lp["wo"]).astype(self.dtype)
+            if rm != 1.0:
+                o = o * jnp.asarray(rm, o.dtype)
             return x + o, pages
 
         attention = attention_mla if self.mla else attention_gqa
@@ -431,7 +458,10 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             up = qmatmul(h, mp["up"])
             act = silu_and_mul(gate.astype(self.dtype),
                                up.astype(self.dtype))
-            x = x + qmatmul(act, mp["down"]).astype(self.dtype)
+            ff = qmatmul(act, mp["down"]).astype(self.dtype)
+            if rm != 1.0:
+                ff = ff * jnp.asarray(rm, ff.dtype)
+            x = x + ff
             return x, pages
 
         def moe_layer(x, pages, slots, pidx, scanned):
@@ -447,24 +477,29 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
             act = silu_and_mul(gate.astype(self.dtype),
                                up.astype(self.dtype))
             shared = qmatmul(act, mp["shared_down"])
-            x = x + routed.astype(self.dtype) + shared.astype(self.dtype)
+            ff = routed.astype(self.dtype) + shared.astype(self.dtype)
+            if rm != 1.0:
+                ff = ff * jnp.asarray(rm, ff.dtype)
+            x = x + ff
             return x, pages
 
         Ld = self.num_dense
         lp_all = params["layers"]
         lp_dense = jax.tree.map(lambda a: a[:Ld], lp_all)
-        lp_moe = jax.tree.map(lambda a: a[Ld:], lp_all)
 
         x, kv_pages = scan_layers_paged(
             dense_layer, x, kv_pages,
             (lp_dense, params["dense_layers"]), batch,
             layer_ids=jnp.arange(Ld, dtype=jnp.int32))
-        x, new_kv_pages = scan_layers_paged(
-            moe_layer, x, kv_pages,
-            (lp_moe, params["moe_layers"]), batch,
-            layer_ids=jnp.arange(Ld, self.num_layers, dtype=jnp.int32))
+        if self.num_moe:
+            lp_moe = jax.tree.map(lambda a: a[Ld:], lp_all)
+            x, kv_pages = scan_layers_paged(
+                moe_layer, x, kv_pages,
+                (lp_moe, params["moe_layers"]), batch,
+                layer_ids=jnp.arange(Ld, self.num_layers,
+                                     dtype=jnp.int32))
         x = rms(x, params["final_norm"])
-        return new_kv_pages, x
+        return kv_pages, x
 
 
 class DeepseekV2ForCausalLM(DeepseekV3ForCausalLM):

@@ -13,6 +13,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from aphrodite_tpu.models.deepseek import DeepseekV3ForCausalLM
 from aphrodite_tpu.models.llama import LlamaForCausalLM
 from aphrodite_tpu.ops.moe import moe_mlp
 
@@ -92,3 +93,27 @@ class MiniCPMForCausalLM(LlamaForCausalLM):
                                lora_add=lora_add)
         return moe_mlp(h, lp["router"], lp["w1"], lp["w3"], lp["w2"],
                        self.top_k, mesh=mesh)
+
+
+class MiniCPM3ForCausalLM(DeepseekV3ForCausalLM):
+    """MiniCPM3 (4B): DeepSeek-V2-style MLA attention (low-rank q AND
+    kv projections) on the MiniCPM muP stack — embeddings x scale_emb,
+    residual branches x scale_depth/sqrt(L), logits x dim_model_base/H.
+    Dense SwiGLU MLPs (no n_routed_experts key -> the MLA stack runs
+    all-dense). Unlike DeepSeek, the rotary on the rope dims is
+    NeoX-style (reference minicpm3.py:109 get_rope default vs
+    deepseek_v2.py:236 is_neox_style=False).
+
+    Reference: aphrodite/modeling/models/minicpm3.py.
+    """
+
+    def __init__(self, model_config, parallel_config=None) -> None:
+        super().__init__(model_config, parallel_config)
+        hf = model_config.hf_config
+        if "rope_interleave" not in hf:
+            self.rope_interleave = False
+        self.embedding_multiplier = float(hf.get("scale_emb", 1.0))
+        depth = float(hf.get("scale_depth", 1.0))
+        self.residual_multiplier = depth / math.sqrt(self.num_layers)
+        base = float(hf.get("dim_model_base") or self.hidden_size)
+        self.logit_scale = base / self.hidden_size

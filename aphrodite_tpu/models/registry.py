@@ -108,6 +108,7 @@ _LAZY_REGISTRY = {
     "OlmoForCausalLM": _lazy("olmo", "OlmoForCausalLM"),
     "GraniteMoeForCausalLM": _lazy("granitemoe",
                                    "GraniteMoeForCausalLM"),
+    "ArcticForCausalLM": _lazy("arctic", "ArcticForCausalLM"),
     "DeepseekV3ForCausalLM": _lazy("deepseek",
                                    "DeepseekV3ForCausalLM"),
     "DeepseekV2ForCausalLM": _lazy("deepseek",
@@ -121,6 +122,7 @@ _LAZY_REGISTRY = {
     "BaiChuanForCausalLM": _lazy("baichuan", "BaiChuanForCausalLM"),
     "BaichuanForCausalLM": _lazy("baichuan", "BaichuanForCausalLM"),
     "MiniCPMForCausalLM": _lazy("minicpm", "MiniCPMForCausalLM"),
+    "MiniCPM3ForCausalLM": _lazy("minicpm", "MiniCPM3ForCausalLM"),
     "SolarForCausalLM": _lazy("solar", "SolarForCausalLM"),
     "QuantMixtralForCausalLM": _lazy("mixtral", "MixtralForCausalLM"),
     "StableLMEpochForCausalLM": _lazy("stablelm", "StableLmForCausalLM"),

@@ -178,3 +178,77 @@ def test_deepseek_v1_matches_patched_qwen2moe(tmp_path_factory):
         expect = gen[0, len(ids):].tolist()
         n = min(len(out_req.outputs[0].token_ids), len(expect))
         assert out_req.outputs[0].token_ids[:n] == expect[:n], prompt
+
+
+def test_minicpm3_matches_mup_scaled_deepseek_v2(tmp_path_factory):
+    """MiniCPM3 = DeepSeek-V2 MLA attention (all layers dense) + the
+    MiniCPM muP scales. Oracle: HF DeepseekV2 with forward hooks
+    applying scale_emb and scale_depth/sqrt(L) exactly where the
+    remote-code MiniCPM3 does (the dim_model_base logit scale is
+    greedy-invariant and covered by the MiniCPM test's granite oracle).
+    rope_interleave is pinned true so both sides run the deepseek
+    rotary; the MiniCPM3 default (neox) only flips an independently
+    tested apply_rope flag."""
+    import json
+    import os
+
+    import numpy as np
+    import torch
+    import transformers as tf
+
+    from tests.utils import make_tiny_tokenizer
+
+    scale_emb, scale_depth, dim_model_base = 12.0, 1.4, 32
+    L, H = 3, 64
+    cfg = tf.DeepseekV2Config(
+        vocab_size=256, hidden_size=H, num_attention_heads=4,
+        num_key_value_heads=4, num_hidden_layers=L,
+        intermediate_size=128, first_k_dense_replace=L,
+        n_routed_experts=4, num_experts_per_tok=2,  # unused: all dense
+        q_lora_rank=16, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16, head_dim=8,
+        max_position_embeddings=128)
+    torch.manual_seed(2)
+    oracle = tf.DeepseekV2ForCausalLM(cfg).to(torch.float32)
+    path = str(tmp_path_factory.mktemp("tiny_minicpm3"))
+    oracle.save_pretrained(path, safe_serialization=True)
+    make_tiny_tokenizer(path, vocab_size=256)
+
+    cpath = os.path.join(path, "config.json")
+    with open(cpath) as f:
+        c = json.load(f)
+    c["architectures"] = ["MiniCPM3ForCausalLM"]
+    c["model_type"] = "minicpm3"
+    for k in ("n_routed_experts", "num_experts_per_tok",
+              "moe_intermediate_size", "n_shared_experts",
+              "first_k_dense_replace"):
+        c.pop(k, None)
+    c.update({"scale_emb": scale_emb, "scale_depth": scale_depth,
+              "dim_model_base": dim_model_base, "rope_interleave": True})
+    with open(cpath, "w") as f:
+        json.dump(c, f)
+
+    oracle.eval()
+    rm = scale_depth / np.sqrt(L)
+    oracle.model.embed_tokens.register_forward_hook(
+        lambda m, i, o: o * scale_emb)
+    for layer in oracle.model.layers:
+        layer.self_attn.o_proj.register_forward_hook(
+            lambda m, i, o: o * rm)
+        layer.mlp.down_proj.register_forward_hook(
+            lambda m, i, o: o * rm)
+
+    llm = LLM(model=path, dtype="float32", max_num_seqs=4,
+              max_model_len=128, block_size=8)
+    tok = llm.get_tokenizer()
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    outs = llm.generate(PROMPTS, sp)
+    for prompt, out_req in zip(PROMPTS, outs):
+        ids = tok.encode(prompt)
+        with torch.no_grad():
+            gen = oracle.generate(
+                torch.tensor([ids]), max_new_tokens=12, do_sample=False,
+                num_beams=1, pad_token_id=2)
+        expect = gen[0, len(ids):].tolist()
+        n = min(len(out_req.outputs[0].token_ids), len(expect))
+        assert out_req.outputs[0].token_ids[:n] == expect[:n], prompt
