@@ -144,6 +144,12 @@ class LlamaForCausalLM:
         # Per-layer rope enable mask (bool[L]); None = rope everywhere.
         # SmolLM3-style NoPE layers set entries False.
         self.rope_layer_mask: Optional[jax.Array] = None
+        # Blocksparse attention (phi-3-small): (block_size, local_blocks,
+        # vert_stride) + per-global-head vertical phase offsets, with an
+        # optional per-layer enable mask (False = dense layer).
+        self.blocksparse_params: Optional[Tuple[int, int, int]] = None
+        self.bs_head_offsets: Optional[jax.Array] = None
+        self.bs_layer_mask: Optional[jax.Array] = None
         self._cos, self._sin = compute_rope_tables(
             self.rotary_dim,
             self.max_position,
@@ -512,7 +518,7 @@ class LlamaForCausalLM:
             # pages: the FLAT [L*P, page, 2K, D] cache (scan carry);
             # slots/pidx are pre-offset into this layer's page region
             # (scan_layers_paged) so the write is an in-place scatter.
-            lp, k_scale, v_scale, la, rope_on = scanned
+            lp, k_scale, v_scale, la, rope_on, bs_on = scanned
             h = self._norm(x, lp.get("input_norm"),
                            lp.get("input_norm_b"))
             q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
@@ -557,6 +563,9 @@ class LlamaForCausalLM:
                 sliding_window=self.sliding_window,
                 soft_cap=self.attn_softcap or None,
                 alibi_slopes=self.alibi_slopes,
+                blocksparse=self.blocksparse_params,
+                bs_head_offsets=self.bs_head_offsets,
+                bs_on=bs_on,
                 mesh=inner_mesh,
                 use_kernel=use_attention_kernel,
             )
@@ -593,9 +602,10 @@ class LlamaForCausalLM:
         lora_scan = lora if use_lora else None
 
         def scan_body(x, pages, slots, pidx, sc):
-            # rope_layer_mask None keeps the scanned pytree unchanged
-            # (and the compiled graph identical) for non-NoPE models.
-            return layer_fn(x, pages, slots, pidx, (*sc, None))
+            # rope/blocksparse masks None keeps the scanned pytree
+            # unchanged (and the compiled graph identical) for models
+            # without per-layer heterogeneity.
+            return layer_fn(x, pages, slots, pidx, (*sc, None, None))
 
         pp = self.parallel_config.pipeline_parallel_size
         if pp > 1 and mesh is not None:
@@ -609,11 +619,14 @@ class LlamaForCausalLM:
             x, new_kv_pages = self._layers_bskcn(
                 scan_body, x, kv_pages,
                 (layer_params, k_scales, v_scales, lora_scan), batch)
-        elif self.rope_layer_mask is not None:
+        elif (self.rope_layer_mask is not None
+              or self.bs_layer_mask is not None):
+            # lax.scan carries None xs channels as empty pytrees, so
+            # absent masks pass through as None per step.
             x, new_kv_pages = scan_layers_paged(
                 layer_fn, x, kv_pages,
                 (layer_params, k_scales, v_scales, lora_scan,
-                 self.rope_layer_mask), batch)
+                 self.rope_layer_mask, self.bs_layer_mask), batch)
         else:
             x, new_kv_pages = scan_layers_paged(
                 scan_body, x, kv_pages,

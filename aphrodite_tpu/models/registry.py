@@ -122,6 +122,7 @@ _LAZY_REGISTRY = {
     "BaiChuanForCausalLM": _lazy("baichuan", "BaiChuanForCausalLM"),
     "BaichuanForCausalLM": _lazy("baichuan", "BaichuanForCausalLM"),
     "MiniCPMForCausalLM": _lazy("minicpm", "MiniCPMForCausalLM"),
+    "Phi3SmallForCausalLM": _lazy("phi3small", "Phi3SmallForCausalLM"),
     "MiniCPM3ForCausalLM": _lazy("minicpm", "MiniCPM3ForCausalLM"),
     "SolarForCausalLM": _lazy("solar", "SolarForCausalLM"),
     "QuantMixtralForCausalLM": _lazy("mixtral", "MixtralForCausalLM"),

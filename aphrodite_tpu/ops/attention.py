@@ -47,12 +47,24 @@ def ref_ragged_paged_attention(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,  # f32[num_q_heads]
+    blocksparse: Optional[tuple] = None,  # (block_size, local, vert)
+    bs_head_offsets: Optional[jax.Array] = None,  # i32[num_q_heads]
+    bs_on: Optional[jax.Array] = None,  # scalar bool (per-layer gate)
 ) -> jax.Array:
     """Pure-jnp ragged paged attention (static shapes, jit-friendly).
 
     Memory cost is O(T * max_kv_len) — fine for tests/CPU, not the serving
     path. Rows belonging to padding (beyond cu_q_lens[num_seqs]) produce
     garbage that callers must ignore.
+
+    blocksparse: Phi-3-Small local+vertical-strided block sparsity
+    (reference attention/ops/blocksparse_attention/utils.py:117-120):
+    with block indices bq = q_pos // block_size, bk = kv_pos //
+    block_size, a position is attended iff causal AND
+    (bq - bk < local_blocks OR (bk + head_offset + 1) % vert_stride
+    == 0). bs_head_offsets carries the per-GLOBAL-q-head vertical
+    phase (0 for homo_head); bs_on gates the mask per layer (False =
+    this layer is dense).
     """
     T, num_q_heads, head_dim = q.shape
     S, pages_per_seq = page_indices.shape
@@ -112,6 +124,18 @@ def ref_ragged_paged_attention(
     mask &= kv_pos < kv_len_t[:, None, None]
     if sliding_window is not None:
         mask &= kv_pos > (q_abs[:, None, None] - sliding_window)
+    if blocksparse is not None:
+        bsz, local_blocks, vert_stride = blocksparse
+        bq_blk = q_abs // bsz  # [T]
+        bk_blk = jnp.arange(max_kv_len, dtype=jnp.int32) // bsz
+        local_ok = (bq_blk[:, None, None]
+                    - bk_blk[None, None, :]) < local_blocks
+        vert_ok = ((bk_blk[None, :] + bs_head_offsets[:, None] + 1)
+                   % vert_stride) == 0  # [Hq, max_kv]
+        sparse_ok = local_ok | vert_ok[None]
+        if bs_on is not None:
+            sparse_ok = sparse_ok | jnp.logical_not(bs_on)
+        mask = mask & sparse_ok
     scores = jnp.where(mask, scores, DEFAULT_MASK_VALUE)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -134,6 +158,9 @@ def ragged_paged_attention(
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    blocksparse: Optional[tuple] = None,
+    bs_head_offsets: Optional[jax.Array] = None,
+    bs_on: Optional[jax.Array] = None,
     mesh: Optional[Mesh] = None,
     use_kernel: Optional[bool] = None,
 ) -> jax.Array:
@@ -149,6 +176,12 @@ def ragged_paged_attention(
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() in ("tpu", "axon")
+    if blocksparse is not None:
+        # Neither the bundled ragged kernel nor the grouped decode
+        # kernel takes a blocksparse mask; Phi-3-Small runs the jnp
+        # path. TODO(round 2): vert-stride page skipping in the decode
+        # kernel (the sparsity aligns with KV pages — a real win).
+        use_kernel = False
 
     # cu_q_lens=None marks a pure-decode batch (q_len == 1 per row, set
     # by the fused multi-step runner): route to the grouped decode
@@ -189,10 +222,40 @@ def ragged_paged_attention(
                   soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale)
     if alibi_slopes is not None:
         kwargs["alibi_slopes"] = alibi_slopes
+    if blocksparse is not None:
+        kwargs.update(blocksparse=blocksparse, bs_on=bs_on)
 
     if mesh is None:
+        if blocksparse is not None:
+            kwargs["bs_head_offsets"] = bs_head_offsets
         return impl(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
                     **kwargs)
+
+    if blocksparse is not None:
+        # The head-phase offsets shard with the query heads (global
+        # head indices stay correct because each shard receives its own
+        # slice of the precomputed per-head offsets); the per-layer
+        # gate is replicated.
+        base_kwargs = {k: v for k, v in kwargs.items() if k != "bs_on"}
+        if bs_on is None:
+            bs_on = jnp.asarray(True)
+        fn = jax.shard_map(
+            lambda q_, kv_, kl_, pi_, cq_, ns_, off_, on_:
+            ref_ragged_paged_attention(
+                q_, kv_, kl_, pi_, cq_, ns_,
+                **{**base_kwargs, "bs_head_offsets": off_, "bs_on": on_}),
+            mesh=mesh,
+            in_specs=(
+                P(None, "model", None),
+                P(None, None, "model", None),
+                P(), P(), P(), P(),
+                P("model"), P(),
+            ),
+            out_specs=P(None, "model", None),
+            check_vma=False,
+        )
+        return fn(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+                  bs_head_offsets, bs_on)
 
     if alibi_slopes is not None:
         # Slopes shard with the query heads.
