@@ -73,10 +73,16 @@ class ModelConfig:
             # Multimodal composite config (LLaVA-style): hoist the text
             # config's fields so the derived accessors (hidden size, kv
             # heads, vocab...) describe the language model, keeping the
-            # vision_config + projector keys at the top level.
+            # vision_config + projector keys at the top level. The text
+            # config wins conflicts — composite configs serialize junk
+            # top-level defaults (e.g. PaliGemma's hidden_size: 2048) —
+            # except "architectures", which names the composite arch.
             top = {k: v for k, v in self.hf_config.items()
                    if k != "text_config"}
-            self.hf_config = {**dict(self.hf_config["text_config"]), **top}
+            merged = {**top, **dict(self.hf_config["text_config"])}
+            if "architectures" in top:
+                merged["architectures"] = top["architectures"]
+            self.hf_config = merged
         if self.dtype == "auto":
             self.dtype = str(self.hf_config.get("torch_dtype", "bfloat16"))
             if self.dtype.startswith("torch."):

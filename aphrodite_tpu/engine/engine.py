@@ -151,30 +151,63 @@ class AphroditeEngine:
             images = list(image) if isinstance(image, (list, tuple)) \
                 else [image]
             import numpy as np
-            px = np.stack([np.asarray(im, np.float32) for im in images])
-            if px.ndim != 4 or px.shape[1] != 3:
-                raise ValueError(
-                    "each image must be preprocessed pixel_values "
-                    f"[3, size, size]; got {px.shape[1:]}")
+            # Encode each image through the vision tower NOW; feature
+            # counts may vary per image (LLaVA-NeXT tiles, Fuyu patch
+            # grids), so placeholders expand to each image's own count.
+            feats_list = []
+            hash_parts = []
+            for im in images:
+                if isinstance(im, dict):
+                    # Structured item (e.g. LLaVA-NeXT anyres: tiled
+                    # pixel_values + original image_size).
+                    for v in im.values():
+                        hash_parts.append(
+                            np.asarray(v, np.float32).tobytes())
+                else:
+                    px = np.asarray(im, np.float32)
+                    if px.ndim != 3 or px.shape[0] != 3:
+                        raise ValueError(
+                            "each image must be preprocessed "
+                            "pixel_values [3, height, width]; got "
+                            f"{px.shape}")
+                    hash_parts.append(px.tobytes())
+                feats_list.append(
+                    np.asarray(self.runner.encode_image_item(im),
+                               np.float32))
             tok_id = model.image_token_index
-            n_feat = model.num_image_tokens
             new_ids: List[int] = []
-            starts: List[int] = []
+            mm_spans = []
+            img_j = 0
             for t in prompt_token_ids:
                 if t == tok_id:
-                    starts.append(len(new_ids))
-                    new_ids.extend([tok_id] * n_feat)
+                    if img_j >= len(images):
+                        raise ValueError(
+                            "prompt has more image placeholders "
+                            f"(token {tok_id}) than images "
+                            f"({len(images)})")
+                    base = len(new_ids)
+                    feats = feats_list[img_j]
+                    if hasattr(model, "expand_image_item"):
+                        # Model-defined placeholder layout (Fuyu: rows
+                        # of image tokens separated by newline TOKENS,
+                        # so the splice spans are per-row).
+                        toks, rel_spans = model.expand_image_item(
+                            images[img_j], feats)
+                        new_ids.extend(toks)
+                        for rs, fseg in rel_spans:
+                            mm_spans.append((base + rs, fseg))
+                    else:
+                        new_ids.extend([tok_id] * feats.shape[0])
+                        mm_spans.append((base, feats))
+                    img_j += 1
                 else:
                     new_ids.append(t)
-            if len(starts) != len(images):
+            if img_j != len(images):
                 raise ValueError(
-                    f"prompt has {len(starts)} image placeholder(s) "
+                    f"prompt has {img_j} image placeholder(s) "
                     f"(token {tok_id}) but {len(images)} image(s) given")
             prompt_token_ids = new_ids
-            feats = self.runner.encode_image(px)  # [B, n_feat, H]
-            mm_spans = [(start, np.asarray(feats[j], np.float32))
-                        for j, start in enumerate(starts)]
-            mm_hash = hash(px.tobytes())
+            mm_hash = hash(b"".join(hash_parts))
 
         fsm = None
         guided = sampling_params.guided_spec

@@ -194,45 +194,12 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
         CLS + learned position embeddings, pre-LN, (L-1) encoder layers
         for vision_feature_layer=-2, feature select, then the projector.
         """
-        v = params["vision"]
-        p, vH = self.v_patch, self.v_hidden
-        nh = self.v_image_size // p
-        B = pixel_values.shape[0]
-        x = pixel_values.astype(jnp.float32)
-        # Non-overlapping patch conv as reshape+matmul (kernel flattened
-        # in (c, ph, pw) order to match the HF conv weight layout).
-        x = x.reshape(B, 3, nh, p, nh, p)
-        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, nh * nh, 3 * p * p)
-        x = x @ v["patch_w"].astype(jnp.float32)
-        cls = jnp.broadcast_to(v["cls"].astype(jnp.float32), (B, 1, vH))
-        x = jnp.concatenate([cls, x], axis=1)
-        x = x + v["pos"].astype(jnp.float32)[None]
-        x = _layernorm(x, v["pre_ln"], v["pre_ln_b"], self.v_eps)
+        from aphrodite_tpu.models.clip_vision import clip_tower
 
-        heads = self.v_heads
-        dh = vH // heads
-        scale = dh ** -0.5
-
-        def layer(x, lp):
-            h = _layernorm(x, lp["ln1"], lp["ln1_b"], self.v_eps)
-            q = (h @ lp["wq"] + lp["bq"]) * scale
-            k = h @ lp["wk"] + lp["bk"]
-            vv = h @ lp["wv"] + lp["bv"]
-            N = h.shape[1]
-            q = q.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
-            k = k.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
-            vv = vv.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
-            attn = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2), axis=-1)
-            o = (attn @ vv).transpose(0, 2, 1, 3).reshape(B, N, vH)
-            x = x + (o @ lp["wo"] + lp["bo"])
-            h = _layernorm(x, lp["ln2"], lp["ln2_b"], self.v_eps)
-            h = h @ lp["fc1"] + lp["fc1_b"]
-            h = h * jax.nn.sigmoid(1.702 * h)  # quick_gelu
-            x = x + (h @ lp["fc2"] + lp["fc2_b"])
-            return x, None
-
-        vl = jax.tree.map(lambda a: a.astype(jnp.float32), v["layers"])
-        x, _ = jax.lax.scan(layer, x, vl)
+        x = clip_tower(params["vision"], pixel_values,
+                       patch=self.v_patch, image_size=self.v_image_size,
+                       hidden=self.v_hidden, heads=self.v_heads,
+                       eps=self.v_eps)
         if self.feature_strategy == "default":
             x = x[:, 1:]
         pj = params["projector"]

@@ -75,6 +75,8 @@ _LAZY_REGISTRY = {
     "Phi3ForCausalLM": _lazy("phi3", "Phi3ForCausalLM"),
     "LlavaForConditionalGeneration": _lazy(
         "llava", "LlavaForConditionalGeneration"),
+    "LlavaNextForConditionalGeneration": _lazy(
+        "llava_next", "LlavaNextForConditionalGeneration"),
     "BloomForCausalLM": _lazy("bloom", "BloomForCausalLM"),
     "MptForCausalLM": _lazy("mpt", "MPTForCausalLM"),
     "MPTForCausalLM": _lazy("mpt", "MPTForCausalLM"),
@@ -123,6 +125,10 @@ _LAZY_REGISTRY = {
     "BaichuanForCausalLM": _lazy("baichuan", "BaichuanForCausalLM"),
     "MiniCPMForCausalLM": _lazy("minicpm", "MiniCPMForCausalLM"),
     "Phi3SmallForCausalLM": _lazy("phi3small", "Phi3SmallForCausalLM"),
+    "PaliGemmaForConditionalGeneration": _lazy(
+        "paligemma", "PaliGemmaForConditionalGeneration"),
+    "FuyuForCausalLM": _lazy("fuyu", "FuyuForCausalLM"),
+    "Phi3VForCausalLM": _lazy("phi3v", "Phi3VForCausalLM"),
     "MiniCPM3ForCausalLM": _lazy("minicpm", "MiniCPM3ForCausalLM"),
     "SolarForCausalLM": _lazy("solar", "SolarForCausalLM"),
     "QuantMixtralForCausalLM": _lazy("mixtral", "MixtralForCausalLM"),

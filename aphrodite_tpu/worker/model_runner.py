@@ -604,6 +604,20 @@ class ModelRunner:
             self._multi_step_fns["vision"] = fn
         return np.asarray(fn(self.params, jnp.asarray(pixel_values)))
 
+    def encode_image_item(self, item) -> np.ndarray:
+        """Encode one multimodal item to features [n_feat, H]. Models
+        with structured inputs / host-side feature arrangement
+        (LLaVA-NeXT anyres tiles) implement encode_image_item; plain
+        pixel arrays go through the batched tower."""
+        if hasattr(self.model, "encode_image_item"):
+            fn = self._multi_step_fns.get("vision")
+            if fn is None and hasattr(self.model, "encode_images"):
+                fn = jax.jit(self.model.encode_images)
+                self._multi_step_fns["vision"] = fn
+            return self.model.encode_image_item(self.params, item, fn)
+        px = np.asarray(item, np.float32)
+        return self.encode_image(px[None])[0]
+
     def build_forward_batch(
         self,
         scheduled: List[ScheduledSequence],
