@@ -83,6 +83,16 @@ class ModelConfig:
             if "architectures" in top:
                 merged["architectures"] = top["architectures"]
             self.hf_config = merged
+        if (self.hf_config.get("model_type") == "eagle"
+                and isinstance(self.hf_config.get("model"), dict)):
+            # EAGLE draft config nests the wrapped model's config under
+            # "model" (reference transformers_utils/configs/eagle.py);
+            # hoist its keys so the derived accessors work. Top-level
+            # keys win (EAGLEConfig applies kwargs onto the nested
+            # config), except architectures stays ["EAGLEModel"].
+            nested = dict(self.hf_config["model"])
+            merged = {**nested, **self.hf_config}
+            self.hf_config = merged
         if self.dtype == "auto":
             self.dtype = str(self.hf_config.get("torch_dtype", "bfloat16"))
             if self.dtype.startswith("torch."):
@@ -297,7 +307,7 @@ class SpeculativeConfig:
     draft_model_config: Optional["ModelConfig"] = None
 
     def __post_init__(self) -> None:
-        if self.method not in ("ngram", "draft", "medusa",
+        if self.method not in ("ngram", "draft", "eagle", "medusa",
                                "mlp_speculator"):
             raise ValueError(
                 f"speculative method {self.method!r} not supported (yet)")

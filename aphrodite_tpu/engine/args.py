@@ -132,6 +132,8 @@ class EngineArgs:
                 method = "draft"
                 if archs and archs[0] in PROPOSER_ARCHS:
                     method = PROPOSER_ARCHS[archs[0]][0]
+                elif archs and archs[0] == "EAGLEModel":
+                    method = "eagle"
                 speculative_config = SpeculativeConfig(
                     method=method,
                     num_speculative_tokens=self.num_speculative_tokens,

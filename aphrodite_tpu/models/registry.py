@@ -86,6 +86,7 @@ _LAZY_REGISTRY = {
     "ChatGLMForConditionalGeneration":
         _lazy("chatglm", "ChatGLMForConditionalGeneration"),
     "ChatGLMModel": _lazy("chatglm", "ChatGLMForConditionalGeneration"),
+    "EAGLEModel": _lazy("eagle", "EAGLEModel"),
     "JAISLMHeadModel": _lazy("jais", "JAISLMHeadModel"),
     "PhiMoEForCausalLM": _lazy("phimoe", "PhiMoEForCausalLM"),
     "PhimoeForCausalLM": _lazy("phimoe", "PhiMoEForCausalLM"),

@@ -206,7 +206,16 @@ class ModelRunner:
                     f"{self.model_config.get_hidden_size()}")
             spec_cfg.num_speculative_tokens = min(
                 spec_cfg.num_speculative_tokens, self.hidden_proposer.k)
-        if spec_cfg is not None and spec_cfg.method == "draft":
+        # EAGLE (reference spec_decode + modeling/models/eagle.py): a
+        # draft-model speculator whose input fuses the token embedding
+        # with the TARGET's hidden state — the runner carries that
+        # feature stream per sequence, keyed by the sequence's first KV
+        # page (stable for its lifetime; collisions from prefix sharing
+        # or a stale carry after preemption only lower the acceptance
+        # rate — verification is exact, so outputs are unaffected).
+        self.eagle = spec_cfg is not None and spec_cfg.method == "eagle"
+        self.eagle_carry: Optional[jax.Array] = None
+        if spec_cfg is not None and spec_cfg.method in ("draft", "eagle"):
             self.draft_model_config = spec_cfg.draft_model_config
             self.draft_model = get_model_class(self.draft_model_config)(
                 self.draft_model_config, self.parallel_config)
@@ -216,6 +225,13 @@ class ModelRunner:
                 raise ValueError(
                     "draft speculation requires paged-attention models "
                     "on both sides")
+            if (self.eagle and self.draft_model_config.get_hidden_size()
+                    != self.model_config.get_hidden_size()):
+                raise ValueError(
+                    "EAGLE draft hidden size "
+                    f"({self.draft_model_config.get_hidden_size()}) must "
+                    f"match the target "
+                    f"({self.model_config.get_hidden_size()})")
 
         self.lora_manager = None
         if engine_config.lora_config is not None:
@@ -280,6 +296,10 @@ class ModelRunner:
             ditem = jnp.dtype(self.draft_model_config.dtype).itemsize
             total += (self.draft_model.num_layers * self.block_size *
                       dckv * dd * ditem) // tp
+        if self.eagle:
+            # Per-page feature-carry row (eagle_carry: [num_pages+1, H]).
+            total += (self.model_config.get_hidden_size() *
+                      jnp.dtype(self.model_config.dtype).itemsize)
         return total
 
     def determine_num_pages(self) -> int:
@@ -348,6 +368,20 @@ class ModelRunner:
                     jnp.zeros(dshape, dtype=ddtype), dsharding)
             else:
                 self.draft_kv = jnp.zeros(dshape, dtype=ddtype)
+        if self.eagle:
+            # Per-sequence target-hidden carry, keyed by first KV page;
+            # the trailing row is the trash key for padding rows.
+            cshape = (num_pages + 1, self.model_config.get_hidden_size())
+            cdtype = jnp.dtype(self.model_config.dtype)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                self.eagle_carry = jax.device_put(
+                    jnp.zeros(cshape, dtype=cdtype),
+                    NamedSharding(self.mesh, P()))
+            else:
+                self.eagle_carry = jnp.zeros(cshape, dtype=cdtype)
 
     @property
     def trash_slot_base(self) -> int:
@@ -358,18 +392,40 @@ class ModelRunner:
     # Step program
     # ------------------------------------------------------------------
 
-    def _run_draft_forward(self, dparams, draft_kv, batch: ForwardBatch):
+    def _run_draft_forward(self, dparams, draft_kv, batch: ForwardBatch,
+                           hidden=None, carry=None, carry_keys=None):
         """Draft-KV sync pass: the draft model consumes the SAME batch as
         the target (shared page tables -> shared slot mapping), so its KV
         cache advances in lock-step through prefills and non-speculative
         decodes. Multimodal embeds are target-sized; the draft sees raw
-        token ids."""
+        token ids.
+
+        EAGLE variant (reference spec_decode_worker.py:975
+        prepare_prefill_hidden_states: previous_hidden_states =
+        hidden.roll(1)): the draft's input at token t fuses the TARGET's
+        hidden at t-1 — shifted within each row, with row starts taking
+        the per-sequence carried feature; the carry is refreshed with
+        each row's last hidden in the same program."""
         dbatch = batch._replace(embeds_override=None, embeds_mask=None,
                                 lora_sorted_idx=None, lora_unsort_idx=None,
                                 lora_group_sizes=None)
-        draft_kv, _ = self.draft_model.forward(
-            dparams, draft_kv, dbatch, mesh=self.mesh)
-        return draft_kv
+        if not self.eagle:
+            draft_kv, _ = self.draft_model.forward(
+                dparams, draft_kv, dbatch, mesh=self.mesh)
+            return draft_kv, carry
+        H = hidden.shape[-1]
+        prev = jnp.concatenate(
+            [jnp.zeros((1, H), hidden.dtype), hidden[:-1]], axis=0)
+        row_start = dbatch.cu_q_lens[:-1]  # [S]
+        # Padding rows all repeat cu_q_lens[n] — duplicate writes land on
+        # one padding-token index whose KV write goes to the trash page.
+        prev = prev.at[row_start].set(carry[carry_keys].astype(hidden.dtype))
+        draft_kv, _ = self.draft_model.forward_with_hidden(
+            dparams, draft_kv, dbatch, prev, mesh=self.mesh)
+        last_idx = dbatch.cu_q_lens[1:] - 1
+        carry = carry.at[carry_keys].set(
+            hidden[last_idx].astype(carry.dtype))
+        return draft_kv, carry
 
     def _get_step_fn(self, flags: SamplingFlags):
         fn = self._step_fns.get(flags)
@@ -378,7 +434,8 @@ class ModelRunner:
 
         def step(params, kv_pages, batch: ForwardBatch, tensors, history,
                  history_lens, prompt_lens, target_ids, guided_mask,
-                 lora, dparams=None, draft_kv=None):
+                 lora, dparams=None, draft_kv=None, eagle_carry=None,
+                 carry_keys=None):
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
                 kv_scales=self.kv_scales, lora=lora)
@@ -400,11 +457,12 @@ class ModelRunner:
                 prompt_out = (tgt_lp, ranks.astype(jnp.int32), pk_ids,
                               pk_lp)
             if self.draft_model is not None:
-                draft_kv = self._run_draft_forward(dparams, draft_kv,
-                                                   batch)
-            return kv_pages, out, prompt_out, draft_kv
+                draft_kv, eagle_carry = self._run_draft_forward(
+                    dparams, draft_kv, batch, hidden, eagle_carry,
+                    carry_keys)
+            return kv_pages, out, prompt_out, draft_kv, eagle_carry
 
-        fn = jax.jit(step, donate_argnums=(1, 11))
+        fn = jax.jit(step, donate_argnums=(1, 11, 12))
         self._step_fns[flags] = fn
         return fn
 
@@ -420,7 +478,8 @@ class ModelRunner:
             return fn
 
         def logits_step(params, kv_pages, batch: ForwardBatch, target_ids,
-                        lora, dparams=None, draft_kv=None):
+                        lora, dparams=None, draft_kv=None, eagle_carry=None,
+                        carry_keys=None):
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
                 kv_scales=self.kv_scales, lora=lora)
@@ -437,11 +496,12 @@ class ModelRunner:
                 prompt_out = (tgt_lp, ranks.astype(jnp.int32), pk_ids,
                               pk_lp)
             if self.draft_model is not None:
-                draft_kv = self._run_draft_forward(dparams, draft_kv,
-                                                   batch)
-            return kv_pages, logits, prompt_out, draft_kv
+                draft_kv, eagle_carry = self._run_draft_forward(
+                    dparams, draft_kv, batch, hidden, eagle_carry,
+                    carry_keys)
+            return kv_pages, logits, prompt_out, draft_kv, eagle_carry
 
-        fn = jax.jit(logits_step, donate_argnums=(1, 6))
+        fn = jax.jit(logits_step, donate_argnums=(1, 6, 7))
         self._multi_step_fns[key] = fn
         return fn
 
@@ -717,7 +777,30 @@ class ModelRunner:
                     lambda layer: copy_blocks(layer, sd))(kv),
                 donate_argnums=(0,))
             self._multi_step_fns[("copy", cap)] = fn
-        self.kv_pages = fn(self.kv_pages, jnp.asarray(arr))
+        sd = jnp.asarray(arr)
+        self.kv_pages = fn(self.kv_pages, sd)
+        if self.draft_kv is not None:
+            # The draft cache shares the page tables, so CoW copies apply
+            # to it too (stale draft pages would only lower acceptance,
+            # but the copy is nearly free).
+            dfn = self._multi_step_fns.get(("copy_draft", cap))
+            if dfn is None:
+                dfn = jax.jit(
+                    lambda kv, sd: jax.vmap(
+                        lambda layer: copy_blocks(layer, sd))(kv),
+                    donate_argnums=(0,))
+                self._multi_step_fns[("copy_draft", cap)] = dfn
+            self.draft_kv = dfn(self.draft_kv, sd)
+        if self.eagle_carry is not None:
+            # Carry rows are keyed by first page: a CoW copy of a row's
+            # first page moves its feature carry to the new key.
+            cfn = self._multi_step_fns.get(("copy_carry", cap))
+            if cfn is None:
+                cfn = jax.jit(
+                    lambda c, sd: c.at[sd[:, 1]].set(c[sd[:, 0]]),
+                    donate_argnums=(0,))
+                self._multi_step_fns[("copy_carry", cap)] = cfn
+            self.eagle_carry = cfn(self.eagle_carry, sd)
 
     def execute(self, outputs: SchedulerOutputs,
                 num_steps: int = 1) -> StepResult:
@@ -859,7 +942,7 @@ class ModelRunner:
                     and not flags.do_guided and not has_lora
                     and not has_procs)
         if multi_ok:
-            if self.hidden_proposer is not None and self._pending_props:
+            if self._pending_props:
                 for ss in scheduled:
                     self._pending_props.pop(ss.seq.seq_id, None)
             return self._execute_multi(scheduled, S, tensors_dev, flags,
@@ -877,6 +960,9 @@ class ModelRunner:
             if spec.method == "draft":
                 return self._execute_spec_draft(scheduled, S, spec,
                                                 tensors_dev, flags)
+            if spec.method == "eagle":
+                return self._execute_spec_eagle(scheduled, S, spec,
+                                                tensors_dev, flags)
             if spec.method in ("medusa", "mlp_speculator"):
                 return self._execute_spec_hidden(scheduled, S, spec,
                                                  tensors_dev, flags)
@@ -886,9 +972,9 @@ class ModelRunner:
                 return result
 
         # Any non-spec path advances sequences without refreshing the
-        # hidden-proposer carry — drop it so the next spec step
-        # re-bootstraps instead of verifying stale proposals.
-        if self.hidden_proposer is not None and self._pending_props:
+        # proposal carry (hidden-proposer or EAGLE) — drop it so the next
+        # spec step re-bootstraps instead of verifying stale proposals.
+        if self._pending_props:
             for ss in scheduled:
                 self._pending_props.pop(ss.seq.seq_id, None)
 
@@ -926,13 +1012,18 @@ class ModelRunner:
         else:
             history = None
 
+        carry_keys = None
+        if self.eagle:
+            carry_keys = self._eagle_carry_keys(scheduled, S)
         if has_procs:
             # Split program: forward->raw logits, host callables, then
             # the full in-graph sampler pipeline on the edited logits.
             logits_fn = self._get_logits_fn(max_plp)
-            self.kv_pages, logits, prompt_out, self.draft_kv = logits_fn(
-                self.params, self.kv_pages, batch, target_ids,
-                lora_params, self.draft_params, self.draft_kv)
+            (self.kv_pages, logits, prompt_out, self.draft_kv,
+             self.eagle_carry) = logits_fn(
+                 self.params, self.kv_pages, batch, target_ids,
+                 lora_params, self.draft_params, self.draft_kv,
+                 self.eagle_carry, carry_keys)
             logits_np = np.asarray(logits).astype(np.float32, copy=True)
             logits_np = self._apply_logits_processors(logits_np, scheduled)
             out = self._get_sample_fn(flags)(
@@ -941,10 +1032,12 @@ class ModelRunner:
                 guided_mask=guided_mask)
         else:
             step_fn = self._get_step_fn(flags)
-            self.kv_pages, out, prompt_out, self.draft_kv = step_fn(
-                self.params, self.kv_pages, batch, tensors_dev, history,
-                history_lens, prompt_lens, target_ids, guided_mask,
-                lora_params, self.draft_params, self.draft_kv)
+            (self.kv_pages, out, prompt_out, self.draft_kv,
+             self.eagle_carry) = step_fn(
+                 self.params, self.kv_pages, batch, tensors_dev, history,
+                 history_lens, prompt_lens, target_ids, guided_mask,
+                 lora_params, self.draft_params, self.draft_kv,
+                 self.eagle_carry, carry_keys)
 
         n = len(scheduled)
         prompt_np = None
@@ -1291,6 +1384,193 @@ class ModelRunner:
         self._multi_step_fns[key] = fn
         return fn
 
+    def _spec_decode_batch(self, tok, pos, page_indices, kv_capacity,
+                           num_seqs):
+        """One-token-per-row decode ForwardBatch built fully in-graph
+        (used by the fused speculation programs). Positions past a row's
+        allocated pages write to the trash page; padding rows have
+        kv_len 0."""
+        block_size = self.block_size
+        max_pos = self.model_config.max_model_len - 1
+        S = tok.shape[0]
+        rows = jnp.arange(S, dtype=jnp.int32)
+        valid = rows < num_seqs[0]
+        in_cap = pos < kv_capacity
+        page_idx = jnp.take_along_axis(
+            page_indices, (pos // block_size)[:, None], axis=1)[:, 0]
+        slot = page_idx * block_size + pos % block_size
+        trash = self.num_pages * block_size + rows % block_size
+        slot = jnp.where(valid & in_cap, slot, trash)
+        return ForwardBatch(
+            token_ids=tok,
+            positions=jnp.minimum(pos, max_pos),
+            slot_mapping=slot,
+            kv_lens=jnp.where(valid, pos + 1, 0),
+            page_indices=page_indices,
+            cu_q_lens=None,
+            num_seqs=num_seqs,
+            logits_indices=rows,
+        )
+
+    def _eagle_carry_keys(self, scheduled, S: int) -> jax.Array:
+        """Per-row eagle-carry row index: the sequence's FIRST KV page
+        (allocated at prefill start, stable for its lifetime). Padding
+        rows use the reserved trash row (num_pages)."""
+        keys = np.full((S,), self.num_pages, np.int32)
+        for i, ss in enumerate(scheduled):
+            if ss.block_ids:
+                keys[i] = ss.block_ids[0]
+        return jnp.asarray(keys)
+
+    def _execute_spec_eagle(self, scheduled: List[ScheduledSequence],
+                            S: int, spec, tensors_dev,
+                            flags) -> StepResult:
+        """EAGLE speculative decode (reference spec_decode_worker.py +
+        modeling/models/eagle.py): like the hidden-state proposers, ONE
+        fused program verifies the carried proposals, but the proposer is
+        a full autoregressive draft whose input fuses the token embedding
+        with the target's hidden stream — so the program also (a) syncs
+        the draft KV over the verify rows with shift-by-one target
+        features, and (b) runs a k-step feature-autoregressive proposal
+        scan from the accept position (the paper's hidden-state chaining:
+        the draft's own output hidden feeds the next step). Proposals for
+        the NEXT engine step ride the same packed output buffer."""
+        k = spec.num_speculative_tokens
+        n = len(scheduled)
+        proposals = np.full((S, k), -1, np.int32)
+        pending = self._pending_props
+        for i, ss in enumerate(scheduled):
+            p = pending.get(ss.seq.seq_id)
+            if p is not None:
+                proposals[i, :k] = p[:k]
+        batch, logits_idx = self._build_spec_verify_batch(
+            scheduled, S, k, proposals)
+        carry_keys = self._eagle_carry_keys(scheduled, S)
+        kv_capacity = np.zeros((S,), np.int32)
+        for i, ss in enumerate(scheduled):
+            kv_capacity[i] = len(ss.block_ids) * self.block_size
+
+        fn = self._get_spec_eagle_fn(k, flags)
+        (self.kv_pages, self.draft_kv, self.eagle_carry, packed) = fn(
+            self.params, self.draft_params, self.kv_pages, self.draft_kv,
+            self.eagle_carry, batch, jnp.asarray(logits_idx),
+            jnp.asarray(proposals), carry_keys, jnp.asarray(kv_capacity),
+            tensors_dev)
+        raw = np.asarray(packed)
+        kp1 = k + 1
+        sk = S * kp1
+        tokens = raw[:sk].reshape(S, kp1)[:n]
+        lps = raw[sk:2 * sk].view(np.float32).reshape(S, kp1)[:n]
+        valid = raw[2 * sk:2 * sk + S][:n]
+        props_next = raw[2 * sk + S:].reshape(S, k)
+        self._pending_props = {
+            ss.seq.seq_id: props_next[i] for i, ss in enumerate(scheduled)
+        }
+        return StepResult(
+            sampled=tokens.T.copy(),  # [k+1, n]
+            sampled_logprob=lps.T.copy(),
+            sampled_rank=np.ones((kp1, n), np.int32),
+            topk_ids=np.zeros((kp1, n, 0), np.int32),
+            topk_logprobs=np.zeros((kp1, n, 0), np.float32),
+            valid_lens=valid,
+        )
+
+    def _get_spec_eagle_fn(self, k: int, flags: SamplingFlags):
+        key = ("spec_eagle", k, flags)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+
+        from aphrodite_tpu.sampling.sampler import (NEG_INF,
+                                                    _keys_from_data,
+                                                    shaped_logprobs)
+        from aphrodite_tpu.sampling.spec_verify import verify_proposals
+
+        decode_batch = self._spec_decode_batch
+
+        def spec_step(params, dparams, kv_pages, draft_kv, carry,
+                      batch: ForwardBatch, logits_idx, proposals,
+                      carry_keys, kv_capacity, tensors):
+            # ---- target: ragged verification forward.
+            kv_pages, hidden = self.model.forward(
+                params, kv_pages, batch, mesh=self.mesh,
+                kv_scales=self.kv_scales)
+            S, kp1 = logits_idx.shape
+            sel = hidden[logits_idx.reshape(-1)]  # [S*(k+1), H]
+            logits = self.model.compute_logits(params, sel)
+            logits = logits.reshape(S, kp1, -1)
+            out = verify_proposals(logits, proposals, tensors, flags)
+
+            # ---- draft-KV sync over the verify rows: input at token t
+            # fuses the target hidden at t-1 (row starts take the
+            # carried feature). Writes past the accept point use wrong
+            # (proposal) inputs but are rewritten by the next step's
+            # sync pass over the same positions.
+            H = hidden.shape[-1]
+            prev = jnp.concatenate(
+                [jnp.zeros((1, H), hidden.dtype), hidden[:-1]], axis=0)
+            row_start = batch.cu_q_lens[:-1]
+            prev = prev.at[row_start].set(
+                carry[carry_keys].astype(hidden.dtype))
+            draft_kv, _ = self.draft_model.forward_with_hidden(
+                dparams, draft_kv, batch, prev, mesh=self.mesh)
+
+            # ---- feature/token/position at the accept boundary.
+            vl1 = jnp.maximum(out.valid_len - 1, 0)  # [S]
+            h_idx = jnp.take_along_axis(logits_idx, vl1[:, None],
+                                        axis=1)[:, 0]
+            h_accept = hidden[h_idx]  # [S, H] emitted the new last token
+            last_tok = jnp.take_along_axis(out.tokens, vl1[:, None],
+                                           axis=1)[:, 0]
+            pos0 = batch.positions[row_start]  # [S]
+            pos_new = pos0 + out.valid_len  # new last token's position
+            carry = carry.at[carry_keys].set(h_accept.astype(carry.dtype))
+
+            # ---- k-step feature-autoregressive proposal scan. The
+            # first step overwrites the sync pass's write at pos_new
+            # with the CORRECT input (accepted token + its true target
+            # feature); later steps chain the draft's own hidden.
+            def prop_iter(scan_carry, step_idx):
+                draft_kv, tok, pos, feat = scan_carry
+                b = decode_batch(tok, pos, batch.page_indices,
+                                 kv_capacity, batch.num_seqs)
+                draft_kv, dh = self.draft_model.forward_with_hidden(
+                    dparams, draft_kv, b, feat, mesh=self.mesh)
+                dlogits = self.draft_model.compute_logits(dparams, dh)
+                step_t = tensors._replace(key_data=_fold_key_data(
+                    _fold_key_data(tensors.key_data, step_idx),
+                    jnp.uint32(0xEA61)))
+                q_lp = shaped_logprobs(dlogits, step_t, flags)  # [S, V]
+                keys = jax.vmap(lambda kk: jax.random.fold_in(kk, 0x6A))(
+                    _keys_from_data(step_t.key_data))
+                gumbel = jax.vmap(lambda kk: jax.random.gumbel(
+                    kk, (q_lp.shape[-1],), dtype=jnp.float32))(keys)
+                noised = jnp.where(jnp.isfinite(q_lp), q_lp + gumbel,
+                                   NEG_INF)
+                stoch = jnp.argmax(noised, axis=-1).astype(jnp.int32)
+                greedy = jnp.argmax(q_lp, axis=-1).astype(jnp.int32)
+                prop = jnp.where(tensors.greedy_mask, greedy, stoch)
+                return (draft_kv, prop, pos + 1, dh), prop
+
+            feat0 = h_accept.astype(self.draft_model.dtype)
+            (draft_kv, _, _, _), props_k = jax.lax.scan(
+                prop_iter, (draft_kv, last_tok, pos_new, feat0),
+                jnp.arange(k, dtype=jnp.int32))
+            props_next = props_k.T  # [S, k]
+
+            i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+            packed = jnp.concatenate([
+                out.tokens.reshape(-1),
+                i32(out.tokens_logprob).reshape(-1),
+                out.valid_len,
+                props_next.reshape(-1),
+            ])
+            return kv_pages, draft_kv, carry, packed
+
+        fn = jax.jit(spec_step, donate_argnums=(2, 3, 4))
+        self._multi_step_fns[key] = fn
+        return fn
+
     def _get_spec_fn(self, k: int, flags: SamplingFlags):
         key = ("spec", k, flags)
         fn = self._multi_step_fns.get(key)
@@ -1371,27 +1651,7 @@ class ModelRunner:
 
         block_size = self.block_size
         max_pos = self.model_config.max_model_len - 1
-
-        def decode_batch(tok, pos, page_indices, kv_capacity, num_seqs):
-            S = tok.shape[0]
-            rows = jnp.arange(S, dtype=jnp.int32)
-            valid = rows < num_seqs[0]
-            in_cap = pos < kv_capacity
-            page_idx = jnp.take_along_axis(
-                page_indices, (pos // block_size)[:, None], axis=1)[:, 0]
-            slot = page_idx * block_size + pos % block_size
-            trash = self.num_pages * block_size + rows % block_size
-            slot = jnp.where(valid & in_cap, slot, trash)
-            return ForwardBatch(
-                token_ids=tok,
-                positions=jnp.minimum(pos, max_pos),
-                slot_mapping=slot,
-                kv_lens=jnp.where(valid, pos + 1, 0),
-                page_indices=page_indices,
-                cu_q_lens=None,
-                num_seqs=num_seqs,
-                logits_indices=rows,
-            )
+        decode_batch = self._spec_decode_batch
 
         def spec_step(params, dparams, kv_pages, draft_kv, token_ids,
                       positions, page_indices, kv_capacity, num_seqs,

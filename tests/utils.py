@@ -76,6 +76,48 @@ def make_tiny_llama_checkpoint(save_dir: str, seed: int = 0,
     make_tiny_tokenizer(save_dir, vocab_size=kwargs["vocab_size"])
 
 
+def make_tiny_eagle_checkpoint(save_dir: str, seed: int = 7,
+                               num_hidden_layers: int = 1,
+                               include_norm: bool = True) -> None:
+    """EAGLE draft checkpoint over the tiny-llama target geometry, in
+    the vLLM-compatible layout (fc.weight + model.* + lm_head.weight;
+    reference eagle.py:120 load_weights) with EAGLEConfig's nested
+    "model" config format."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import LlamaConfig
+
+    kwargs = dict(TINY_LLAMA_KWARGS)
+    kwargs["num_hidden_layers"] = num_hidden_layers
+    torch.manual_seed(seed)
+    from transformers import LlamaForCausalLM
+
+    inner = LlamaForCausalLM(LlamaConfig(**kwargs)).to(torch.float32)
+    sd = {k: v.contiguous() for k, v in inner.state_dict().items()}
+    if not include_norm:
+        # EAGLE checkpoints trained without a final norm omit it; the
+        # loader must default to a unit RMSNorm scale.
+        sd.pop("model.norm.weight")
+    H = kwargs["hidden_size"]
+    fc = torch.randn(H, 2 * H, dtype=torch.float32) * 0.05
+    # Bias fc toward passing the token embedding through, so the draft
+    # behaves llama-like instead of emitting pure noise.
+    fc[:, :H] += torch.eye(H)
+    sd["fc.weight"] = fc
+    os.makedirs(save_dir, exist_ok=True)
+    save_file(sd, os.path.join(save_dir, "model.safetensors"))
+    cfg = {
+        "architectures": ["EAGLEModel"],
+        "model_type": "eagle",
+        "model": json.loads(LlamaConfig(**kwargs).to_json_string()),
+        "truncated_vocab_size": kwargs["vocab_size"],
+        "vocab_size": kwargs["vocab_size"],
+    }
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    make_tiny_tokenizer(save_dir, vocab_size=kwargs["vocab_size"])
+
+
 def make_tiny_checkpoint(save_dir: str, config, seed: int = 0) -> None:
     """Save a tiny random-weight checkpoint for any HF architecture."""
     import torch
