@@ -105,6 +105,12 @@ class Sequence:
         # Extra entropy for prefix-cache block hashing (image placeholder
         # tokens are identical across different images).
         self.extra_hash: Optional[int] = None
+        # M-RoPE (Qwen2-VL): [3, prompt_len] rope positions for the
+        # prompt and the position delta for generated tokens
+        # (rope_pos = seq_pos + delta); set by engine.add_request for
+        # mrope models with images.
+        self.mrope_table: Optional[Any] = None
+        self.mrope_delta: int = 0
         # Sibling index within a seeded n>1 request (distinct PRNG
         # streams; see model_runner._offset_seed).
         self.seed_offset: int = 0

@@ -554,6 +554,10 @@ class OpenAIServer:
                 "only data: image URLs are supported (no remote fetch)")
         b64 = url.split(",", 1)[1]
         img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+        if hasattr(model, "prepare_server_image"):
+            # Model-native preprocessing (Qwen2-VL patch grids, Pixtral
+            # native-resolution) -> engine multimodal item.
+            return model.prepare_server_image(img)
         s = model.v_image_size
         w, h = img.size
         scale = s / min(w, h)
@@ -607,7 +611,11 @@ class OpenAIServer:
         eff_len = len(prompt_ids)
         if mm_data is not None:
             model = self.async_engine.engine.runner.model
-            eff_len += len(image_urls) * (model.num_image_tokens - 1)
+            for im in images:
+                if hasattr(model, "num_item_tokens"):
+                    eff_len += model.num_item_tokens(im) - 1
+                else:
+                    eff_len += model.num_image_tokens - 1
         sp = req.to_sampling_params(
             self.model_config.max_model_len - eff_len)
         request_id = f"chatcmpl-{random_uuid()}"

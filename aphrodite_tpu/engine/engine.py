@@ -139,6 +139,8 @@ class AphroditeEngine:
         # (reference models/llava.py input processor + merge).
         mm_spans = None
         mm_hash = None
+        mrope_table = None
+        mrope_delta = 0
         if multi_modal_data:
             model = self.runner.model
             if not getattr(model, "is_multimodal", False):
@@ -208,6 +210,12 @@ class AphroditeEngine:
                     f"(token {tok_id}) but {len(images)} image(s) given")
             prompt_token_ids = new_ids
             mm_hash = hash(b"".join(hash_parts))
+            # M-RoPE models (Qwen2-VL): 3D rope positions for the
+            # expanded prompt + the decode position delta (reference
+            # MRotaryEmbedding.get_input_positions).
+            if hasattr(model, "mrope_input_positions"):
+                mrope_table, mrope_delta = model.mrope_input_positions(
+                    prompt_token_ids, images)
 
         fsm = None
         guided = sampling_params.guided_spec
@@ -241,6 +249,9 @@ class AphroditeEngine:
             if mm_spans is not None:
                 seq.mm_spans = mm_spans
                 seq.extra_hash = mm_hash
+            if mrope_table is not None:
+                seq.mrope_table = mrope_table
+                seq.mrope_delta = mrope_delta
             # Distinct PRNG stream per sibling when a seed is set.
             seq.seed_offset = sub_idx
             seqs.append(seq)

@@ -41,3 +41,10 @@ class ForwardBatch(NamedTuple):
     # once at request-add time, prefill consumes the cached features.
     embeds_override: Optional[jax.Array] = None  # [T, H] model dtype
     embeds_mask: Optional[jax.Array] = None  # bool[T]
+    # M-RoPE (Qwen2-VL): absolute [3, T] temporal/height/width rope
+    # positions (per-sequence position delta already applied). When set,
+    # models with an mrope_section use it for the rotary lookup instead
+    # of `positions`; `positions` stays the true sequence index (slot
+    # mapping / KV bookkeeping are unaffected). Reference:
+    # modeling/layers/rotary_embedding.py MRotaryEmbedding.
+    mrope_positions: Optional[jax.Array] = None  # i32[3, T]

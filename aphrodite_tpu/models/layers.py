@@ -112,7 +112,10 @@ def compute_rope_tables(
         rope_type = rope_scaling.get("rope_type",
                                      rope_scaling.get("type", "default"))
         factor = float(rope_scaling.get("factor", 1.0))
-        if rope_type in ("default", None):
+        if rope_type in ("default", "mrope", None):
+            # "mrope" (Qwen2-VL) uses the plain table; the multimodal
+            # sections only select which T/H/W position indexes each
+            # frequency band (models/llama.py mrope path).
             pass
         elif rope_type == "linear":
             positions = positions / factor

@@ -150,6 +150,19 @@ class LlamaForCausalLM:
         self.blocksparse_params: Optional[Tuple[int, int, int]] = None
         self.bs_head_offsets: Optional[jax.Array] = None
         self.bs_layer_mask: Optional[jax.Array] = None
+        # M-RoPE (Qwen2-VL): frequency bands split into temporal/height/
+        # width sections; ForwardBatch.mrope_positions selects which of
+        # the three position streams indexes each band (reference
+        # MRotaryEmbedding, rotary_embedding.py:726). HF 4.5x rewrites
+        # rope type "mrope" to "default", so detect by section presence.
+        self.mrope_section: Optional[Tuple[int, ...]] = None
+        if self.rope_scaling and self.rope_scaling.get("mrope_section"):
+            self.mrope_section = tuple(
+                int(s) for s in self.rope_scaling["mrope_section"])
+            if sum(self.mrope_section) != self.rotary_dim // 2:
+                raise ValueError(
+                    f"mrope_section {self.mrope_section} must sum to "
+                    f"rotary_dim/2 ({self.rotary_dim // 2})")
         self._cos, self._sin = compute_rope_tables(
             self.rotary_dim,
             self.max_position,
@@ -490,8 +503,21 @@ class LlamaForCausalLM:
         if self.embedding_norm:
             x = self._norm(x, params["embed_norm"],
                            params.get("embed_norm_b")).astype(self.dtype)
-        cos = self._cos[batch.positions]  # [T, D/2]
-        sin = self._sin[batch.positions]
+        if batch.mrope_positions is not None and self.mrope_section:
+            # Section-wise gather: band i takes its cos/sin from the
+            # T/H/W position stream assigned to it.
+            bounds = np.cumsum((0,) + self.mrope_section)
+            cos = jnp.concatenate([
+                self._cos[batch.mrope_positions[i]][:, bounds[i]:bounds[i + 1]]
+                for i in range(3)
+            ], axis=-1)
+            sin = jnp.concatenate([
+                self._sin[batch.mrope_positions[i]][:, bounds[i]:bounds[i + 1]]
+                for i in range(3)
+            ], axis=-1)
+        else:
+            cos = self._cos[batch.positions]  # [T, D/2]
+            sin = self._sin[batch.positions]
 
         layer_params = params["layers"]
         has_bias = "bq" in layer_params

@@ -87,6 +87,8 @@ _LAZY_REGISTRY = {
         _lazy("chatglm", "ChatGLMForConditionalGeneration"),
     "ChatGLMModel": _lazy("chatglm", "ChatGLMForConditionalGeneration"),
     "EAGLEModel": _lazy("eagle", "EAGLEModel"),
+    "Qwen2VLForConditionalGeneration":
+        _lazy("qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "JAISLMHeadModel": _lazy("jais", "JAISLMHeadModel"),
     "PhiMoEForCausalLM": _lazy("phimoe", "PhiMoEForCausalLM"),
     "PhimoeForCausalLM": _lazy("phimoe", "PhiMoEForCausalLM"),
@@ -148,6 +150,15 @@ def get_supported_archs():
 
 def get_model_class(model_config: ModelConfig):
     arch = model_config.architecture
+    if arch == "LlavaForConditionalGeneration":
+        # HF-format Pixtral ships under the Llava composite arch with a
+        # pixtral vision tower (e.g. mistral-community/pixtral-12b).
+        vc = model_config.hf_config.get("vision_config") or {}
+        if vc.get("model_type") == "pixtral":
+            from aphrodite_tpu.models.pixtral import (
+                PixtralForConditionalGeneration)
+
+            return PixtralForConditionalGeneration
     if arch in _MODEL_REGISTRY:
         return _MODEL_REGISTRY[arch]
     if arch in _LAZY_REGISTRY:

@@ -142,6 +142,11 @@ class ModelRunner:
 
         self.attention_free = getattr(self.model, "is_attention_free",
                                       False)
+        # M-RoPE (Qwen2-VL): prefill rope positions come from the
+        # per-sequence [3, L] table; decode rope positions are
+        # seq_pos + per-sequence delta.
+        self.model_is_mrope = getattr(self.model, "mrope_section",
+                                      None) is not None
         if self.attention_free:
             # SSM models carry ONE state slot per sequence instead of
             # paged KV. Mapping: block_size = max_model_len makes the
@@ -573,7 +578,8 @@ class ModelRunner:
         block_size = self.block_size
 
         def one_iteration(carry, step_idx, params, page_indices,
-                          kv_capacity, num_seqs, tensors, step_offset):
+                          kv_capacity, num_seqs, tensors, step_offset,
+                          rope_delta):
             kv_pages, token_ids, positions = carry
             S = token_ids.shape[0]
             rows = jnp.arange(S, dtype=jnp.int32)
@@ -599,6 +605,11 @@ class ModelRunner:
                 cu_q_lens=None,
                 num_seqs=num_seqs,
                 logits_indices=rows,
+                # Decode rope positions for mrope models: all three
+                # streams equal seq_pos + per-sequence delta.
+                mrope_positions=(jnp.broadcast_to(
+                    (pos + rope_delta)[None, :], (3, S))
+                    if self.model_is_mrope else None),
             )
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
@@ -614,12 +625,13 @@ class ModelRunner:
 
         def multi_step(params, kv_pages, token_ids, positions,
                        page_indices, kv_capacity, num_seqs, tensors,
-                       step_offset):
+                       step_offset, rope_delta=None):
             body = functools.partial(one_iteration, params=params,
                                      page_indices=page_indices,
                                      kv_capacity=kv_capacity,
                                      num_seqs=num_seqs, tensors=tensors,
-                                     step_offset=step_offset)
+                                     step_offset=step_offset,
+                                     rope_delta=rope_delta)
             (kv_pages, last_tokens, last_pos), outs = jax.lax.scan(
                 lambda c, i: body(c, i),
                 (kv_pages, token_ids, positions),
@@ -695,6 +707,8 @@ class ModelRunner:
 
         embeds_override = None
         embeds_mask = None
+        mrope = (np.zeros((3, T), np.int32) if self.model_is_mrope
+                 else None)
 
         offset = 0
         bs = self.block_size
@@ -722,6 +736,14 @@ class ModelRunner:
                     embeds_mask[dst:dst + hi - lo] = True
             pos = np.arange(first, first + n)
             positions[offset:offset + n] = pos
+            if mrope is not None:
+                tbl = seq.mrope_table
+                chunk = np.broadcast_to(pos + seq.mrope_delta,
+                                        (3, n)).copy()
+                if tbl is not None:
+                    inb = pos < tbl.shape[1]
+                    chunk[:, inb] = tbl[:, pos[inb]]
+                mrope[:, offset:offset + n] = chunk
             table = np.asarray(ss.block_ids, np.int32)
             slot_mapping[offset:offset + n] = (table[pos // bs] * bs +
                                                pos % bs)
@@ -752,6 +774,8 @@ class ModelRunner:
                              jnp.asarray(embeds_override)),
             embeds_mask=(None if embeds_mask is None else
                          jnp.asarray(embeds_mask)),
+            mrope_positions=(None if mrope is None else
+                             jnp.asarray(mrope)),
         )
 
     # ------------------------------------------------------------------
@@ -951,8 +975,12 @@ class ModelRunner:
         # Speculative (n-gram) decode: pure-decode batches (greedy rows
         # accept by argmax match; stochastic rows use exact rejection
         # sampling under the shaped distribution).
+        # Speculation is gated off for mrope models: the fused spec
+        # programs build decode batches in-graph without the per-seq
+        # rope delta (reference likewise has no mrope spec support).
         spec = self.config.speculative_config
         if (spec is not None and outputs.num_prefill_tokens == 0
+                and not self.model_is_mrope
                 and not flags.needs_history
                 and not flags.do_min_tokens and not flags.do_banned_tokens
                 and not flags.do_beam and not flags.do_guided
@@ -1767,6 +1795,12 @@ class ModelRunner:
             page_indices[i, :len(table)] = table
             kv_capacity[i] = len(table) * self.block_size
         num_seqs = jnp.asarray([len(scheduled)], np.int32)
+        rope_delta = None
+        if self.model_is_mrope:
+            rd = np.zeros((S,), np.int32)
+            for i, ss in enumerate(scheduled):
+                rd[i] = ss.seq.mrope_delta
+            rope_delta = jnp.asarray(rd)
 
         W = min(num_steps, self.MULTI_STEP_WINDOW)
         num_windows = cdiv(num_steps, W)
@@ -1780,7 +1814,7 @@ class ModelRunner:
             self.kv_pages, tok_dev, pos_dev, packed = fn(
                 self.params, self.kv_pages, tok_dev, pos_dev, pages_dev,
                 cap_dev, num_seqs, tensors_dev,
-                jnp.asarray(w * W, jnp.int32))
+                jnp.asarray(w * W, jnp.int32), rope_delta)
             window_outs.append(packed)
 
         n = len(scheduled)
