@@ -167,10 +167,11 @@ class AphroditeEngine:
                             np.asarray(v, np.float32).tobytes())
                 else:
                     px = np.asarray(im, np.float32)
-                    if px.ndim != 3 or px.shape[0] != 3:
+                    if px.ndim not in (3, 4) or px.shape[-3] != 3:
                         raise ValueError(
                             "each image must be preprocessed "
-                            "pixel_values [3, height, width]; got "
+                            "pixel_values [3, height, width] (or a "
+                            "[n_tiles, 3, h, w] tile stack); got "
                             f"{px.shape}")
                     hash_parts.append(px.tobytes())
                 feats_list.append(

@@ -87,6 +87,14 @@ _LAZY_REGISTRY = {
         _lazy("chatglm", "ChatGLMForConditionalGeneration"),
     "ChatGLMModel": _lazy("chatglm", "ChatGLMForConditionalGeneration"),
     "EAGLEModel": _lazy("eagle", "EAGLEModel"),
+    "Blip2ForConditionalGeneration":
+        _lazy("blip2", "Blip2ForConditionalGeneration"),
+    "ChameleonForConditionalGeneration":
+        _lazy("chameleon", "ChameleonForConditionalGeneration"),
+    "ChameleonForCausalLM":
+        _lazy("chameleon", "ChameleonForConditionalGeneration"),
+    "InternVLForConditionalGeneration":
+        _lazy("internvl", "InternVLForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration":
         _lazy("qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "JAISLMHeadModel": _lazy("jais", "JAISLMHeadModel"),
