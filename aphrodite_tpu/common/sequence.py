@@ -111,6 +111,11 @@ class Sequence:
         # mrope models with images.
         self.mrope_table: Optional[Any] = None
         self.mrope_delta: int = 0
+        # Encoder-decoder: the encoder-side prompt. The regular
+        # prompt_token_ids hold the DECODER prompt (usually just
+        # decoder_start_token_id); cross-attention blocks are allocated
+        # by the block manager alongside the decoder blocks.
+        self.encoder_token_ids: Optional[List[int]] = None
         # Sibling index within a seeded n>1 request (distinct PRNG
         # streams; see model_runner._offset_seed).
         self.seed_offset: int = 0
@@ -327,6 +332,9 @@ class ScheduledSequence:
     # Does this step produce a sampled token (i.e., is the last prompt chunk
     # or a decode step)?
     do_sample: bool
+    # Encoder-decoder: device block ids backing the sequence's CROSS
+    # (encoder) KV, in order; None for decoder-only models.
+    cross_block_ids: Optional[List[int]] = None
 
 
 @dataclass

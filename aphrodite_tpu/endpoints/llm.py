@@ -129,12 +129,17 @@ class LLM:
             ids = (prompt_token_ids[i]
                    if prompt_token_ids is not None else None)
             mm_data = None
+            dec_ids = None
             if isinstance(prompt, dict):
                 # vLLM-style multimodal input: {"prompt": ... |
                 # "prompt_token_ids": ..., "multi_modal_data":
                 # {"image": pixel_values}} (reference inputs/data.py).
+                # Encoder-decoder requests may add
+                # "decoder_prompt_token_ids" (the main prompt feeds the
+                # encoder).
                 mm_data = prompt.get("multi_modal_data")
                 ids = prompt.get("prompt_token_ids", ids)
+                dec_ids = prompt.get("decoder_prompt_token_ids")
                 prompt = prompt.get("prompt")
             self.engine.add_request(
                 request_id=rid,
@@ -143,6 +148,7 @@ class LLM:
                 prompt_token_ids=ids,
                 lora_request=lora_request,
                 multi_modal_data=mm_data,
+                decoder_prompt_token_ids=dec_ids,
             )
         return self._run_engine(request_ids, use_tqdm)
 

@@ -100,6 +100,7 @@ class AphroditeEngine:
         lora_request: Optional[Any] = None,
         prompt_adapter_request: Optional[Any] = None,
         multi_modal_data: Optional[Dict[str, Any]] = None,
+        decoder_prompt_token_ids: Optional[List[int]] = None,
     ) -> None:
         if lora_request is not None and self.runner.lora_manager is None:
             raise ValueError(
@@ -129,6 +130,23 @@ class AphroditeEngine:
             virtual = self.runner.prompt_adapter_manager.\
                 virtual_token_ids(prompt_adapter_request)
             prompt_token_ids = virtual + list(prompt_token_ids)
+        # Encoder-decoder: the PROMPT feeds the encoder; the decoder
+        # stream starts from decoder_start_token_id unless an explicit
+        # decoder prompt is given (reference enc-dec input processing,
+        # inputs/preprocess.py).
+        encoder_token_ids = None
+        if getattr(self.runner.model, "is_encoder_decoder", False):
+            encoder_token_ids = list(prompt_token_ids)
+            if decoder_prompt_token_ids:
+                prompt_token_ids = list(decoder_prompt_token_ids)
+            else:
+                prompt_token_ids = [
+                    self.runner.model.decoder_start_token_id
+                ]
+        elif decoder_prompt_token_ids:
+            raise ValueError(
+                "decoder_prompt_token_ids is only valid for "
+                "encoder-decoder models")
         sampling_params = sampling_params.clone()
         sampling_params.update_from_generation_config(
             self._generation_config, self.eos_token_id)
@@ -253,6 +271,8 @@ class AphroditeEngine:
             if mrope_table is not None:
                 seq.mrope_table = mrope_table
                 seq.mrope_delta = mrope_delta
+            if encoder_token_ids is not None:
+                seq.encoder_token_ids = encoder_token_ids
             # Distinct PRNG stream per sibling when a seed is set.
             seq.seed_offset = sub_idx
             seqs.append(seq)

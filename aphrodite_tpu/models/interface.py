@@ -41,6 +41,11 @@ class ForwardBatch(NamedTuple):
     # once at request-add time, prefill consumes the cached features.
     embeds_override: Optional[jax.Array] = None  # [T, H] model dtype
     embeds_mask: Optional[jax.Array] = None  # bool[T]
+    # Encoder-decoder (BART): per-sequence CROSS-attention page table +
+    # encoder lengths. Cross KV is written once by the encoder program
+    # and read-only afterwards (worker/model_runner.py enc-dec path).
+    cross_page_indices: Optional[jax.Array] = None  # i32[S, enc_pages]
+    cross_kv_lens: Optional[jax.Array] = None  # i32[S]
     # M-RoPE (Qwen2-VL): absolute [3, T] temporal/height/width rope
     # positions (per-sequence position delta already applied). When set,
     # models with an mrope_section use it for the rotary lookup instead

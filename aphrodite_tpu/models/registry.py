@@ -95,6 +95,11 @@ _LAZY_REGISTRY = {
         _lazy("chameleon", "ChameleonForConditionalGeneration"),
     "InternVLForConditionalGeneration":
         _lazy("internvl", "InternVLForConditionalGeneration"),
+    "BartForConditionalGeneration":
+        _lazy("bart", "BartForConditionalGeneration"),
+    "BartModel": _lazy("bart", "BartForConditionalGeneration"),
+    "MBartForConditionalGeneration":
+        _lazy("bart", "MBartForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration":
         _lazy("qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "JAISLMHeadModel": _lazy("jais", "JAISLMHeadModel"),

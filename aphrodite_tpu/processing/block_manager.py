@@ -104,6 +104,9 @@ class BlockManager:
         self._cached: Dict[int, int] = {}
         self._evictor = LRUEvictor()
         self.block_tables: Dict[int, List[int]] = {}
+        # Encoder-decoder CROSS-attention blocks (written once by the
+        # encoder pass, read-only after; never hashed/prefix-cached).
+        self.cross_block_tables: Dict[int, List[int]] = {}
         self.metrics = CacheMetrics()
         self._time = 0.0
 
@@ -156,6 +159,10 @@ class BlockManager:
     def can_allocate(self, seq: Sequence, num_lookahead_slots: int = 0) -> bool:
         num_needed = cdiv(seq.get_len() + num_lookahead_slots,
                           self.block_size)
+        if seq.encoder_token_ids and seq.seq_id not in \
+                self.cross_block_tables:
+            num_needed += cdiv(len(seq.encoder_token_ids),
+                               self.block_size)
         if self.enable_prefix_caching:
             # Cached full blocks do not consume new capacity, but we check
             # conservatively against the worst case.
@@ -205,6 +212,13 @@ class BlockManager:
                 block = self._allocate_raw_block()
                 table.append(block.block_id)
         self.block_tables[seq.seq_id] = table
+        if seq.encoder_token_ids and seq.seq_id not in \
+                self.cross_block_tables:
+            n_cross = cdiv(len(seq.encoder_token_ids), self.block_size)
+            self.cross_block_tables[seq.seq_id] = [
+                self._allocate_raw_block().block_id
+                for _ in range(n_cross)
+            ]
         # Never report the *entire* prompt as cached: the last token must be
         # recomputed to produce logits (reference model_runner.py:518).
         if num_cached_tokens >= num_tokens:
@@ -247,6 +261,10 @@ class BlockManager:
         return cow
 
     def free(self, seq: Sequence) -> None:
+        cross = self.cross_block_tables.pop(seq.seq_id, None)
+        if cross is not None:
+            for block_id in reversed(cross):
+                self._free_block(block_id)
         table = self.block_tables.pop(seq.seq_id, None)
         if table is None:
             return
@@ -260,9 +278,19 @@ class BlockManager:
         for block_id in table:
             self._blocks[block_id].ref_count += 1
         self.block_tables[child.seq_id] = list(table)
+        cross = self.cross_block_tables.get(parent.seq_id)
+        if cross is not None:
+            # Cross KV is read-only after the encoder pass: siblings
+            # share it for their whole lifetime (no CoW needed).
+            for block_id in cross:
+                self._blocks[block_id].ref_count += 1
+            self.cross_block_tables[child.seq_id] = list(cross)
 
     def get_block_table(self, seq: Sequence) -> List[int]:
         return self.block_tables[seq.seq_id]
+
+    def get_cross_block_table(self, seq: Sequence) -> Optional[List[int]]:
+        return self.cross_block_tables.get(seq.seq_id)
 
     def mark_computed(self, seq: Sequence) -> None:
         """After a model step wrote KV for all tokens < num_computed_tokens,

@@ -226,6 +226,8 @@ class Scheduler:
                     block_ids=self.block_manager.get_block_table(seq),
                     do_sample=(seq.num_computed_tokens +
                                num_new_tokens >= seq.get_len()),
+                    cross_block_ids=self.block_manager.
+                    get_cross_block_table(seq),
                 ))
             num_prefill_tokens += num_new_tokens
 
@@ -297,6 +299,8 @@ class Scheduler:
                     block_ids=self.block_manager.get_block_table(seq),
                     do_sample=(seq.num_computed_tokens + num_new >=
                                seq.get_len()),
+                    cross_block_ids=self.block_manager.
+                    get_cross_block_table(seq),
                 ))
         return scheds, preempted
 

@@ -147,6 +147,14 @@ class ModelRunner:
         # seq_pos + per-sequence delta.
         self.model_is_mrope = getattr(self.model, "mrope_section",
                                       None) is not None
+        # Encoder-decoder (BART): cross-attention KV pages written once
+        # per sequence by the encoder program, read-only afterwards.
+        self.is_encdec = getattr(self.model, "is_encoder_decoder", False)
+        self.cross_kv: Optional[jax.Array] = None
+        if self.is_encdec:
+            # Decoder blocks are never content-shareable across different
+            # encoder inputs.
+            self.cache_config.enable_prefix_caching = False
         if self.attention_free:
             # SSM models carry ONE state slot per sequence instead of
             # paged KV. Mapping: block_size = max_model_len makes the
@@ -305,6 +313,10 @@ class ModelRunner:
             # Per-page feature-carry row (eagle_carry: [num_pages+1, H]).
             total += (self.model_config.get_hidden_size() *
                       jnp.dtype(self.model_config.dtype).itemsize)
+        if self.is_encdec:
+            cckv, ccd = self.model.cross_kv_cache_shape_suffix
+            total += (self.model.num_layers * self.block_size * cckv *
+                      ccd * itemsize) // tp
         return total
 
     def determine_num_pages(self) -> int:
@@ -373,6 +385,11 @@ class ModelRunner:
                     jnp.zeros(dshape, dtype=ddtype), dsharding)
             else:
                 self.draft_kv = jnp.zeros(dshape, dtype=ddtype)
+        if self.is_encdec:
+            cckv, ccd = self.model.cross_kv_cache_shape_suffix
+            cshape = (self.model.num_layers, num_pages + 1,
+                      self.block_size, cckv, ccd)
+            self.cross_kv = jnp.zeros(cshape, dtype=self.kv_dtype)
         if self.eagle:
             # Per-sequence target-hidden carry, keyed by first KV page;
             # the trailing row is the trash key for padding rows.
@@ -440,10 +457,11 @@ class ModelRunner:
         def step(params, kv_pages, batch: ForwardBatch, tensors, history,
                  history_lens, prompt_lens, target_ids, guided_mask,
                  lora, dparams=None, draft_kv=None, eagle_carry=None,
-                 carry_keys=None):
+                 carry_keys=None, cross_kv=None):
+            fwd_kwargs = {"cross_kv": cross_kv} if self.is_encdec else {}
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
-                kv_scales=self.kv_scales, lora=lora)
+                kv_scales=self.kv_scales, lora=lora, **fwd_kwargs)
             hs = hidden[batch.logits_indices]  # [S, H]
             logits = self.model.compute_logits(params, hs)
             out = sample(logits, tensors, flags, history, history_lens,
@@ -484,10 +502,11 @@ class ModelRunner:
 
         def logits_step(params, kv_pages, batch: ForwardBatch, target_ids,
                         lora, dparams=None, draft_kv=None, eagle_carry=None,
-                        carry_keys=None):
+                        carry_keys=None, cross_kv=None):
+            fwd_kwargs = {"cross_kv": cross_kv} if self.is_encdec else {}
             kv_pages, hidden = self.model.forward(
                 params, kv_pages, batch, mesh=self.mesh,
-                kv_scales=self.kv_scales, lora=lora)
+                kv_scales=self.kv_scales, lora=lora, **fwd_kwargs)
             hs = hidden[batch.logits_indices]
             logits = self.model.compute_logits(params, hs)
             prompt_out = None
@@ -690,6 +709,37 @@ class ModelRunner:
         px = np.asarray(item, np.float32)
         return self.encode_image(px[None])[0]
 
+    def _run_encoder(self, ss: ScheduledSequence) -> None:
+        """One encoder pass for a sequence entering prefill: computes
+        encoder hidden states and scatters every decoder layer's cross
+        K/V into the sequence's cross pages (reference
+        enc_dec_model_runner.py; the write happens ONCE — decoder steps
+        only read)."""
+        enc_ids = ss.seq.encoder_token_ids
+        E = len(enc_ids)
+        Ep = _pad_to_bucket(E, self.history_buckets)
+        tokens = np.zeros((Ep,), np.int32)
+        tokens[:E] = enc_ids
+        positions = np.zeros((Ep,), np.int32)
+        positions[:E] = np.arange(E)
+        bs = self.block_size
+        table = np.asarray(ss.cross_block_ids, np.int32)
+        slots = np.full((Ep,), self.trash_slot_base, np.int32)
+        pos = np.arange(E)
+        slots[:E] = table[pos // bs] * bs + pos % bs
+        if Ep > E:
+            slots[E:] = (self.trash_slot_base +
+                         np.arange(Ep - E) % bs)
+        fn = self._multi_step_fns.get("encode")
+        if fn is None:
+            fn = jax.jit(self.model.encode_and_write_cross,
+                         donate_argnums=(1,))
+            self._multi_step_fns["encode"] = fn
+        self.cross_kv = fn(self.params, self.cross_kv,
+                           jnp.asarray(tokens), jnp.asarray(positions),
+                           jnp.asarray(slots),
+                           jnp.asarray([E], np.int32))
+
     def build_forward_batch(
         self,
         scheduled: List[ScheduledSequence],
@@ -709,6 +759,21 @@ class ModelRunner:
         embeds_mask = None
         mrope = (np.zeros((3, T), np.int32) if self.model_is_mrope
                  else None)
+        cross_pages = cross_lens = None
+        if self.is_encdec:
+            # Cross-table width bucketed on the batch's max encoder
+            # length (bounds recompiles; keeps the cross-KV gather
+            # proportional to actual encoder lengths).
+            max_enc = max((len(ss.seq.encoder_token_ids or [1])
+                           for ss in scheduled), default=1)
+            w = cdiv(_pad_to_bucket(max_enc, self.history_buckets),
+                     self.block_size)
+            cross_pages = np.zeros((S, w), np.int32)
+            cross_lens = np.zeros((S,), np.int32)
+            for i, ss in enumerate(scheduled):
+                ct = ss.cross_block_ids or []
+                cross_pages[i, :len(ct)] = ct
+                cross_lens[i] = len(ss.seq.encoder_token_ids or [])
 
         offset = 0
         bs = self.block_size
@@ -776,6 +841,10 @@ class ModelRunner:
                          jnp.asarray(embeds_mask)),
             mrope_positions=(None if mrope is None else
                              jnp.asarray(mrope)),
+            cross_page_indices=(None if cross_pages is None else
+                                jnp.asarray(cross_pages)),
+            cross_kv_lens=(None if cross_lens is None else
+                           jnp.asarray(cross_lens)),
         )
 
     # ------------------------------------------------------------------
@@ -872,6 +941,13 @@ class ModelRunner:
             return self._execute_attention_free(outputs)
         if outputs.blocks_to_copy:
             self._apply_block_copies(outputs.blocks_to_copy)
+        if self.is_encdec:
+            # Run the encoder for sequences entering their first prefill
+            # chunk: one program per encoder-length bucket writes the
+            # cross-attention KV pages (read-only afterwards).
+            for ss in scheduled:
+                if ss.first_token_idx == 0 and ss.seq.encoder_token_ids:
+                    self._run_encoder(ss)
         S = _pad_to_bucket(len(scheduled), self.seq_buckets)
 
         rows = []
@@ -961,6 +1037,7 @@ class ModelRunner:
         # depend on per-step host state (token history / min_tokens /
         # guided FSM advancement); LoRA routing is per-batch host work.
         multi_ok = (num_steps > 1 and outputs.num_prefill_tokens == 0
+                    and not self.is_encdec
                     and not flags.needs_history
                     and not flags.do_min_tokens and not flags.do_beam
                     and not flags.do_guided and not has_lora
@@ -980,7 +1057,7 @@ class ModelRunner:
         # rope delta (reference likewise has no mrope spec support).
         spec = self.config.speculative_config
         if (spec is not None and outputs.num_prefill_tokens == 0
-                and not self.model_is_mrope
+                and not self.model_is_mrope and not self.is_encdec
                 and not flags.needs_history
                 and not flags.do_min_tokens and not flags.do_banned_tokens
                 and not flags.do_beam and not flags.do_guided
@@ -1051,7 +1128,7 @@ class ModelRunner:
              self.eagle_carry) = logits_fn(
                  self.params, self.kv_pages, batch, target_ids,
                  lora_params, self.draft_params, self.draft_kv,
-                 self.eagle_carry, carry_keys)
+                 self.eagle_carry, carry_keys, self.cross_kv)
             logits_np = np.asarray(logits).astype(np.float32, copy=True)
             logits_np = self._apply_logits_processors(logits_np, scheduled)
             out = self._get_sample_fn(flags)(
@@ -1065,7 +1142,7 @@ class ModelRunner:
                  self.params, self.kv_pages, batch, tensors_dev, history,
                  history_lens, prompt_lens, target_ids, guided_mask,
                  lora_params, self.draft_params, self.draft_kv,
-                 self.eagle_carry, carry_keys)
+                 self.eagle_carry, carry_keys, self.cross_kv)
 
         n = len(scheduled)
         prompt_np = None
