@@ -69,7 +69,8 @@ class ModelConfig:
         if not self.hf_config:
             self.hf_config = _read_hf_config(self.model)
         if ("text_config" in self.hf_config
-                and "vision_config" in self.hf_config):
+                and ("vision_config" in self.hf_config
+                     or "audio_config" in self.hf_config)):
             # Multimodal composite config (LLaVA-style): hoist the text
             # config's fields so the derived accessors (hidden size, kv
             # heads, vocab...) describe the language model, keeping the

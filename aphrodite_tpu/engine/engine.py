@@ -165,9 +165,11 @@ class AphroditeEngine:
                 raise ValueError(
                     f"model {self.model_config.architecture} does not "
                     "accept multi_modal_data")
-            image = multi_modal_data.get("image")
+            modality = getattr(model, "modality", "image")
+            image = multi_modal_data.get(modality)
             if image is None:
-                raise ValueError("multi_modal_data must carry 'image'")
+                raise ValueError(
+                    f"multi_modal_data must carry {modality!r}")
             images = list(image) if isinstance(image, (list, tuple)) \
                 else [image]
             import numpy as np
@@ -185,7 +187,8 @@ class AphroditeEngine:
                             np.asarray(v, np.float32).tobytes())
                 else:
                     px = np.asarray(im, np.float32)
-                    if px.ndim not in (3, 4) or px.shape[-3] != 3:
+                    if modality == "image" and (
+                            px.ndim not in (3, 4) or px.shape[-3] != 3):
                         raise ValueError(
                             "each image must be preprocessed "
                             "pixel_values [3, height, width] (or a "

@@ -328,6 +328,10 @@ def place_params_on_mesh(
                 synth_seed[0])
             if synth is not None:
                 return synth
+        # Integer leaves (index tables like EAGLE's token_map) keep
+        # their dtype; only float weights cast to the model dtype.
+        if cast and not np.issubdtype(arr.dtype, np.floating):
+            cast = False
         target = jnp.asarray(arr, dtype=dtype) if cast else jnp.asarray(arr)
         if mesh is not None:
             return jax.device_put(target, NamedSharding(mesh, spec))

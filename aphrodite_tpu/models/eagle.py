@@ -43,26 +43,47 @@ class EAGLEModel(LlamaForCausalLM):
             for k, v in nested.items():
                 hf.setdefault(k, v)
         tv = hf.get("truncated_vocab_size")
+        self.truncated_vocab: Optional[int] = None
         if tv not in (None, hf.get("vocab_size")):
-            raise NotImplementedError(
-                "EAGLE token_map / truncated vocab not supported yet")
+            # Draft vocab truncated to the top-k most frequent tokens;
+            # the checkpoint carries a `token_map` tensor mapping draft
+            # logit rows to full-vocab ids (reference eagle.py:100-113:
+            # full logits are -inf outside the map).
+            self.truncated_vocab = int(tv)
         super().__init__(model_config, parallel_config)
 
     def param_shapes(self) -> Dict[str, Any]:
         shapes = super().param_shapes()
         H = self.hidden_size
         shapes["fc"] = (2 * H, H)
+        if self.truncated_vocab:
+            shapes["lm_head"] = (H, self.truncated_vocab)
+            shapes["token_map"] = (self.truncated_vocab,)
         return shapes
 
     def param_shardings(self) -> Dict[str, Any]:
         specs = super().param_shardings()
         specs["fc"] = P()
+        if self.truncated_vocab:
+            specs["token_map"] = P()
         return specs
 
     def hf_global_mappings(self) -> List[Tuple[str, str, bool]]:
         maps = super().hf_global_mappings()
         maps.append(("fc.weight", "fc", True))
+        if self.truncated_vocab:
+            maps.append(("token_map", "token_map", False))
         return maps
+
+    def compute_logits(self, params: Dict[str, Any],
+                       hidden: jax.Array) -> jax.Array:
+        logits = super().compute_logits(params, hidden)
+        if not self.truncated_vocab:
+            return logits
+        neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+        full = jnp.full((*logits.shape[:-1], self.vocab_size), neg,
+                        logits.dtype)
+        return full.at[..., params["token_map"]].set(logits)
 
     def finalize_params(self, params: Dict[str, Any]) -> None:
         # EAGLE checkpoints trained without a final norm may omit

@@ -100,6 +100,7 @@ _LAZY_REGISTRY = {
     "BartModel": _lazy("bart", "BartForConditionalGeneration"),
     "MBartForConditionalGeneration":
         _lazy("bart", "MBartForConditionalGeneration"),
+    "UltravoxModel": _lazy("ultravox", "UltravoxModel"),
     "Qwen2VLForConditionalGeneration":
         _lazy("qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "JAISLMHeadModel": _lazy("jais", "JAISLMHeadModel"),

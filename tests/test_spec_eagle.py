@@ -118,6 +118,25 @@ def test_eagle_spec_is_lossless_greedy(target_dir, eagle_nonorm_dir):
     assert got == expect
 
 
+def test_eagle_token_map_lossless_greedy(target_dir, tmp_path_factory):
+    """Truncated-vocab drafts (token_map) stay lossless: proposals are
+    full-vocab ids, verification is exact regardless."""
+    from tests.utils import make_tiny_eagle_checkpoint
+
+    path = str(tmp_path_factory.mktemp("tiny_eagle_tmap"))
+    make_tiny_eagle_checkpoint(path, seed=11, truncated_vocab=128)
+    sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
+    prompts = ["one two three one two three one two"]
+    base = LLM(model=target_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8)
+    expect = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    spec = LLM(model=target_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8,
+               speculative_model=path, num_speculative_tokens=3)
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    assert got == expect
+
+
 def test_eagle_spec_stochastic_runs(target_dir, eagle_dir):
     llm = LLM(model=target_dir, dtype="float32", max_num_seqs=4,
               num_device_blocks_override=128, block_size=8,

@@ -78,7 +78,8 @@ def make_tiny_llama_checkpoint(save_dir: str, seed: int = 0,
 
 def make_tiny_eagle_checkpoint(save_dir: str, seed: int = 7,
                                num_hidden_layers: int = 1,
-                               include_norm: bool = True) -> None:
+                               include_norm: bool = True,
+                               truncated_vocab: int = 0) -> None:
     """EAGLE draft checkpoint over the tiny-llama target geometry, in
     the vLLM-compatible layout (fc.weight + model.* + lm_head.weight;
     reference eagle.py:120 load_weights) with EAGLEConfig's nested
@@ -104,13 +105,19 @@ def make_tiny_eagle_checkpoint(save_dir: str, seed: int = 7,
     # behaves llama-like instead of emitting pure noise.
     fc[:, :H] += torch.eye(H)
     sd["fc.weight"] = fc
+    if truncated_vocab:
+        # Top-k frequent-token draft vocab: lm_head shrinks to the
+        # mapped rows and token_map carries their full-vocab ids.
+        token_map = torch.arange(0, 2 * truncated_vocab, 2)
+        sd["token_map"] = token_map
+        sd["lm_head.weight"] = sd["lm_head.weight"][token_map].contiguous()
     os.makedirs(save_dir, exist_ok=True)
     save_file(sd, os.path.join(save_dir, "model.safetensors"))
     cfg = {
         "architectures": ["EAGLEModel"],
         "model_type": "eagle",
         "model": json.loads(LlamaConfig(**kwargs).to_json_string()),
-        "truncated_vocab_size": kwargs["vocab_size"],
+        "truncated_vocab_size": truncated_vocab or kwargs["vocab_size"],
         "vocab_size": kwargs["vocab_size"],
     }
     with open(os.path.join(save_dir, "config.json"), "w") as f:
