@@ -384,10 +384,9 @@ class EngineConfig:
                 raise ValueError(
                     f"num_hidden_layers ({layers}) must be divisible by "
                     f"pipeline_parallel_size ({pp})")
-            if tp != 1:
-                raise ValueError(
-                    "combined pipeline x tensor parallelism is not wired "
-                    "yet; use pp with tp=1 (or tp alone)")
+            # Combined pp x tp: the pipe stage body is a partial-manual
+            # shard_map over {"pipe"}; the attention/MoE ops open nested
+            # partial-manual shard_maps over {"model"} inside it.
 
     def max_pages_per_seq(self) -> int:
         return cdiv(self.model_config.max_model_len,

@@ -521,11 +521,11 @@ class LlamaForCausalLM:
 
         layer_params = params["layers"]
         has_bias = "bq" in layer_params
-        # Under pipeline parallelism the layer body runs inside a manual
-        # "pipe" shard_map; tp is 1 there (config-validated), so the
-        # attention op must not open its own nested "model" shard_map.
-        inner_mesh = mesh if \
-            self.parallel_config.pipeline_parallel_size == 1 else None
+        # Under pipeline parallelism the layer body runs inside a
+        # partial-manual {"pipe"} shard_map; the attention op's own
+        # {"model"} shard_map nests inside it (pp x tp), so the mesh
+        # passes through either way.
+        inner_mesh = mesh
 
         use_lora = lora is not None and batch.lora_sorted_idx is not None
 

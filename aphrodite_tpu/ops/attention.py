@@ -33,6 +33,18 @@ from aphrodite_tpu.ops.decode_attention import (
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _smap_mesh(mesh):
+    """Mesh to hand a nested partial-manual shard_map: inside an
+    enclosing manual region (the pp stage body) JAX requires the
+    CONTEXT abstract mesh (with "pipe" already Manual) instead of the
+    concrete mesh."""
+    am = jax.sharding.get_abstract_mesh()
+    if not am.empty and am._any_axis_manual:
+        return am
+    return mesh
+
+
+
 def ref_ragged_paged_attention(
     q: jax.Array,  # [T, num_q_heads, head_dim]
     kv_pages: jax.Array,  # [num_pages, page_size, 2*num_kv_heads, head_dim]
@@ -244,7 +256,7 @@ def ragged_paged_attention(
             ref_ragged_paged_attention(
                 q_, kv_, kl_, pi_, cq_, ns_,
                 **{**base_kwargs, "bs_head_offsets": off_, "bs_on": on_}),
-            mesh=mesh,
+            mesh=_smap_mesh(mesh),
             in_specs=(
                 P(None, "model", None),
                 P(None, None, "model", None),
@@ -252,6 +264,7 @@ def ragged_paged_attention(
                 P("model"), P(),
             ),
             out_specs=P(None, "model", None),
+            axis_names={"model"},
             check_vma=False,
         )
         return fn(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
@@ -264,7 +277,7 @@ def ragged_paged_attention(
             lambda q_, kv_, kl_, pi_, cq_, ns_, sl_: alibi_impl(
                 q_, kv_, kl_, pi_, cq_, ns_, **{**kwargs,
                                                 "alibi_slopes": sl_}),
-            mesh=mesh,
+            mesh=_smap_mesh(mesh),
             in_specs=(
                 P(None, "model", None),
                 P(None, None, "model", None),
@@ -272,6 +285,7 @@ def ragged_paged_attention(
                 P("model"),
             ),
             out_specs=P(None, "model", None),
+            axis_names={"model"},
             check_vma=False,
         )
         return fn(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
@@ -279,13 +293,14 @@ def ragged_paged_attention(
 
     fn = jax.shard_map(
         functools.partial(impl, **kwargs),
-        mesh=mesh,
+        mesh=_smap_mesh(mesh),
         in_specs=(
             P(None, "model", None),  # q: heads sharded
             P(None, None, "model", None),  # kv_pages: kv heads sharded
             P(), P(), P(), P(),
         ),
         out_specs=P(None, "model", None),
+        axis_names={"model"},
         check_vma=False,
     )
     return fn(q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs)

@@ -18,6 +18,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from aphrodite_tpu.ops.attention import _smap_mesh
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -174,9 +176,10 @@ def apply_experts(
 
     fn = jax.shard_map(
         shard_fn,
-        mesh=mesh,
+        mesh=_smap_mesh(mesh),
         in_specs=(P(), P("model"), P("model"), P("model"), P(), P()),
         out_specs=P(),
+        axis_names={"model"},
         check_vma=False,
     )
     return fn(x, w1, w3, w2, weights, expert_ids)

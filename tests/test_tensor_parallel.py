@@ -78,6 +78,24 @@ def test_pp2_matches_pp1(tiny_dir):
     assert got == expect
 
 
+def test_pp2_tp2_matches_single(tiny_dir):
+    """Combined pipeline x tensor parallelism: the pipe stage body is a
+    partial-manual shard_map over {"pipe"} with the attention op's
+    {"model"} shard_map nested inside; must match the unsharded engine
+    exactly."""
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    base = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8)
+    expect = [o.outputs[0].token_ids for o in base.generate(PROMPTS, sp)]
+    del base
+
+    both = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8,
+               pipeline_parallel_size=2, tensor_parallel_size=2)
+    got = [o.outputs[0].token_ids for o in both.generate(PROMPTS, sp)]
+    assert got == expect
+
+
 def test_tp4_kv_head_padding_matches_tp1(tiny_dir):
     """tp > num_kv_heads replicates KV heads onto shards; the replication
     must REPEAT groups in place ([g1,g1,g2,g2]) so each q-head shard
