@@ -101,6 +101,9 @@ _LAZY_REGISTRY = {
     "MBartForConditionalGeneration":
         _lazy("bart", "MBartForConditionalGeneration"),
     "UltravoxModel": _lazy("ultravox", "UltravoxModel"),
+    "MiniCPMV": _lazy("minicpmv", "MiniCPMV"),
+    "LlavaNextVideoForConditionalGeneration": _lazy(
+        "llava_next_video", "LlavaNextVideoForConditionalGeneration"),
     "Qwen2VLForConditionalGeneration":
         _lazy("qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "JAISLMHeadModel": _lazy("jais", "JAISLMHeadModel"),
