@@ -53,3 +53,43 @@ def log_once(logger: logging.Logger, level: int, msg: str, *args) -> None:
         seen.add(key)
         log_once._seen = seen
         logger.log(level, msg, *args)
+
+
+def enable_trace_function_call(log_file_path: str,
+                               root_dir: str = None) -> None:
+    """Record every aphrodite_tpu-internal function call/return to a
+    file via sys.settrace (reference common/logger.py:138-208,
+    APHRODITE_TRACE_FUNCTION). Heavy — debugging hangs/crashes only."""
+    import datetime
+    import os
+    import sys
+    from functools import partial
+
+    if root_dir is None:
+        root_dir = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+
+    def _trace_calls(log_path, root, frame, event, arg=None):
+        if event in ("call", "return"):
+            filename = frame.f_code.co_filename
+            if not filename.startswith(root):
+                return None
+            try:
+                last = frame.f_back
+                ctx = (f"{last.f_code.co_name} in "
+                       f"{last.f_code.co_filename}:{last.f_lineno}"
+                       if last is not None else "<root>")
+                with open(log_path, "a") as f:
+                    kind = "Call to" if event == "call" else "Return from"
+                    f.write(f"{datetime.datetime.now()} {kind} "
+                            f"{frame.f_code.co_name} in "
+                            f"{filename}:{frame.f_lineno} from {ctx}\n")
+            except NameError:
+                pass  # interpreter shutdown
+        return partial(_trace_calls, log_path, root)
+
+    logging.getLogger("aphrodite_tpu").warning(
+        "function-call tracing is enabled (every internal call/return "
+        "is written to %s); expect a large slowdown and log file",
+        log_file_path)
+    sys.settrace(partial(_trace_calls, log_file_path, root_dir))

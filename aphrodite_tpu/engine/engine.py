@@ -36,6 +36,20 @@ class AphroditeEngine:
         self.model_config = engine_config.model_config
         self.scheduler_config = engine_config.scheduler_config
 
+        # Debug aid (reference APHRODITE_TRACE_FUNCTION,
+        # worker_base.py init): trace every internal call/return.
+        import os as _os
+        if _os.environ.get("APHRODITE_TPU_TRACE_FUNCTION", "0") == "1":
+            import time as _time
+
+            from aphrodite_tpu.common.logger import (
+                enable_trace_function_call)
+
+            path = _os.path.join(
+                _os.environ.get("APHRODITE_TPU_TRACE_DIR", "/tmp"),
+                f"aphrodite_tpu_trace_{int(_time.time())}.log")
+            enable_trace_function_call(path)
+
         if self.model_config.skip_tokenizer_init:
             self.tokenizer = None
             self.eos_token_id = None

@@ -101,6 +101,7 @@ _LAZY_REGISTRY = {
     "MBartForConditionalGeneration":
         _lazy("bart", "MBartForConditionalGeneration"),
     "UltravoxModel": _lazy("ultravox", "UltravoxModel"),
+    "MolmoForCausalLM": _lazy("molmo", "MolmoForCausalLM"),
     "MiniCPMV": _lazy("minicpmv", "MiniCPMV"),
     "LlavaNextVideoForConditionalGeneration": _lazy(
         "llava_next_video", "LlavaNextVideoForConditionalGeneration"),
@@ -167,6 +168,13 @@ def get_supported_archs():
 
 def get_model_class(model_config: ModelConfig):
     arch = model_config.architecture
+    if arch == "QWenLMHeadModel" and isinstance(
+            model_config.hf_config.get("visual"), dict):
+        # Qwen-VL: the same arch string as text QWen, plus a "visual"
+        # config block.
+        from aphrodite_tpu.models.qwen import QWenVL
+
+        return QWenVL
     if arch == "LlavaForConditionalGeneration":
         # HF-format Pixtral ships under the Llava composite arch with a
         # pixtral vision tower (e.g. mistral-community/pixtral-12b).
