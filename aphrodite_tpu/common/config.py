@@ -122,6 +122,16 @@ class ModelConfig:
             qcfg = self.hf_config.get("quantization_config")
             if qcfg:
                 self.quantization = str(qcfg.get("quant_method", "")) or None
+        if self.quantization is None and not self.model.endswith(".gguf"):
+            # SqueezeLLM ships a side quant_config.json instead of a
+            # quantization_config block (reference squeezellm.py
+            # get_config_filenames).
+            qc_path = os.path.join(self.model, "quant_config.json")
+            if os.path.isfile(qc_path):
+                with open(qc_path) as f:
+                    qc = json.load(f)
+                if "wbits" in qc:
+                    self.quantization = "squeezellm"
 
     # ---- derived architecture accessors ------------------------------------
 

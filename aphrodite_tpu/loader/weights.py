@@ -77,6 +77,7 @@ def _get_path(tree: Dict[str, Any], path: str):
 def load_hf_params_to_host(
     model,  # LlamaForCausalLM-like
     model_dir: str,
+    weights_iter=None,
 ) -> Dict[str, Any]:
     """Assemble the model's host-side params pytree from an HF checkpoint.
 
@@ -157,7 +158,9 @@ def load_hf_params_to_host(
         for our_path, count in aux_counts.items()
     }
     params: Dict[str, Any] = {}
-    for name, arr in safetensors_weight_iterator(model_dir):
+    if weights_iter is None:
+        weights_iter = safetensors_weight_iterator(model_dir)
+    for name, arr in weights_iter:
         info = lookup.get(name)
         if info is None:
             if "rotary_emb" not in name:
@@ -565,6 +568,27 @@ def load_model_params(
                                     jnp.dtype(model_config.dtype))
     if fmt == "safetensors":
         logger.info("loading weights from %s", model_config.model)
+        if quant and quant.lower() == "squeezellm":
+            from aphrodite_tpu.loader.bnb import squeezellm_dequant_iterator
+
+            host = load_hf_params_to_host(
+                model, model_config.model,
+                weights_iter=squeezellm_dequant_iterator(
+                    model_config.model))
+            return place_params_on_mesh(model, host, mesh,
+                                        jnp.dtype(model_config.dtype))
+        if quant and quant.lower() == "bitsandbytes":
+            # bitsandbytes nf4/fp4/int8 checkpoints dequantize at load
+            # (reference BitsAndBytesModelLoader, model_loader/loader.py
+            # :667; TPU serves them dense — bnb's LUT formats have no
+            # MXU-friendly layout).
+            from aphrodite_tpu.loader.bnb import bnb_dequant_iterator
+
+            host = load_hf_params_to_host(
+                model, model_config.model,
+                weights_iter=bnb_dequant_iterator(model_config.model))
+            return place_params_on_mesh(model, host, mesh,
+                                        jnp.dtype(model_config.dtype))
         if (method is not None and not method.RUNTIME_QUANTIZE
                 and _checkpoint_has_packed_tensors(model_config.model)):
             # Checkpoint itself is quantized (GPTQ/AWQ packed tensors).

@@ -10,10 +10,8 @@ expand_image_item hook returns no feature spans), so the decode path is
 identical to a text-only llama. The text stack adds Chameleon's
 per-head LayerNorm qk-norm (stats over head_dim, per-head affine) and
 the always-on image-token logit mask (HF masks image tokens to dtype
-min on every forward, modeling_chameleon.py ~1190).
-
-swin_norm checkpoints (chameleon-30b's post-norm layer order) are not
-wired yet.
+min on every forward, modeling_chameleon.py ~1190). swin_norm (30b)
+checkpoints ride the shared llama norm_after knob.
 """
 
 from typing import Any, Dict, List, Tuple
@@ -53,11 +51,9 @@ class ChameleonForConditionalGeneration(LlamaForCausalLM):
 
     def __init__(self, model_config, parallel_config=None) -> None:
         hf = model_config.hf_config
-        if hf.get("swin_norm"):
-            raise NotImplementedError(
-                "Chameleon swin_norm (30b post-norm layer order) is not "
-                "supported yet")
         super().__init__(model_config, parallel_config)
+        # 30b checkpoints use the swin (post-norm) residual order.
+        self.norm_after = bool(hf.get("swin_norm", False))
         self.vq = dict(hf["vq_config"])
         vocab_map = hf["vocabulary_map"]
         self.image_token_index = int(vocab_map["<image>"])

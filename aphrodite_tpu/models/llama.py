@@ -92,6 +92,10 @@ class LlamaForCausalLM:
     # feeds the MLP the SAME ln1 output (no post_norm params at all).
     parallel_residual: bool = False
     single_norm: bool = False
+    # Post-norm residual order (Molmo norm_after / Chameleon swin_norm):
+    # x = x + norm(attn(x)); x = x + norm(mlp(x)) — the norms move from
+    # the block inputs to the block outputs.
+    norm_after: bool = False
     # Bias on the (untied) LM head projection (phi).
     lm_head_bias: bool = False
     # Clamp QKV projections to [-clip, clip] (dbrx clip_qkv; 0 = off).
@@ -545,8 +549,8 @@ class LlamaForCausalLM:
             # slots/pidx are pre-offset into this layer's page region
             # (scan_layers_paged) so the write is an in-place scatter.
             lp, k_scale, v_scale, la, rope_on, bs_on = scanned
-            h = self._norm(x, lp.get("input_norm"),
-                           lp.get("input_norm_b"))
+            h = x if self.norm_after else self._norm(
+                x, lp.get("input_norm"), lp.get("input_norm_b"))
             q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
             k = lora_add(qmatmul(h, lp["wk"]), h, la, "wk")
             v = lora_add(qmatmul(h, lp["wv"]), h, la, "wv")
@@ -609,6 +613,15 @@ class LlamaForCausalLM:
                 x = x + o.astype(self.dtype) + self.mlp(
                     lp, h2, mesh=inner_mesh, lora=la,
                     lora_add=lora_add).astype(self.dtype)
+            elif self.norm_after:
+                o = self._norm(o.astype(self.dtype), lp.get("input_norm"),
+                               lp.get("input_norm_b"))
+                x = x + o.astype(self.dtype)
+                ff = self.mlp(lp, x, mesh=inner_mesh, lora=la,
+                              lora_add=lora_add).astype(self.dtype)
+                ff = self._norm(ff, lp.get("post_norm"),
+                                lp.get("post_norm_b"))
+                x = x + ff.astype(self.dtype)
             else:
                 rm = self.residual_multiplier
                 if rm != 1.0:

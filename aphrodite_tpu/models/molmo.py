@@ -14,8 +14,8 @@ prompt authoring).
 Text stack: fused att_proj/ff_proj split at load ([up; gate] order),
 optional qkv bias, optional full-width RMS qk-norm
 (attention_layer_norm), embedding carries 128 extra input-only rows
-(wte.new_embedding) beyond the logit vocabulary. norm_after
-checkpoints (OLMo-style post-norm) are not wired yet.
+(wte.new_embedding) beyond the logit vocabulary; norm_after
+checkpoints (OLMo-style post-norm) ride the shared llama knob.
 """
 
 import math
@@ -44,16 +44,14 @@ class MolmoForCausalLM(LlamaForCausalLM):
 
     def __init__(self, model_config, parallel_config=None) -> None:
         hf = model_config.hf_config
-        if hf.get("norm_after"):
-            raise NotImplementedError(
-                "Molmo norm_after (OLMo post-norm) checkpoints are not "
-                "wired yet")
         hf.setdefault("rms_norm_eps", hf.get("layer_norm_eps", 1e-6))
         hf.setdefault("attention_bias", bool(hf.get("qkv_bias", False)))
         if not hf.get("_molmo_ffn_halved"):
             hf["intermediate_size"] = int(hf["intermediate_size"]) // 2
             hf["_molmo_ffn_halved"] = True
         super().__init__(model_config, parallel_config)
+        # OLMo-style post-norm residual order (Molmo-7B-O / 72B).
+        self.norm_after = bool(hf.get("norm_after", False))
         # Logit vocabulary = embedding_size; the embedding table carries
         # 128 extra input-only rows (reference molmo.py:753-758, 1058).
         self.vocab_size = int(hf.get("embedding_size")

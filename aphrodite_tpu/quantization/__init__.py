@@ -29,6 +29,10 @@ def get_quantization_method(name: Optional[str]):
         from aphrodite_tpu.quantization import fp8 as m
 
         return m
+    if name in ("bitsandbytes", "squeezellm"):
+        # Handled entirely by the loader (dequantize-at-load); no
+        # runtime quant method.
+        return None
     if name in ("gptq", "awq", "awq_marlin", "gptq_marlin"):
         from aphrodite_tpu.quantization import int4 as m
 

@@ -142,3 +142,37 @@ def test_chameleon_text_only_matches_hf(chameleon_dir):
                              max_new_tokens=8, do_sample=False,
                              suppress_tokens=[2], pad_token_id=0)
     assert list(out.token_ids) == exp[0, ids.shape[1]:].tolist()
+
+
+def test_chameleon_swin_norm_matches_hf(tmp_path_factory):
+    """30b-style swin_norm (post-norm residual order) stays exact —
+    this also validates the shared llama norm_after knob Molmo's
+    norm_after checkpoints use."""
+    import torch
+    import transformers as tf
+
+    from tests.utils import make_tiny_tokenizer
+
+    cfg = _tiny_cfg()
+    cfg.swin_norm = True
+    torch.manual_seed(3)
+    model = tf.ChameleonForConditionalGeneration(cfg).to(torch.float32)
+    path = str(tmp_path_factory.mktemp("tiny_chameleon_swin"))
+    model.save_pretrained(path, safe_serialization=True)
+    make_tiny_tokenizer(path, vocab_size=300)
+
+    llm = LLM(model=path, dtype="float32", max_num_seqs=4,
+              max_model_len=256)
+    prompt_ids = [5, 6, 7, 8, 9]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                        custom_token_bans=[2])
+    out = llm.generate([{"prompt_token_ids": prompt_ids}],
+                       sp)[0].outputs[0]
+    model.eval()
+    ids = torch.tensor([prompt_ids], dtype=torch.long)
+    with torch.no_grad():
+        exp = model.generate(input_ids=ids,
+                             attention_mask=torch.ones_like(ids),
+                             max_new_tokens=8, do_sample=False,
+                             suppress_tokens=[2], pad_token_id=0)
+    assert list(out.token_ids) == exp[0, ids.shape[1]:].tolist()
