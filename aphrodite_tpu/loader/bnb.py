@@ -146,3 +146,44 @@ def squeezellm_dequant_iterator(
         else:
             yield name, arr
     logger.info("squeezellm: dequantized %d LUT tensors", n_deq)
+
+
+def aqlm_dequant_iterator(model_dir: str,
+                          nbits: int) -> Iterable[Tuple[str, np.ndarray]]:
+    """AQLM additive-codebook checkpoints -> dense weights at load.
+
+    Format (reference quantization/aqlm.py:34-71 dequantize_weight):
+    X.codes [num_out_groups, num_in_groups, num_codebooks] (signed ints
+    masked to nbits), X.codebooks [num_codebooks, codebook_size,
+    out_group_size, in_group_size], X.scales [num_out_groups, 1, 1, 1];
+    the weight group (og, ig) is the SUM over codebooks of the indexed
+    vectors, scaled per out-group."""
+    from aphrodite_tpu.loader.weights import safetensors_weight_iterator
+
+    side: Dict[str, np.ndarray] = {}
+    for name, arr in safetensors_weight_iterator(model_dir):
+        if name.endswith(".codebooks") or name.endswith(".scales"):
+            side[name] = np.asarray(arr)
+
+    n_deq = 0
+    for name, arr in safetensors_weight_iterator(model_dir):
+        if name.endswith(".codebooks") or name.endswith(".scales"):
+            continue
+        if name.endswith(".codes") and \
+                name[:-len(".codes")] + ".codebooks" in side:
+            base = name[:-len(".codes")]
+            cb = np.asarray(side[base + ".codebooks"], np.float32)
+            scales = np.asarray(side[base + ".scales"], np.float32)
+            codes = np.asarray(arr).astype(np.int64) & ((1 << nbits) - 1)
+            og, ig, ncb = codes.shape
+            _, _, ogs, igs = cb.shape
+            w = cb[np.arange(ncb)[None, None, :], codes]
+            w = w.sum(axis=2)  # [og, ig, ogs, igs]
+            w = w * scales.reshape(og, 1, 1, 1)
+            w = w.transpose(0, 2, 1, 3).reshape(og * ogs, ig * igs)
+            n_deq += 1
+            yield base + ".weight", np.ascontiguousarray(
+                w.astype(np.float32))
+        else:
+            yield name, arr
+    logger.info("aqlm: dequantized %d additive-codebook tensors", n_deq)

@@ -568,6 +568,18 @@ def load_model_params(
                                     jnp.dtype(model_config.dtype))
     if fmt == "safetensors":
         logger.info("loading weights from %s", model_config.model)
+        if quant and quant.lower() == "aqlm":
+            from aphrodite_tpu.loader.bnb import aqlm_dequant_iterator
+
+            nbits = int((model_config.hf_config.get(
+                "quantization_config") or {}).get(
+                    "nbits_per_codebook", 16))
+            host = load_hf_params_to_host(
+                model, model_config.model,
+                weights_iter=aqlm_dequant_iterator(model_config.model,
+                                                   nbits))
+            return place_params_on_mesh(model, host, mesh,
+                                        jnp.dtype(model_config.dtype))
         if quant and quant.lower() == "squeezellm":
             from aphrodite_tpu.loader.bnb import squeezellm_dequant_iterator
 

@@ -381,8 +381,9 @@ class BartForConditionalGeneration:
             kv = cross_layer[batch.cross_page_indices]
             # [S, np, page, 2H, Dh] -> [S, N, 2H, Dh]
             kv = kv.reshape(S, -1, 2 * H, Dh).astype(jnp.float32)
-            ck = kv[:, :, :H][seq_of]  # [T, N, H, Dh]
-            cv = kv[:, :, H:][seq_of]
+            # write_kv interleaves K/V per head on the combined axis.
+            ck = kv[:, :, 0::2][seq_of]  # [T, N, H, Dh]
+            cv = kv[:, :, 1::2][seq_of]
             N = ck.shape[1]
             scores = jnp.einsum("thd,tnhd->thn", cq, ck)
             ok = jnp.arange(N)[None, :] < enc_lens_t[:, None]

@@ -102,6 +102,9 @@ _LAZY_REGISTRY = {
         _lazy("bart", "MBartForConditionalGeneration"),
     "UltravoxModel": _lazy("ultravox", "UltravoxModel"),
     "MolmoForCausalLM": _lazy("molmo", "MolmoForCausalLM"),
+    "T5ForConditionalGeneration":
+        _lazy("t5", "T5ForConditionalGeneration"),
+    "T5WithLMHeadModel": _lazy("t5", "T5ForConditionalGeneration"),
     "MiniCPMV": _lazy("minicpmv", "MiniCPMV"),
     "LlavaNextVideoForConditionalGeneration": _lazy(
         "llava_next_video", "LlavaNextVideoForConditionalGeneration"),

@@ -29,7 +29,7 @@ def get_quantization_method(name: Optional[str]):
         from aphrodite_tpu.quantization import fp8 as m
 
         return m
-    if name in ("bitsandbytes", "squeezellm"):
+    if name in ("bitsandbytes", "squeezellm", "aqlm"):
         # Handled entirely by the loader (dequantize-at-load); no
         # runtime quant method.
         return None

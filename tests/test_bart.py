@@ -158,3 +158,66 @@ def test_mbart_greedy_matches_hf(mbart_dir):
             max_new_tokens=8, do_sample=False, suppress_tokens=[2],
             forced_bos_token_id=None, pad_token_id=1)
     assert list(out.token_ids) == exp[0, 1:].tolist()
+
+
+def test_bart_decoder_logits_match_hf(bart_dir):
+    """Full-logits comparison (greedy-token checks can argmax-mask
+    layout errors in the cross-KV gather)."""
+    import torch
+    import transformers as tf
+
+    import jax.numpy as jnp
+
+    from aphrodite_tpu.common.config import LoadConfig, ModelConfig
+    from aphrodite_tpu.loader.weights import load_model_params
+    from aphrodite_tpu.models.bart import BartForConditionalGeneration
+    from aphrodite_tpu.models.interface import ForwardBatch
+
+    mc = ModelConfig(model=bart_dir, dtype="float32")
+    m = BartForConditionalGeneration(mc)
+    params = load_model_params(m, mc, LoadConfig(), mesh=None)
+
+    enc_ids = [10, 11, 12, 13, 14]
+    dec_ids = [2, 0, 7, 9]
+    E, T = len(enc_ids), len(dec_ids)
+    page = 8
+    cross = jnp.zeros((m.num_layers, 9, page) +
+                      m.cross_kv_cache_shape_suffix, jnp.float32)
+    toks = np.zeros(16, np.int32); toks[:E] = enc_ids
+    pos = np.zeros(16, np.int32); pos[:E] = np.arange(E)
+    slots = np.full(16, 8 * page, np.int32)
+    slots[:E] = 1 * page + np.arange(E)
+    cross = m.encode_and_write_cross(
+        params, cross, jnp.asarray(toks), jnp.asarray(pos),
+        jnp.asarray(slots), jnp.asarray([E], np.int32))
+
+    kv = jnp.zeros((m.num_layers, 9, page) + m.kv_cache_shape_suffix,
+                   jnp.float32)
+    pi = np.zeros((2, 4), np.int32); pi[0, 0] = 2
+    ci = np.zeros((2, 4), np.int32); ci[0, 0] = 1
+    Tp = 8
+    tok = np.zeros(Tp, np.int32); tok[:T] = dec_ids
+    dpos = np.zeros(Tp, np.int32); dpos[:T] = np.arange(T)
+    dslots = np.full(Tp, 8 * page, np.int32)
+    dslots[:T] = 2 * page + np.arange(T)
+    b = ForwardBatch(
+        token_ids=jnp.asarray(tok), positions=jnp.asarray(dpos),
+        slot_mapping=jnp.asarray(dslots),
+        kv_lens=jnp.asarray([T, 0], jnp.int32),
+        page_indices=jnp.asarray(pi),
+        cu_q_lens=jnp.asarray([0, T, T], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
+        logits_indices=jnp.asarray([T - 1, 0], jnp.int32),
+        cross_page_indices=jnp.asarray(ci),
+        cross_kv_lens=jnp.asarray([E, 0], jnp.int32))
+    kv, h = m.forward(params, kv, b, cross_kv=cross)
+    got = np.asarray(m.compute_logits(params, h))[:T]
+
+    hf = tf.BartForConditionalGeneration.from_pretrained(
+        bart_dir, torch_dtype=torch.float32)
+    hf.eval()
+    with torch.no_grad():
+        expect = hf(input_ids=torch.tensor([enc_ids]),
+                    decoder_input_ids=torch.tensor([dec_ids])
+                    ).logits[0].numpy()
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)

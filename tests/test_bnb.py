@@ -201,3 +201,83 @@ def test_squeezellm_matches_rounded_dense(tmp_path):
     assert sq.engine.model_config.quantization == "squeezellm"
     got = [o.outputs[0].token_ids for o in sq.generate(prompts, sp)]
     assert got == expect
+
+
+def test_aqlm_matches_reference_torch_dequant(tmp_path):
+    """AQLM: random codes/codebooks/scales dequantized by the
+    REFERENCE torch math (F.embedding_bag sum) build the dense twin;
+    the aqlm-loaded engine must match it exactly."""
+    import shutil
+
+    import torch
+    import torch.nn.functional as Fn
+    from safetensors.numpy import save_file
+
+    from aphrodite_tpu.loader.weights import safetensors_weight_iterator
+    from tests.utils import make_tiny_llama_checkpoint
+
+    NBITS, NCB, CBS, OGS, IGS = 8, 2, 256, 1, 8
+
+    def torch_dequant(codes, codebooks, scales):
+        # Port of reference aqlm.py:34 dequantize_weight.
+        og, ig, ncb = codes.shape
+        _, _, ogs, igs = codebooks.shape
+        offsets = torch.arange(0, ncb * CBS, CBS)
+        flat = Fn.embedding_bag(
+            codes.flatten(0, -2) + offsets,
+            codebooks.flatten(0, 1).flatten(-2, -1), mode="sum")
+        w = flat.view(og, ig, ogs, igs) * scales
+        return w.swapaxes(-3, -2).reshape(og * ogs, ig * igs)
+
+    dense_dir = str(tmp_path / "dense")
+    make_tiny_llama_checkpoint(dense_dir)
+    tensors = dict(safetensors_weight_iterator(dense_dir))
+    aq, rounded = {}, {}
+    g = torch.Generator().manual_seed(4)
+    for name, arr in tensors.items():
+        if any(t in name for t in TARGETS) and name.endswith(".weight"):
+            out_d, in_d = np.asarray(arr).shape
+            codes = torch.randint(0, CBS, (out_d // OGS, in_d // IGS,
+                                           NCB), generator=g)
+            cbs = torch.randn(NCB, CBS, OGS, IGS, generator=g) * 0.02
+            scales = torch.rand(out_d // OGS, 1, 1, 1,
+                                generator=g) + 0.5
+            w = torch_dequant(codes, cbs, scales)
+            base = name[:-len(".weight")]
+            aq[base + ".codes"] = codes.numpy().astype(np.int16)
+            aq[base + ".codebooks"] = cbs.numpy().astype(np.float32)
+            aq[base + ".scales"] = scales.numpy().astype(np.float32)
+            rounded[name] = w.numpy().astype(np.float32)
+        else:
+            aq[name] = np.asarray(arr)
+            rounded[name] = np.asarray(arr)
+
+    aq_dir = str(tmp_path / "aq")
+    round_dir = str(tmp_path / "round")
+    for d, t in ((aq_dir, aq), (round_dir, rounded)):
+        os.makedirs(d, exist_ok=True)
+        save_file(t, os.path.join(d, "model.safetensors"))
+        for fn in os.listdir(dense_dir):
+            if not fn.endswith(".safetensors"):
+                shutil.copy(os.path.join(dense_dir, fn),
+                            os.path.join(d, fn))
+    with open(os.path.join(aq_dir, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["quantization_config"] = {
+        "quant_method": "aqlm", "nbits_per_codebook": NBITS,
+        "num_codebooks": NCB, "in_group_size": IGS,
+        "out_group_size": OGS}
+    with open(os.path.join(aq_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    prompts = ["the quick brown fox"]
+    dense = LLM(model=round_dir, dtype="float32", max_num_seqs=4,
+                num_device_blocks_override=128, block_size=8)
+    expect = [o.outputs[0].token_ids for o in dense.generate(prompts, sp)]
+    del dense
+    aqllm = LLM(model=aq_dir, dtype="float32", max_num_seqs=4,
+                num_device_blocks_override=128, block_size=8)
+    assert aqllm.engine.model_config.quantization == "aqlm"
+    got = [o.outputs[0].token_ids for o in aqllm.generate(prompts, sp)]
+    assert got == expect
