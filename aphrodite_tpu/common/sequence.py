@@ -116,6 +116,9 @@ class Sequence:
         # decoder_start_token_id); cross-attention blocks are allocated
         # by the block manager alongside the decoder blocks.
         self.encoder_token_ids: Optional[List[int]] = None
+        # Encoder-side multimodal splice spans (BLIP2-T5): features
+        # splice into the encoder program, not the decoder stream.
+        self.encoder_mm_spans: Optional[List[Any]] = None
         # Sibling index within a seeded n>1 request (distinct PRNG
         # streams; see model_runner._offset_seed).
         self.seed_offset: int = 0

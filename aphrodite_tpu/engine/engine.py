@@ -173,6 +173,12 @@ class AphroditeEngine:
         mm_hash = None
         mrope_table = None
         mrope_delta = 0
+        # Encoder-decoder multimodal (BLIP2-T5): placeholders live in
+        # the ENCODER prompt; features splice into the encoder program.
+        mm_target_encoder = encoder_token_ids is not None
+        if mm_target_encoder and multi_modal_data:
+            prompt_token_ids, encoder_token_ids = (encoder_token_ids,
+                                                   prompt_token_ids)
         if multi_modal_data:
             model = self.runner.model
             if not getattr(model, "is_multimodal", False):
@@ -246,6 +252,10 @@ class AphroditeEngine:
                     f"(token {tok_id}) but {len(images)} image(s) given")
             prompt_token_ids = new_ids
             mm_hash = hash(b"".join(hash_parts))
+            if mm_target_encoder:
+                # Swap back: the expanded stream is the encoder's.
+                prompt_token_ids, encoder_token_ids = (
+                    encoder_token_ids, prompt_token_ids)
             # M-RoPE models (Qwen2-VL): 3D rope positions for the
             # expanded prompt + the decode position delta (reference
             # MRotaryEmbedding.get_input_positions).
@@ -283,7 +293,10 @@ class AphroditeEngine:
                 seq.fsm = fsm
                 seq.fsm_state = fsm.initial_state()
             if mm_spans is not None:
-                seq.mm_spans = mm_spans
+                if mm_target_encoder:
+                    seq.encoder_mm_spans = mm_spans
+                else:
+                    seq.mm_spans = mm_spans
                 seq.extra_hash = mm_hash
             if mrope_table is not None:
                 seq.mrope_table = mrope_table

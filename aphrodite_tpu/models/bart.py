@@ -249,7 +249,8 @@ class BartForConditionalGeneration:
     # ---- encoder program --------------------------------------------------
 
     def encode_and_write_cross(self, params, cross_kv, tokens, positions,
-                               slot_mapping, enc_len):
+                               slot_mapping, enc_len, embeds=None,
+                               embeds_mask=None):
         """Encoder forward over ONE padded sequence + cross-K/V scatter
         for every decoder layer. tokens/positions/slot_mapping [Ep];
         enc_len i32[1]. Returns the updated (donated) cross cache."""
@@ -258,6 +259,9 @@ class BartForConditionalGeneration:
         x = params["embed"][tokens].astype(self.dtype)
         if self.scale_embedding:
             x = x * jnp.asarray(math.sqrt(D), self.dtype)
+        if embeds is not None:
+            x = jnp.where(embeds_mask[:, None],
+                          embeds.astype(self.dtype), x)
         x = x + params["enc_pos"][positions + self.pos_offset].astype(
             self.dtype)
         x = _ln(x, params["enc_ln_emb"], params["enc_ln_emb_b"]).astype(

@@ -10,8 +10,9 @@ spliced at the image-placeholder positions like every other composite
 a separate aux stack with explicit layer indices and runs as an
 unrolled loop — it is tiny and offline, so scan-ability buys nothing.
 
-T5-based BLIP-2 checkpoints need the encoder-decoder runner (not wired
-yet); OPT-based ones are fully supported.
+T5-based BLIP-2 checkpoints ride the encoder-decoder runner: the
+query features splice into the T5 ENCODER stream (encoder-side
+multimodal splice).
 """
 
 import math
@@ -23,6 +24,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from aphrodite_tpu.models.opt import OPTForCausalLM
+from aphrodite_tpu.models.t5 import T5ForConditionalGeneration
 
 
 def _ln(x, w, b, eps):
@@ -43,17 +45,14 @@ def _attend(q, k, v, heads):
     return jnp.einsum("hqk,khd->qhd", attn, v).reshape(Nq, E)
 
 
-class Blip2ForConditionalGeneration(OPTForCausalLM):
+class _Blip2Tower:
+    """BLIP ViT + Q-Former + projection, shared by the OPT and T5
+    variants. Methods only read self.v_*/q_* attrs and
+    self.hidden_size."""
+
     is_multimodal = True
 
-    def __init__(self, model_config, parallel_config=None) -> None:
-        hf = model_config.hf_config
-        # After composite hoisting, model_type reflects the text config.
-        if "t5" in str(hf.get("model_type", "opt")):
-            raise NotImplementedError(
-                "BLIP-2 with a T5 decoder needs the encoder-decoder "
-                "runner; OPT-based checkpoints are supported")
-        super().__init__(model_config, parallel_config)
+    def _init_blip2_tower(self, hf) -> None:
         v = dict(hf["vision_config"])
         self.v_hidden = int(v.get("hidden_size", 1408))
         self.v_layers = int(v.get("num_hidden_layers", 39))
@@ -77,8 +76,8 @@ class Blip2ForConditionalGeneration(OPTForCausalLM):
 
     # ---- params ------------------------------------------------------
 
-    def param_shapes(self) -> Dict[str, Any]:
-        shapes = super().param_shapes()
+    def _blip2_tower_shapes(self) -> Dict[str, Any]:
+        shapes = {}
         E, Lv, I = self.v_hidden, self.v_layers, self.v_intermediate
         p = self.v_patch
         n_pos = (self.v_image_size // p) ** 2 + 1
@@ -122,30 +121,16 @@ class Blip2ForConditionalGeneration(OPTForCausalLM):
                                "b": (self.hidden_size,)}
         return shapes
 
-    def param_shardings(self) -> Dict[str, Any]:
-        specs = super().param_shardings()
-
+    def _blip2_tower_shardings(self, specs) -> Dict[str, Any]:
         def rep(shapes):
             return {k: (rep(v) if isinstance(v, dict) else P())
                     for k, v in shapes.items()}
 
-        mine = self.param_shapes()
-        for part in ("vision", "qformer", "projector"):
-            specs[part] = rep(mine[part])
+        for part, sub in self._blip2_tower_shapes().items():
+            specs[part] = rep(sub)
         return specs
 
-    # ---- HF weight mappings --------------------------------------------
-
-    def _with_lm_prefix(self, maps):
-        return [("language_model." + n, path, t) for n, path, t in maps]
-
-    def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:
-        return self._with_lm_prefix(super().hf_param_mappings())
-
-    def hf_global_mappings(self) -> List[Tuple[str, str, bool]]:
-        return self._with_lm_prefix(super().hf_global_mappings())
-
-    def hf_aux_mappings(self) -> List:
+    def _blip2_tower_aux(self) -> List:
         out = []
         ve = "vision_model.encoder.layers.{i}."
         for tmpl, path, tr in [
@@ -328,3 +313,72 @@ class Blip2ForConditionalGeneration(OPTForCausalLM):
 
         pj = params["projector"]
         return h @ pj["w"].astype(f32) + pj["b"].astype(f32)
+
+
+class Blip2ForConditionalGeneration(_Blip2Tower, OPTForCausalLM):
+    """OPT-decoder BLIP-2. T5-decoder checkpoints dispatch to
+    Blip2T5ForConditionalGeneration (registry sniffs the text
+    model_type)."""
+
+    def __init__(self, model_config, parallel_config=None) -> None:
+        OPTForCausalLM.__init__(self, model_config, parallel_config)
+        self._init_blip2_tower(model_config.hf_config)
+
+    def param_shapes(self) -> Dict[str, Any]:
+        shapes = OPTForCausalLM.param_shapes(self)
+        shapes.update(self._blip2_tower_shapes())
+        return shapes
+
+    def param_shardings(self) -> Dict[str, Any]:
+        return self._blip2_tower_shardings(
+            OPTForCausalLM.param_shardings(self))
+
+    def _with_lm_prefix(self, maps):
+        return [("language_model." + n, path, t) for n, path, t in maps]
+
+    def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:
+        return self._with_lm_prefix(OPTForCausalLM.hf_param_mappings(self))
+
+    def hf_global_mappings(self) -> List[Tuple[str, str, bool]]:
+        return self._with_lm_prefix(
+            OPTForCausalLM.hf_global_mappings(self))
+
+    def hf_aux_mappings(self) -> List:
+        return self._blip2_tower_aux()
+
+
+class Blip2T5ForConditionalGeneration(_Blip2Tower,
+                                      T5ForConditionalGeneration):
+    """Flan-T5-decoder BLIP-2: the query features splice into the T5
+    ENCODER stream (reference blip2.py T5 path); rides the enc-dec
+    runner's encoder-side multimodal splice."""
+
+    def __init__(self, model_config, parallel_config=None) -> None:
+        T5ForConditionalGeneration.__init__(self, model_config,
+                                            parallel_config)
+        self._init_blip2_tower(model_config.hf_config)
+
+    def param_shapes(self) -> Dict[str, Any]:
+        shapes = T5ForConditionalGeneration.param_shapes(self)
+        shapes.update(self._blip2_tower_shapes())
+        return shapes
+
+    def param_shardings(self) -> Dict[str, Any]:
+        return self._blip2_tower_shardings(
+            T5ForConditionalGeneration.param_shardings(self))
+
+    def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:
+        return [("language_model." + n, p, t) for n, p, t in
+                T5ForConditionalGeneration.hf_param_mappings(self)]
+
+    def hf_global_mappings(self) -> List[Tuple[str, str, bool]]:
+        return [("language_model." + n, p, t) for n, p, t in
+                T5ForConditionalGeneration.hf_global_mappings(self)]
+
+    def hf_aux_mappings(self) -> List:
+        out = list(self._blip2_tower_aux())
+        # T5's encoder stack maps via aux; prefix with language_model.
+        for t, p, tr, cnt in T5ForConditionalGeneration.hf_aux_mappings(
+                self):
+            out.append(("language_model." + t, p, tr, cnt))
+        return out

@@ -178,6 +178,13 @@ def get_model_class(model_config: ModelConfig):
         from aphrodite_tpu.models.qwen import QWenVL
 
         return QWenVL
+    if arch == "Blip2ForConditionalGeneration" and "t5" in str(
+            model_config.hf_config.get("model_type", "")):
+        # Flan-T5-decoder BLIP-2 (hoisted text model_type is t5).
+        from aphrodite_tpu.models.blip2 import (
+            Blip2T5ForConditionalGeneration)
+
+        return Blip2T5ForConditionalGeneration
     if arch == "LlavaForConditionalGeneration":
         # HF-format Pixtral ships under the Llava composite arch with a
         # pixtral vision tower (e.g. mistral-community/pixtral-12b).

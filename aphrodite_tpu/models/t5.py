@@ -257,10 +257,14 @@ class T5ForConditionalGeneration:
     # ---- encoder program ----------------------------------------------------
 
     def encode_and_write_cross(self, params, cross_kv, tokens, positions,
-                               slot_mapping, enc_len):
+                               slot_mapping, enc_len, embeds=None,
+                               embeds_mask=None):
         f32 = jnp.float32
         H, Dh = self.num_heads, self.head_dim
         x = params["embed"][tokens].astype(f32)
+        if embeds is not None:
+            # Encoder-side multimodal splice (BLIP2-T5 query features).
+            x = jnp.where(embeds_mask[:, None], embeds.astype(f32), x)
         E = x.shape[0]
         key_ok = jnp.arange(E) < enc_len[0]
         # Bidirectional relative bias, shared across layers.

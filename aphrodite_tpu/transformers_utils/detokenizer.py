@@ -15,6 +15,21 @@ from typing import List, Optional, Tuple
 INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET = 5
 
 
+def _special_sets(tokenizer) -> Tuple[set, set]:
+    """Cached (all_special_tokens, added_vocab) sets — the transformers
+    properties recompute on every access and dominated the host loop
+    (~0.5ms per sequence per step at S=128)."""
+    cached = getattr(tokenizer, "_aph_special_sets", None)
+    if cached is None:
+        cached = (set(tokenizer.all_special_tokens),
+                  set(tokenizer.get_added_vocab().keys()))
+        try:
+            tokenizer._aph_special_sets = cached
+        except AttributeError:
+            pass
+    return cached
+
+
 def _convert_tokens_to_string(tokenizer, tokens: List[str],
                               skip_special_tokens: bool,
                               spaces_between_special_tokens: bool) -> str:
@@ -22,8 +37,7 @@ def _convert_tokens_to_string(tokenizer, tokens: List[str],
     tokenizer.py _convert_tokens_to_string_with_added_encoders)."""
     sub_texts: List[str] = []
     current_sub: List[str] = []
-    all_special = set(tokenizer.all_special_tokens)
-    added = set(tokenizer.get_added_vocab().keys())
+    all_special, added = _special_sets(tokenizer)
     for token in tokens:
         if skip_special_tokens and token in all_special:
             continue

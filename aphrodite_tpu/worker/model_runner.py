@@ -730,15 +730,26 @@ class ModelRunner:
         if Ep > E:
             slots[E:] = (self.trash_slot_base +
                          np.arange(Ep - E) % bs)
-        fn = self._multi_step_fns.get("encode")
+        embeds = embeds_mask = None
+        if ss.seq.encoder_mm_spans:
+            H = self.model_config.get_hidden_size()
+            emb = np.zeros((Ep, H), np.float32)
+            msk = np.zeros((Ep,), bool)
+            for start, feats in ss.seq.encoder_mm_spans:
+                emb[start:start + len(feats)] = feats
+                msk[start:start + len(feats)] = True
+            embeds = jnp.asarray(emb)
+            embeds_mask = jnp.asarray(msk)
+        fn = self._multi_step_fns.get(("encode", embeds is not None))
         if fn is None:
             fn = jax.jit(self.model.encode_and_write_cross,
                          donate_argnums=(1,))
-            self._multi_step_fns["encode"] = fn
+            self._multi_step_fns[("encode", embeds is not None)] = fn
         self.cross_kv = fn(self.params, self.cross_kv,
                            jnp.asarray(tokens), jnp.asarray(positions),
                            jnp.asarray(slots),
-                           jnp.asarray([E], np.int32))
+                           jnp.asarray([E], np.int32),
+                           embeds, embeds_mask)
 
     def build_forward_batch(
         self,

@@ -109,3 +109,63 @@ def test_blip2_greedy_matches_hf(blip2_dir):
           "multi_modal_data": {"image": image}}], sp)[0].outputs[0]
     expect = hf_generate(blip2_dir, prompt_ids, image, 8)
     assert list(out.token_ids) == expect
+
+
+def test_blip2_t5_greedy_matches_hf(tmp_path_factory):
+    """Flan-T5-decoder BLIP-2: query features splice into the T5
+    ENCODER; greedy must match HF token-for-token."""
+    import torch
+    import transformers as tf
+
+    from tests.utils import make_tiny_tokenizer
+
+    cfg = tf.Blip2Config(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=3, num_attention_heads=2,
+                           image_size=24, patch_size=8),
+        qformer_config=dict(hidden_size=40, num_hidden_layers=3,
+                            num_attention_heads=2, intermediate_size=80,
+                            encoder_hidden_size=32,
+                            cross_attention_frequency=2),
+        text_config=dict(model_type="t5", d_model=48, d_kv=12, d_ff=96,
+                         num_layers=2, num_decoder_layers=2, num_heads=4,
+                         relative_attention_num_buckets=8,
+                         relative_attention_max_distance=32,
+                         feed_forward_proj="gated-gelu",
+                         tie_word_embeddings=True,
+                         decoder_start_token_id=0, pad_token_id=0,
+                         eos_token_id=1, vocab_size=260),
+        num_query_tokens=NQ, image_token_index=IMG,
+    )
+    torch.manual_seed(1)
+    model = tf.Blip2ForConditionalGeneration(cfg).to(torch.float32)
+    path = str(tmp_path_factory.mktemp("tiny_blip2_t5"))
+    model.save_pretrained(path, safe_serialization=True)
+    make_tiny_tokenizer(path, vocab_size=260)
+
+    llm = LLM(model=path, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8)
+    from aphrodite_tpu.models.blip2 import Blip2T5ForConditionalGeneration
+    assert isinstance(llm.engine.runner.model,
+                      Blip2T5ForConditionalGeneration)
+    image = make_image(1)
+    prompt_ids = [IMG, 10, 11, 12, 13]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                        custom_token_bans=[1])
+    out = llm.generate(
+        [{"prompt_token_ids": prompt_ids,
+          "multi_modal_data": {"image": image}}], sp)[0].outputs[0]
+
+    model.eval()
+    expanded = []
+    for t in prompt_ids:
+        expanded.extend([IMG] * NQ if t == IMG else [t])
+    ids = torch.tensor([expanded], dtype=torch.long)
+    with torch.no_grad():
+        exp = model.generate(
+            input_ids=ids, pixel_values=torch.tensor(image[None]),
+            attention_mask=torch.ones_like(ids),
+            max_new_tokens=8, do_sample=False,
+            suppress_tokens=[1], pad_token_id=0)
+    # HF returns [decoder_start, tokens...] for enc-dec generate.
+    assert list(out.token_ids) == exp[0, 1:].tolist()
