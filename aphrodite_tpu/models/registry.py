@@ -101,6 +101,8 @@ _LAZY_REGISTRY = {
     "MBartForConditionalGeneration":
         _lazy("bart", "MBartForConditionalGeneration"),
     "UltravoxModel": _lazy("ultravox", "UltravoxModel"),
+    "Qwen2AudioForConditionalGeneration": _lazy(
+        "qwen2_audio", "Qwen2AudioForConditionalGeneration"),
     "MolmoForCausalLM": _lazy("molmo", "MolmoForCausalLM"),
     "T5ForConditionalGeneration":
         _lazy("t5", "T5ForConditionalGeneration"),

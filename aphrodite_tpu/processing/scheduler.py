@@ -205,8 +205,14 @@ class Scheduler:
             if self.scheduler_config.enable_chunked_prefill:
                 num_new_tokens = min(num_new_tokens,
                                      budget.remaining_token_budget())
+            # Encoder-decoder: the encoder pass runs at the first
+            # prefill chunk; its tokens consume step budget too.
+            enc_extra = (len(seq.encoder_token_ids)
+                         if seq.encoder_token_ids
+                         and seq.num_computed_tokens == 0 else 0)
             if (num_new_tokens <= 0
-                    or not budget.can_schedule(num_new_tokens, num_new_seqs)):
+                    or not budget.can_schedule(num_new_tokens + enc_extra,
+                                               num_new_seqs)):
                 if not already_allocated:
                     # Roll back the tentative allocation; keep computed-token
                     # credit for the next attempt (blocks stay cached).
@@ -216,7 +222,7 @@ class Scheduler:
             self.waiting.popleft()
             seq.status = SequenceStatus.RUNNING
             self.running.append(group)
-            budget.add(num_new_tokens, num_new_seqs)
+            budget.add(num_new_tokens + enc_extra, num_new_seqs)
             scheduled.append(
                 ScheduledSequence(
                     seq=seq,

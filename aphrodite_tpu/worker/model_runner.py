@@ -961,26 +961,51 @@ class ModelRunner:
                     self._run_encoder(ss)
         S = _pad_to_bucket(len(scheduled), self.seq_buckets)
 
-        rows = []
-        for ss in scheduled:
-            sp = ss.group.sampling_params
-            seq = ss.seq
-            rows.append(
-                SamplerInputRow(
-                    params=sp,
-                    token_ids=seq.get_token_ids(),
-                    prompt_len=seq.get_prompt_len(),
-                    generated_len=seq.get_output_len(),
-                    seed=(_offset_seed(sp.seed, seq)
-                          if sp.seed is not None else
-                          _default_seed(ss.group.request_id, seq.seq_id)),
-                    eos_token_id=seq.eos_token_id,
-                ))
-        max_hist = max((len(r.token_ids) for r in rows), default=1)
-        H = _pad_to_bucket(max_hist, self.history_buckets)
-        tensors, flags, history, hl = build_sampling_tensors(
-            rows, S, self.model_config.get_vocab_size(), history_pad=H)
-        tensors_dev = jax.tree.map(jnp.asarray, tensors)
+        # Sampling-tensor cache: all-greedy batches with an unchanged
+        # row set reuse the previous step's host+device tensors (the
+        # per-row PRNG key folds generated_len, so stochastic rows must
+        # rebuild every step; history/min_tokens-dependent flags too).
+        greedy_ok = all(
+            ss.group.sampling_params.temperature == 0.0
+            for ss in scheduled)
+        fp = ((S, tuple((ss.seq.seq_id, id(ss.group.sampling_params),
+                         ss.seq.seed_offset) for ss in scheduled))
+              if greedy_ok else None)
+        cached = getattr(self, "_sampling_cache", None)
+        if fp is not None and cached is not None and cached[0] == fp:
+            tensors, flags, history, hl, tensors_dev = cached[1]
+        else:
+            rows = []
+            for ss in scheduled:
+                sp = ss.group.sampling_params
+                seq = ss.seq
+                rows.append(
+                    SamplerInputRow(
+                        params=sp,
+                        token_ids=seq.get_token_ids(),
+                        prompt_len=seq.get_prompt_len(),
+                        generated_len=seq.get_output_len(),
+                        seed=(_offset_seed(sp.seed, seq)
+                              if sp.seed is not None else
+                              _default_seed(ss.group.request_id,
+                                            seq.seq_id)),
+                        eos_token_id=seq.eos_token_id,
+                    ))
+            max_hist = max((len(r.token_ids) for r in rows), default=1)
+            H = _pad_to_bucket(max_hist, self.history_buckets)
+            tensors, flags, history, hl = build_sampling_tensors(
+                rows, S, self.model_config.get_vocab_size(),
+                history_pad=H)
+            tensors_dev = jax.tree.map(jnp.asarray, tensors)
+            if (fp is not None and not flags.needs_history
+                    and not flags.do_min_tokens and not flags.do_beam):
+                # Keep the sampling-params objects alive so id() stays
+                # unique for the cache's lifetime.
+                self._sampling_cache = (
+                    fp, (tensors, flags, history, hl, tensors_dev),
+                    [ss.group.sampling_params for ss in scheduled])
+            else:
+                self._sampling_cache = None
 
         # Guided decoding: build per-row packed allow-masks from the
         # sequences' FSM states (host-advanced each token).
