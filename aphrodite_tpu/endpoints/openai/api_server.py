@@ -514,8 +514,8 @@ class OpenAIServer:
     _MM_SENTINEL = "\x00<aphrodite-image>\x00"
 
     def _extract_images(self, messages):
-        """Replace image_url content parts with sentinel text parts;
-        return (messages, image_urls)."""
+        """Replace image_url / input_audio content parts with sentinel
+        text parts; return (messages, media payloads)."""
         urls: List[str] = []
         out = []
         for m in messages:
@@ -528,6 +528,13 @@ class OpenAIServer:
                         iu = part.get("image_url")
                         urls.append(iu.get("url") if isinstance(iu, dict)
                                     else str(iu))
+                        parts.append({"type": "text",
+                                      "text": self._MM_SENTINEL})
+                    elif (isinstance(part, dict)
+                          and part.get("type") == "input_audio"):
+                        # OpenAI audio content part: base64 WAV/PCM.
+                        ia = part.get("input_audio") or {}
+                        urls.append("audio:" + str(ia.get("data", "")))
                         parts.append({"type": "text",
                                       "text": self._MM_SENTINEL})
                     else:
@@ -549,6 +556,8 @@ class OpenAIServer:
         import numpy as np
         from PIL import Image
 
+        if url.startswith("audio:"):
+            return OpenAIServer._load_audio(url[len("audio:"):], model)
         if not url.startswith("data:"):
             raise ValueError(
                 "only data: image URLs are supported (no remote fetch)")
@@ -571,6 +580,37 @@ class OpenAIServer:
         std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
         arr = (arr - mean) / std
         return arr.transpose(2, 0, 1).astype(np.float32)
+
+    @staticmethod
+    def _load_audio(b64: str, model) -> "np.ndarray":
+        """Decode a base64 WAV into whisper log-mel features matching
+        the model's mel-bin count (audio-modality models: Ultravox,
+        Qwen2-Audio). 16 kHz mono is assumed after WAV decoding."""
+        import base64
+        import io
+        import wave
+
+        import numpy as np
+
+        raw = base64.b64decode(b64)
+        with wave.open(io.BytesIO(raw)) as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            pcm = w.readframes(n)
+        dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+        audio = np.frombuffer(pcm, dtype=dtype).astype(np.float32)
+        audio /= float(np.iinfo(dtype).max)
+        if ch > 1:
+            audio = audio.reshape(-1, ch).mean(axis=1)
+        from transformers import WhisperFeatureExtractor
+
+        fe = WhisperFeatureExtractor(
+            feature_size=getattr(model, "a_mels", 128), sampling_rate=sr)
+        out = fe(audio, sampling_rate=sr, padding=False,
+                 return_tensors="np")
+        return out["input_features"][0].astype(np.float32)
 
     async def create_chat_completion(self,
                                      request: web.Request) -> web.Response:
@@ -596,7 +636,7 @@ class OpenAIServer:
                 images = [self._load_image(u, model) for u in image_urls]
             except Exception as e:
                 return _error(f"bad image: {e}")
-            mm_data = {"image": images}
+            mm_data = {getattr(model, "modality", "image"): images}
             # Tokenize around the sentinels; each becomes ONE placeholder
             # token (the engine expands it to the per-image feature count).
             segs = prompt_text.split(self._MM_SENTINEL)

@@ -196,6 +196,11 @@ class Qwen2AudioForConditionalGeneration(LlamaForCausalLM):
         pj = params["projector"]
         return x @ pj["w"].astype(f32) + pj["b"].astype(f32)
 
+    def num_item_tokens(self, item) -> int:
+        F = np.asarray(item).shape[1]
+        n_tok = (F - 1) // 2 + 1
+        return (n_tok - 2) // 2 + 1
+
     def encode_image_item(self, params, item, fn=None) -> np.ndarray:
         mel = np.asarray(item, np.float32)
         if mel.ndim != 2 or mel.shape[0] != self.a_mels:

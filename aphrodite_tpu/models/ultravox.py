@@ -220,6 +220,10 @@ class UltravoxModel(LlamaForCausalLM):
         x = x @ pj["w2"].astype(f32)
         return _rms(x, pj["ln_post"].astype(f32))
 
+    def num_item_tokens(self, item) -> int:
+        F = np.asarray(item).shape[1]
+        return int(math.ceil(((F + 1) // 2) / self.stack_factor))
+
     def encode_image_item(self, params, item, fn=None) -> np.ndarray:
         mel = np.asarray(item, np.float32)
         if mel.ndim != 2 or mel.shape[0] != self.a_mels:
