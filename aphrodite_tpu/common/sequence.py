@@ -119,6 +119,10 @@ class Sequence:
         # Encoder-side multimodal splice spans (BLIP2-T5): features
         # splice into the encoder program, not the decoder stream.
         self.encoder_mm_spans: Optional[List[Any]] = None
+        # Audio-encoder models (Whisper): the raw log-mel features the
+        # encoder pass consumes (encoder_token_ids is just a length
+        # placeholder for cross-page allocation).
+        self.encoder_audio: Optional[Any] = None
         # Sibling index within a seeded n>1 request (distinct PRNG
         # streams; see model_runner._offset_seed).
         self.seed_offset: int = 0

@@ -149,7 +149,21 @@ class AphroditeEngine:
         # decoder prompt is given (reference enc-dec input processing,
         # inputs/preprocess.py).
         encoder_token_ids = None
-        if getattr(self.runner.model, "is_encoder_decoder", False):
+        encoder_audio = None
+        if getattr(self.runner.model, "encoder_takes_audio", False):
+            # Whisper-style: the prompt IS the decoder prompt; the
+            # encoder consumes audio features from multi_modal_data.
+            import numpy as np
+            mel = (multi_modal_data or {}).get("audio")
+            if mel is None:
+                raise ValueError(
+                    "audio-encoder models need multi_modal_data="
+                    "{'audio': log_mel [mels, frames]}")
+            encoder_audio = np.asarray(mel, np.float32)
+            enc_len = self.runner.model.encoder_feature_len(encoder_audio)
+            encoder_token_ids = [0] * enc_len
+            multi_modal_data = None
+        elif getattr(self.runner.model, "is_encoder_decoder", False):
             encoder_token_ids = list(prompt_token_ids)
             if decoder_prompt_token_ids:
                 prompt_token_ids = list(decoder_prompt_token_ids)
@@ -303,6 +317,7 @@ class AphroditeEngine:
                 seq.mrope_delta = mrope_delta
             if encoder_token_ids is not None:
                 seq.encoder_token_ids = encoder_token_ids
+                seq.encoder_audio = encoder_audio
             # Distinct PRNG stream per sibling when a seed is set.
             seq.seed_offset = sub_idx
             seqs.append(seq)

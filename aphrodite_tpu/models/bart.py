@@ -46,6 +46,9 @@ class BartForConditionalGeneration:
     # mBART flips to pre-norm (LN before attn/ffn) and adds a final
     # layer_norm to both stacks.
     pre_norm = False
+    # Whisper's decoder lacks the embedding LayerNorm and k-proj biases.
+    ln_embedding = True
+    k_bias = True
 
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
@@ -320,7 +323,8 @@ class BartForConditionalGeneration:
 
         def write_layer(flat, sc):
             lidx, lp = sc
-            k = (x @ lp["cwk"] + lp["cbk"]).reshape(E, KVh, self.head_dim)
+            k = (x @ lp["cwk"] + lp.get("cbk", 0.0)).reshape(
+                E, KVh, self.head_dim)
             v = (x @ lp["cwv"] + lp["cbv"]).reshape(E, KVh, self.head_dim)
             slots = slot_mapping + lidx * (Pg * page_size)
             flat = write_kv(flat, k.astype(cross_kv.dtype),
@@ -353,8 +357,9 @@ class BartForConditionalGeneration:
             x = x * jnp.asarray(math.sqrt(D), self.dtype)
         x = x + params["dec_pos"][batch.positions +
                                   self.pos_offset].astype(self.dtype)
-        x = _ln(x, params["dec_ln_emb"], params["dec_ln_emb_b"]).astype(
-            self.dtype)
+        if self.ln_embedding:
+            x = _ln(x, params["dec_ln_emb"],
+                    params["dec_ln_emb_b"]).astype(self.dtype)
 
         # Token -> sequence row mapping for the cross gather.
         if batch.cu_q_lens is not None:
@@ -369,7 +374,8 @@ class BartForConditionalGeneration:
         def self_attn(xd, lp, pages, slots, pidx):
             q = ((xd @ lp["wq"] + lp["bq"]) * self.sm_scale).reshape(
                 T, H, Dh).astype(self.dtype)
-            k = (xd @ lp["wk"] + lp["bk"]).reshape(T, H, Dh).astype(
+            k = (xd @ lp["wk"] + lp.get("bk", 0.0)).reshape(
+                T, H, Dh).astype(
                 self.dtype)
             v = (xd @ lp["wv"] + lp["bv"]).reshape(T, H, Dh).astype(
                 self.dtype)

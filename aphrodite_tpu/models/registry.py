@@ -107,6 +107,8 @@ _LAZY_REGISTRY = {
     "T5ForConditionalGeneration":
         _lazy("t5", "T5ForConditionalGeneration"),
     "T5WithLMHeadModel": _lazy("t5", "T5ForConditionalGeneration"),
+    "WhisperForConditionalGeneration": _lazy(
+        "whisper", "WhisperForConditionalGeneration"),
     "MiniCPMV": _lazy("minicpmv", "MiniCPMV"),
     "LlavaNextVideoForConditionalGeneration": _lazy(
         "llava_next_video", "LlavaNextVideoForConditionalGeneration"),

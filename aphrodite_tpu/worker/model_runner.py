@@ -717,6 +717,24 @@ class ModelRunner:
         only read)."""
         enc_ids = ss.seq.encoder_token_ids
         E = len(enc_ids)
+        if getattr(self.model, "encoder_takes_audio", False):
+            mel = np.asarray(ss.seq.encoder_audio, np.float32)
+            full = self.model.a_max_pos * 2
+            if mel.shape[1] < full:  # silence-pad to the full window
+                mel = np.pad(mel, ((0, 0), (0, full - mel.shape[1])))
+            bs = self.block_size
+            table = np.asarray(ss.cross_block_ids, np.int32)
+            pos = np.arange(E)
+            slots = table[pos // bs] * bs + pos % bs
+            fn = self._multi_step_fns.get("encode_audio")
+            if fn is None:
+                fn = jax.jit(self.model.encode_audio_and_write_cross,
+                             donate_argnums=(1,))
+                self._multi_step_fns["encode_audio"] = fn
+            self.cross_kv = fn(self.params, self.cross_kv,
+                               jnp.asarray(mel),
+                               jnp.asarray(slots, dtype=jnp.int32))
+            return
         Ep = _pad_to_bucket(E, self.history_buckets)
         tokens = np.zeros((Ep,), np.int32)
         tokens[:E] = enc_ids
