@@ -122,6 +122,15 @@ class ModelConfig:
             qcfg = self.hf_config.get("quantization_config")
             if qcfg:
                 self.quantization = str(qcfg.get("quant_method", "")) or None
+        if self.quantization in ("gptq", "marlin", "gptq_marlin_24"):
+            # autogptq marlin serializations override the method name
+            # (reference marlin.py:88-111 / gptq_marlin_24.py:105-119).
+            qcfg = self.hf_config.get("quantization_config") or {}
+            fmt_ = qcfg.get("checkpoint_format")
+            if fmt_ == "marlin" or qcfg.get("is_marlin_format", False):
+                self.quantization = "marlin"
+            elif fmt_ == "marlin_24":
+                self.quantization = "gptq_marlin_24"
         if self.quantization is None and not self.model.endswith(".gguf"):
             # SqueezeLLM ships a side quant_config.json instead of a
             # quantization_config block (reference squeezellm.py

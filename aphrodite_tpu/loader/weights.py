@@ -601,6 +601,53 @@ def load_model_params(
                 weights_iter=bnb_dequant_iterator(model_config.model))
             return place_params_on_mesh(model, host, mesh,
                                         jnp.dtype(model_config.dtype))
+        qcfg = model_config.hf_config.get("quantization_config") or {}
+        if quant and quant.lower() in ("hqq", "qqq", "marlin",
+                                       "gptq_marlin_24"):
+            # Marlin/HQQ tile-packed checkpoints: pure permutations of
+            # plain int-quantized matrices (CUDA mma artifacts), undone
+            # on host at load; served dense (loader/marlin.py).
+            from aphrodite_tpu.loader import marlin as marlin_mod
+
+            q = quant.lower()
+            if q == "hqq":
+                wq = (qcfg.get("quant_config") or {}).get(
+                    "weight_quant_params") or {}
+                it = marlin_mod.hqq_dequant_iterator(
+                    model_config.model, int(wq.get("nbits", 4)),
+                    int(wq.get("group_size", 64)))
+            elif q == "qqq":
+                it = marlin_mod.qqq_dequant_iterator(
+                    model_config.model, int(qcfg.get("group_size", -1)))
+            elif q == "marlin":
+                it = marlin_mod.marlin_dequant_iterator(
+                    model_config.model, int(qcfg.get("group_size", -1)))
+            else:
+                it = marlin_mod.marlin24_dequant_iterator(
+                    model_config.model, int(qcfg.get("bits", 4)),
+                    int(qcfg.get("group_size", -1)))
+            host = load_hf_params_to_host(model, model_config.model,
+                                          weights_iter=it)
+            return place_params_on_mesh(model, host, mesh,
+                                        jnp.dtype(model_config.dtype))
+        if quant and (quant.lower() == "quant_llm"
+                      or quant.lower() in
+                      ("fp2", "fp3", "fp4", "fp5", "fp6", "fp7")):
+            # QuantLLM FPx: dense fp16 checkpoints quantized at load to
+            # the eXmY grid (reference fp6.py quant_weight_loader); the
+            # rounded weights serve dense — same numerics as the CUDA
+            # dequant-GEMM.
+            from aphrodite_tpu.quantization import quant_llm
+
+            ebits, mbits = quant_llm.parse_bits(quant.lower(), qcfg)
+            host = load_hf_params_to_host(model, model_config.model)
+            for path in model.quantizable_weights():
+                w = _get_path(host, path)
+                _set_path(host, path,
+                          quant_llm.round_to_fpx(w, ebits, mbits,
+                                                 reduce_axis=-2))
+            return place_params_on_mesh(model, host, mesh,
+                                        jnp.dtype(model_config.dtype))
         if (method is not None and not method.RUNTIME_QUANTIZE
                 and _checkpoint_has_packed_tensors(model_config.model)):
             # Checkpoint itself is quantized (GPTQ/AWQ packed tensors).

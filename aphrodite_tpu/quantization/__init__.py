@@ -29,9 +29,11 @@ def get_quantization_method(name: Optional[str]):
         from aphrodite_tpu.quantization import fp8 as m
 
         return m
-    if name in ("bitsandbytes", "squeezellm", "aqlm"):
-        # Handled entirely by the loader (dequantize-at-load); no
-        # runtime quant method.
+    if name in ("bitsandbytes", "squeezellm", "aqlm", "hqq", "qqq",
+                "marlin", "gptq_marlin_24", "quant_llm", "fp2", "fp3",
+                "fp4", "fp5", "fp6", "fp7"):
+        # Handled entirely by the loader (dequantize-at-load or
+        # quantize-at-load); no runtime quant method.
         return None
     if name in ("gptq", "awq", "awq_marlin", "gptq_marlin"):
         from aphrodite_tpu.quantization import int4 as m
