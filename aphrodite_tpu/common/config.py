@@ -33,11 +33,59 @@ def _read_hf_config(model: str) -> Dict[str, Any]:
         return gguf_to_hf_config(model)
     path = os.path.join(model, "config.json")
     if not os.path.isfile(path):
+        params = os.path.join(model, "params.json")
+        if os.path.isfile(params):
+            return _params_json_to_hf_config(params)
         raise FileNotFoundError(
             f"Could not find config.json under {model!r}. Only local model "
             "directories are supported in this environment (no network).")
     with open(path) as f:
         return json.load(f)
+
+
+def _params_json_to_hf_config(path: str) -> Dict[str, Any]:
+    """Translate a mistral-format params.json into HF config keys
+    (reference transformers_utils/config.py:186-245 load_params_config):
+    consolidated.safetensors checkpoints from Mistral releases, incl.
+    Pixtral (vision_encoder block -> LLaVA-style composite)."""
+    with open(path) as f:
+        raw = json.load(f)
+    key_map = {
+        "dim": "hidden_size",
+        "norm_eps": "rms_norm_eps",
+        "n_kv_heads": "num_key_value_heads",
+        "n_layers": "num_hidden_layers",
+        "n_heads": "num_attention_heads",
+        "hidden_dim": "intermediate_size",
+    }
+
+    def remap(node):
+        if isinstance(node, dict):
+            return {key_map.get(k, k): remap(v) for k, v in node.items()}
+        return node
+
+    cfg = remap(raw)
+    cfg["hidden_act"] = cfg.pop("activation", "silu")
+    cfg["tie_word_embeddings"] = cfg.pop("tie_embeddings", False)
+    cfg.setdefault("max_position_embeddings",
+                   cfg.get("max_seq_len", 128_000))
+    moe = cfg.pop("moe", None)
+    if moe:
+        cfg["architectures"] = ["MixtralForCausalLM"]
+        cfg["model_type"] = "mixtral"
+        cfg["num_local_experts"] = int(
+            moe.get("num_experts", moe.get("num_local_experts", 8)))
+        cfg["num_experts_per_tok"] = int(moe.get("num_experts_per_tok", 2))
+    else:
+        cfg["architectures"] = ["MistralForCausalLM"]
+        cfg["model_type"] = "mistral"
+    if cfg.get("vision_encoder") is not None:
+        vision = cfg.pop("vision_encoder")
+        cfg = {"text_config": cfg, "vision_config": vision,
+               "architectures": ["PixtralForConditionalGeneration"],
+               "model_type": "pixtral"}
+    cfg["_mistral_format"] = True
+    return cfg
 
 
 @dataclass
@@ -68,6 +116,24 @@ class ModelConfig:
             self.tokenizer = self.model
         if not self.hf_config:
             self.hf_config = _read_hf_config(self.model)
+        if (self.hf_config.get("_mistral_format")
+                and not self.skip_tokenizer_init
+                and not os.path.isfile(os.path.join(
+                    str(self.tokenizer), "tokenizer_config.json"))):
+            # Mistral releases ship tekken/sentencepiece tokenizers the
+            # HF stack can't read; serve token-id-only unless the user
+            # points --tokenizer at an HF-format twin.
+            logger.warning("mistral-format checkpoint without an HF "
+                           "tokenizer: pass prompt_token_ids (or set "
+                           "tokenizer=<hf dir>)")
+            self.skip_tokenizer_init = True
+        if ("llm_config" in self.hf_config
+                and "vision_config" in self.hf_config
+                and "text_config" not in self.hf_config):
+            # Remote-code InternVLChatModel spells the text config
+            # "llm_config" (reference configs/internvl.py).
+            self.hf_config["text_config"] = self.hf_config.pop(
+                "llm_config")
         if ("text_config" in self.hf_config
                 and ("vision_config" in self.hf_config
                      or "audio_config" in self.hf_config)):
@@ -359,11 +425,11 @@ class DeviceConfig:
 class LoadConfig:
     """Weight-loading strategy (reference model_loader/loader.py:1120)."""
 
-    load_format: str = "auto"  # auto|safetensors|gguf|dummy|sharded_state
+    load_format: str = "auto"  # auto|safetensors|gguf|dummy|sharded_state|mistral
 
     def __post_init__(self) -> None:
         if self.load_format not in ("auto", "safetensors", "gguf",
-                                    "dummy", "sharded_state"):
+                                    "dummy", "sharded_state", "mistral"):
             raise ValueError(f"unknown load_format {self.load_format!r}")
 
 

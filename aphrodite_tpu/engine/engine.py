@@ -199,71 +199,99 @@ class AphroditeEngine:
                 raise ValueError(
                     f"model {self.model_config.architecture} does not "
                     "accept multi_modal_data")
-            modality = getattr(model, "modality", "image")
-            image = multi_modal_data.get(modality)
-            if image is None:
+            if getattr(model, "image_token_str", None) and \
+                    self.tokenizer is not None:
+                # Remote-code checkpoints name the placeholder instead
+                # of carrying its id (InternVL's <IMG_CONTEXT>;
+                # reference internvl.py:282): resolve once.
+                enc = self.tokenizer.encode(model.image_token_str,
+                                            add_special_tokens=False)
+                if len(enc) == 1:
+                    model.image_token_index = int(enc[0])
+                model.image_token_str = None
+            # Placeholder id per accepted modality. Single-modality
+            # models expose `modality` (+ image_token_index); models
+            # accepting several (Qwen2-VL image+video) expose
+            # `modality_token_ids`.
+            tok_map = getattr(model, "modality_token_ids", None)
+            if tok_map is None:
+                tok_map = {getattr(model, "modality", "image"):
+                           model.image_token_index}
+            unknown = set(multi_modal_data) - set(tok_map)
+            if unknown or not multi_modal_data:
                 raise ValueError(
-                    f"multi_modal_data must carry {modality!r}")
-            images = list(image) if isinstance(image, (list, tuple)) \
-                else [image]
+                    f"multi_modal_data must carry {sorted(tok_map)}; "
+                    f"got {sorted(multi_modal_data)}")
             import numpy as np
-            # Encode each image through the vision tower NOW; feature
-            # counts may vary per image (LLaVA-NeXT tiles, Fuyu patch
-            # grids), so placeholders expand to each image's own count.
-            feats_list = []
+            # Encode each item through the tower NOW; feature counts
+            # may vary per item (LLaVA-NeXT tiles, Fuyu patch grids,
+            # video frame counts), so placeholders expand to each
+            # item's own count.
+            queues = {}  # modality -> [(item, feats), ...]
             hash_parts = []
-            for im in images:
-                if isinstance(im, dict):
-                    # Structured item (e.g. LLaVA-NeXT anyres: tiled
-                    # pixel_values + original image_size).
-                    for v in im.values():
-                        hash_parts.append(
-                            np.asarray(v, np.float32).tobytes())
-                else:
-                    px = np.asarray(im, np.float32)
-                    if modality == "image" and (
-                            px.ndim not in (3, 4) or px.shape[-3] != 3):
-                        raise ValueError(
-                            "each image must be preprocessed "
-                            "pixel_values [3, height, width] (or a "
-                            "[n_tiles, 3, h, w] tile stack); got "
-                            f"{px.shape}")
-                    hash_parts.append(px.tobytes())
-                feats_list.append(
-                    np.asarray(self.runner.encode_image_item(im),
-                               np.float32))
-            tok_id = model.image_token_index
+            for mod, v in multi_modal_data.items():
+                items = list(v) if isinstance(v, (list, tuple)) else [v]
+                queues[mod] = []
+                for im in items:
+                    if isinstance(im, dict):
+                        # Structured item (e.g. LLaVA-NeXT anyres:
+                        # tiled pixel_values + original image_size).
+                        for part in im.values():
+                            hash_parts.append(
+                                np.asarray(part, np.float32).tobytes())
+                    else:
+                        px = np.asarray(im, np.float32)
+                        if mod == "image" and (
+                                px.ndim not in (3, 4)
+                                or px.shape[-3] != 3):
+                            raise ValueError(
+                                "each image must be preprocessed "
+                                "pixel_values [3, height, width] (or a "
+                                "[n_tiles, 3, h, w] tile stack); got "
+                                f"{px.shape}")
+                        hash_parts.append(mod.encode() + px.tobytes())
+                    queues[mod].append(
+                        (im, np.asarray(
+                            self.runner.encode_image_item(im),
+                            np.float32)))
+            tok2mod = {tid: mod for mod, tid in tok_map.items()
+                       if mod in queues}
             new_ids: List[int] = []
             mm_spans = []
-            img_j = 0
+            ordered_items = []  # prompt order, for M-RoPE grids
+            taken = {mod: 0 for mod in queues}
             for t in prompt_token_ids:
-                if t == tok_id:
-                    if img_j >= len(images):
+                mod = tok2mod.get(t)
+                if mod is not None:
+                    if taken[mod] >= len(queues[mod]):
                         raise ValueError(
-                            "prompt has more image placeholders "
-                            f"(token {tok_id}) than images "
-                            f"({len(images)})")
+                            f"prompt has more {mod} placeholders "
+                            f"(token {t}) than {mod} items "
+                            f"({len(queues[mod])})")
+                    item, feats = queues[mod][taken[mod]]
+                    taken[mod] += 1
+                    ordered_items.append(item)
                     base = len(new_ids)
-                    feats = feats_list[img_j]
                     if hasattr(model, "expand_image_item"):
                         # Model-defined placeholder layout (Fuyu: rows
                         # of image tokens separated by newline TOKENS,
                         # so the splice spans are per-row).
                         toks, rel_spans = model.expand_image_item(
-                            images[img_j], feats)
+                            item, feats)
                         new_ids.extend(toks)
                         for rs, fseg in rel_spans:
                             mm_spans.append((base + rs, fseg))
                     else:
-                        new_ids.extend([tok_id] * feats.shape[0])
+                        new_ids.extend([t] * feats.shape[0])
                         mm_spans.append((base, feats))
-                    img_j += 1
                 else:
                     new_ids.append(t)
-            if img_j != len(images):
-                raise ValueError(
-                    f"prompt has {img_j} image placeholder(s) "
-                    f"(token {tok_id}) but {len(images)} image(s) given")
+            for mod, n in taken.items():
+                if n != len(queues[mod]):
+                    raise ValueError(
+                        f"prompt has {n} {mod} placeholder(s) (token "
+                        f"{tok_map[mod]}) but {len(queues[mod])} "
+                        f"item(s) given")
             prompt_token_ids = new_ids
             mm_hash = hash(b"".join(hash_parts))
             if mm_target_encoder:
@@ -275,7 +303,7 @@ class AphroditeEngine:
             # MRotaryEmbedding.get_input_positions).
             if hasattr(model, "mrope_input_positions"):
                 mrope_table, mrope_delta = model.mrope_input_positions(
-                    prompt_token_ids, images)
+                    prompt_token_ids, ordered_items)
 
         fsm = None
         guided = sampling_params.guided_spec

@@ -30,6 +30,66 @@ def _np_from_torch_st(tensor) -> np.ndarray:
     return tensor
 
 
+def mistral_weights_iterator(model_dir: str, model_config):
+    """consolidated.safetensors (mistral-format) -> HF-named tensors.
+
+    Reference: llama.py:375-397 mistral_mapping + :570-590
+    maybe_remap_mistral (text stack, incl. the interleaved->half-split
+    rotary permutation of wq/wk) and pixtral.py:241-280 load_weights
+    (vision_encoder / vision_language_adapter). Vision attention weights
+    get the same rotary permutation: the mistral tower applies rope on
+    interleaved pairs via complex multiply, our tower (like HF's
+    conversion) uses the half-split rotate-half convention."""
+    hf = model_config.hf_config
+    txt_heads = int(hf.get("num_attention_heads", 32))
+    txt_kv = int(hf.get("num_key_value_heads", txt_heads))
+    v = dict(hf.get("vision_config") or {})
+    v_heads = int(v.get("num_attention_heads", 16))
+    is_composite = bool(v)
+
+    def rope_permute(w: np.ndarray, n_heads: int) -> np.ndarray:
+        out_d, in_d = w.shape
+        d = out_d // n_heads
+        return np.ascontiguousarray(
+            w.reshape(n_heads, d // 2, 2, in_d).transpose(0, 2, 1, 3)
+            .reshape(out_d, in_d))
+
+    text_map = {
+        "layers": "model.layers", "attention": "self_attn",
+        "wq": "q_proj", "wk": "k_proj", "wv": "v_proj", "wo": "o_proj",
+        "attention_norm": "input_layernorm", "feed_forward": "mlp",
+        "w1": "gate_proj", "w2": "down_proj", "w3": "up_proj",
+        "ffn_norm": "post_attention_layernorm",
+        "tok_embeddings": "model.embed_tokens", "output": "lm_head",
+        "norm": "model.norm",
+    }
+    vision_map = {
+        "vision_encoder": "vision_tower", "wq": "q_proj",
+        "wk": "k_proj", "wv": "v_proj", "wo": "o_proj",
+        "w1": "gate_proj", "w2": "down_proj", "w3": "up_proj",
+        "vision_language_adapter": "multi_modal_projector",
+        "w_in": "linear_1", "w_out": "linear_2",
+    }
+
+    for name, arr in safetensors_weight_iterator(model_dir):
+        parts = name.split(".")
+        if parts[0] in ("vision_encoder", "vision_language_adapter"):
+            arr = np.asarray(arr)
+            if "wq" in parts or "wk" in parts:
+                arr = rope_permute(arr, v_heads)
+            yield ".".join(vision_map.get(p, p) for p in parts), arr
+            continue
+        arr = np.asarray(arr)
+        if "wq" in parts:
+            arr = rope_permute(arr, txt_heads)
+        elif "wk" in parts:
+            arr = rope_permute(arr, txt_kv)
+        new = ".".join(text_map.get(p, p) for p in parts)
+        if is_composite:
+            new = "language_model." + new
+        yield new, arr
+
+
 def safetensors_weight_iterator(
     model_dir: str,
 ) -> Iterable[Tuple[str, np.ndarray]]:
@@ -134,7 +194,16 @@ def load_hf_params_to_host(
             indices = list(start)
         else:
             indices = [start + i for i in range(count)]
-        if count == 1 and indices == [0] and "{i}" not in template:
+        if isinstance(our_path, (list, tuple)):
+            # Fused aux tensor split along the (post-transpose) output
+            # dim into several stacks (e.g. InternViT's attn.qkv on a
+            # vision tower with its own layer count).
+            for sub_path, _, _ in our_path:
+                aux_counts[sub_path] = count
+            for pos, i in enumerate(indices):
+                lookup[template.format(i=i)] = ("aux_split", our_path,
+                                                transpose, pos)
+        elif count == 1 and indices == [0] and "{i}" not in template:
             lookup[template] = ("global", our_path, transpose, None)
         else:
             aux_counts[our_path] = count
@@ -176,6 +245,10 @@ def load_hf_params_to_host(
                 if hasattr(model, "maybe_pad_kv_weight"):
                     part = model.maybe_pad_kv_weight(our_path, part)
                 pieces[our_path][idx] = part
+            continue
+        if kind == "aux_split":
+            for our_path, start, end in target:
+                aux_pieces[our_path][idx] = arr[..., start:end]
             continue
         if kind == "layer" and hasattr(model, "maybe_pad_kv_weight_layer"):
             # Layer-aware variant for per-layer-heterogeneous weights
@@ -549,11 +622,22 @@ def load_model_params(
             fmt = "gguf"
         elif is_sharded_state_dir(model_config.model):
             fmt = "sharded_state"
+        elif model_config.hf_config.get("_mistral_format"):
+            fmt = "mistral"
         else:
             has_st = any(
                 fn.endswith(".safetensors")
                 for fn in os.listdir(model_config.model))
             fmt = "safetensors" if has_st else "dummy"
+    if fmt == "mistral":
+        logger.info("loading mistral-format (consolidated) weights "
+                    "from %s", model_config.model)
+        host = load_hf_params_to_host(
+            model, model_config.model,
+            weights_iter=mistral_weights_iterator(model_config.model,
+                                                  model_config))
+        return place_params_on_mesh(model, host, mesh,
+                                    jnp.dtype(model_config.dtype))
     if fmt == "sharded_state":
         logger.info("loading sharded state from %s", model_config.model)
         host = load_sharded_state_to_host(model_config.model)

@@ -11,8 +11,15 @@ processor's dynamic_preprocess), each contributing
 absolute position embeddings, layer-scale (lambda_1/lambda_2)
 residuals, optional full-width qk-norm, layer_norm or rms_norm blocks.
 
-Remote-code InternVLChatModel checkpoints (llm_config/vision_config in
-the OpenGVLab layout) are not wired yet — convert to the HF format.
+Remote-code InternVLChatModel checkpoints (the OpenGVLab layout the
+reference serves, internvl.py:340-527 + intern_vit.py) load through the
+same class: llm_config hoists as the text config, the vision knobs read
+both spellings (qkv_bias/qk_normalization/select_layer vs
+attention_bias/use_qk_norm/vision_feature_layer), the fused attn.qkv
+splits at load, mlp1.{0,1,3} map onto the projector, ps_version "v1"
+skips the second pixel-shuffle transpose, and the <IMG_CONTEXT>
+placeholder id resolves from the tokenizer at engine setup (the remote
+config carries no image_token_id; reference internvl.py:282).
 """
 
 import math
@@ -60,15 +67,25 @@ class InternVLForConditionalGeneration(LlamaForCausalLM):
                            else pch)
         self.v_eps = float(v.get("layer_norm_eps", 1e-6))
         self.v_rms = str(v.get("norm_type", "layer_norm")) == "rms_norm"
-        self.v_qk_norm = bool(v.get("use_qk_norm", False))
-        self.v_attn_bias = bool(v.get("attention_bias", False))
+        self.v_qk_norm = bool(v.get("use_qk_norm",
+                                    v.get("qk_normalization", False)))
+        self.v_attn_bias = bool(v.get("attention_bias",
+                                      v.get("qkv_bias", False)))
         self.downsample = float(hf.get("downsample_ratio", 0.5))
-        self.feature_layer = int(hf.get("vision_feature_layer", -1))
+        self.feature_layer = int(hf.get("vision_feature_layer",
+                                        hf.get("select_layer", -1)))
         self.feature_strategy = str(
             hf.get("vision_feature_select_strategy", "default"))
         self.v_used_layers = self.feature_layer % (self.v_layers + 1) \
             if self.feature_layer != -1 else self.v_layers
-        self.image_token_index = int(hf.get("image_token_id", 151667))
+        self.ps_version = str(hf.get("ps_version", "v2"))
+        if "image_token_id" in hf:
+            self.image_token_index = int(hf["image_token_id"])
+        else:
+            # Remote-code checkpoints: resolve <IMG_CONTEXT> from the
+            # tokenizer at engine setup (reference internvl.py:282).
+            self.image_token_index = 151667
+            self.image_token_str = "<IMG_CONTEXT>"
         self.projector_act = str(hf.get("projector_hidden_act", "gelu"))
         self._vision_jit = None
         grid = self.v_image_size // self.v_patch
@@ -229,6 +246,72 @@ class InternVLForConditionalGeneration(LlamaForCausalLM):
         for hf_name, path, transpose in globals_:
             out.append((hf_name, path, transpose, 1))
             out.append(("model." + hf_name, path, transpose, 1))
+        return out + self._remote_aux_mappings()
+
+    def _remote_aux_mappings(self) -> List:
+        """OpenGVLab InternVLChatModel serialization (reference
+        intern_vit.py module names + internvl.py:367-373 mlp1)."""
+        E = self.v_hidden
+        lay = "vision_model.encoder.layers.{i}."
+        Lv = self.v_used_layers
+        pairs = [
+            (lay + "norm1.weight", "vision.layers.ln1", False),
+            (lay + "ls1", "vision.layers.lambda1", False),
+            (lay + "ls2", "vision.layers.lambda2", False),
+            (lay + "attn.proj.weight", "vision.layers.wo", True),
+            (lay + "attn.proj.bias", "vision.layers.bo", False),
+            (lay + "norm2.weight", "vision.layers.ln2", False),
+            (lay + "mlp.fc1.weight", "vision.layers.fc1", True),
+            (lay + "mlp.fc1.bias", "vision.layers.fc1_b", False),
+            (lay + "mlp.fc2.weight", "vision.layers.fc2", True),
+            (lay + "mlp.fc2.bias", "vision.layers.fc2_b", False),
+        ]
+        if not self.v_rms:
+            pairs += [
+                (lay + "norm1.bias", "vision.layers.ln1_b", False),
+                (lay + "norm2.bias", "vision.layers.ln2_b", False),
+            ]
+        if self.v_qk_norm:
+            pairs += [
+                (lay + "attn.q_norm.weight", "vision.layers.q_norm",
+                 False),
+                (lay + "attn.k_norm.weight", "vision.layers.k_norm",
+                 False),
+            ]
+            if not self.v_rms:
+                pairs += [
+                    (lay + "attn.q_norm.bias", "vision.layers.q_norm_b",
+                     False),
+                    (lay + "attn.k_norm.bias", "vision.layers.k_norm_b",
+                     False),
+                ]
+        out = [(t, p, tr, Lv) for t, p, tr in pairs]
+        qkv_slices = [("vision.layers.wq", 0, E),
+                      ("vision.layers.wk", E, 2 * E),
+                      ("vision.layers.wv", 2 * E, 3 * E)]
+        out.append((lay + "attn.qkv.weight", qkv_slices, True, Lv))
+        if self.v_attn_bias:
+            out.append((lay + "attn.qkv.bias",
+                        [("vision.layers.bq", 0, E),
+                         ("vision.layers.bk", E, 2 * E),
+                         ("vision.layers.bv", 2 * E, 3 * E)], False, Lv))
+        for name, path, tr in [
+            ("vision_model.embeddings.class_embedding", "vision.cls",
+             False),
+            ("vision_model.embeddings.position_embedding", "vision.pos",
+             False),
+            ("vision_model.embeddings.patch_embedding.weight",
+             "vision.patch_w", False),
+            ("vision_model.embeddings.patch_embedding.bias",
+             "vision.patch_b", False),
+            ("mlp1.0.weight", "projector.ln", False),
+            ("mlp1.0.bias", "projector.ln_b", False),
+            ("mlp1.1.weight", "projector.w1", True),
+            ("mlp1.1.bias", "projector.b1", False),
+            ("mlp1.3.weight", "projector.w2", True),
+            ("mlp1.3.bias", "projector.b2", False),
+        ]:
+            out.append((name, path, tr, 1))
         return out
 
     def finalize_params(self, params: Dict[str, Any]) -> None:
@@ -299,7 +382,8 @@ class InternVLForConditionalGeneration(LlamaForCausalLM):
         x = jnp.transpose(x, (0, 2, 1, 3))
         x = x.reshape(B, int(g * sf), int(g * sf),
                       int(E / (sf * sf)))
-        x = jnp.transpose(x, (0, 2, 1, 3))
+        if self.ps_version != "v1":  # v1 checkpoints skip the
+            x = jnp.transpose(x, (0, 2, 1, 3))  # W/H swap-back
         x = x.reshape(B, -1, x.shape[-1])
         pj = params["projector"]
         x = _ln(x, pj["ln"].astype(f32), pj["ln_b"].astype(f32), 1e-5)

@@ -50,7 +50,8 @@ class PixtralForConditionalGeneration(LlamaForCausalLM):
         self.v_patch = int(v.get("patch_size", 16))
         self.v_image_size = int(v.get("image_size", 1024))
         self.v_theta = float(v.get("rope_theta", 10000.0))
-        self.image_token_index = int(hf.get("image_token_index", 10))
+        self.image_token_index = int(
+            hf.get("image_token_index", v.get("image_token_id", 10)))
         self.projector_bias = bool(
             hf.get("multimodal_projector_bias", True))
         self._vision_jit = None

@@ -17,8 +17,10 @@ Reference: aphrodite/modeling/models/qwen2_vl.py. TPU design:
 
 Multimodal input items are dicts {"pixel_values": [t*h*w, C*tps*p*p]
 flattened patches, "image_grid_thw": [3]} as produced by the HF
-Qwen2VLImageProcessor. Video inputs are not wired yet (engine carries
-an "image" modality only).
+Qwen2VLImageProcessor; videos arrive under the "video" modality key as
+the same layout (pixel_values_videos / video_grid_thw spellings also
+accepted) with grid_t > 1 — the tower attends within each frame
+(cu_seqlens per t) and M-RoPE advances the temporal stream per frame.
 """
 
 import math
@@ -59,6 +61,14 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         self.v_eps = 1e-6  # reference partial(nn.LayerNorm, eps=1e-6)
         self.image_token_index = int(hf.get("image_token_id", 151655))
         self.video_token_index = int(hf.get("video_token_id", 151656))
+        # Image AND video ride the same tower; videos are patch grids
+        # with grid_t > 1 (HF Qwen2VLImageProcessor folds
+        # temporal_patch_size frames into the channel dim, so the item
+        # layout is identical).
+        self.modality_token_ids = {
+            "image": self.image_token_index,
+            "video": self.video_token_index,
+        }
         if self.mrope_section is None:
             raise ValueError(
                 "Qwen2-VL config must carry rope_scaling.mrope_section")
@@ -175,7 +185,7 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         running max."""
         grids = []
         for it in items:
-            g = np.asarray(it["image_grid_thw"]).reshape(-1)[-3:]
+            _, g = self._item_arrays(it)
             grids.append((int(g[0]), int(g[1]), int(g[2])))
         ids = np.asarray(token_ids, np.int64)
         m = self.v_merge
@@ -236,7 +246,9 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
 
     def _vision_forward(self, params, patches, freqs, n_real):
         """[Npad, C*tps*p*p] patches -> [Npad/merge^2, v_out] features
-        (fp32, HF-exact). Padding patches are masked out of attention."""
+        (fp32, HF-exact). Padding patches are masked out of attention;
+        video grids (grid_t > 1) attend WITHIN each frame only (HF
+        Qwen2VisionTransformer cu_seqlens = h*w per t)."""
         vp = params["vision"]
         E, heads = self.v_embed, self.v_heads
         D = E // heads
@@ -245,7 +257,9 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         N = x.shape[0]
         cos = jnp.cos(freqs)
         sin = jnp.sin(freqs)
-        key_ok = jnp.arange(N) < n_real[0]
+        frame = jnp.arange(N) // n_real[1]  # n_real[1] = h*w
+        key_ok = (jnp.arange(N) < n_real[0])[None, :] & \
+            (frame[:, None] == frame[None, :])  # [q, k]
         neg = jnp.asarray(np.finfo(np.float32).min, f32)
         scale = 1.0 / math.sqrt(D)
 
@@ -258,7 +272,7 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
             k = apply_rope(k.reshape(N, heads, D), cos, sin)
             v = v.reshape(N, heads, D)
             scores = jnp.einsum("qhd,khd->hqk", q, k) * scale
-            scores = jnp.where(key_ok[None, None, :], scores, neg)
+            scores = jnp.where(key_ok[None], scores, neg)
             attn = jax.nn.softmax(scores, axis=-1)
             o = jnp.einsum("hqk,khd->qhd", attn, v).reshape(N, E)
             x = x + o @ lp["proj_w"] + lp["proj_b"]
@@ -313,17 +327,31 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         return {"pixel_values": flat.astype(np.float32),
                 "image_grid_thw": np.asarray([1, gh, gw], np.int64)}
 
+    @staticmethod
+    def _item_arrays(item):
+        """(patches, grid_thw) from an image OR video item — the HF
+        processor spells video outputs pixel_values_videos /
+        video_grid_thw, same layout."""
+        px = item.get("pixel_values", item.get("pixel_values_videos"))
+        g = item.get("image_grid_thw", item.get("video_grid_thw"))
+        if px is None or g is None:
+            raise ValueError(
+                "Qwen2-VL items must be dicts with 'pixel_values' "
+                "(flattened patches) and 'image_grid_thw' (or the "
+                "_videos/video_ spellings)")
+        return px, np.asarray(g).reshape(-1)[-3:]
+
     def num_item_tokens(self, item) -> int:
-        g = np.asarray(item["image_grid_thw"]).reshape(-1)[-3:]
+        _, g = self._item_arrays(item)
         return int(g[0] * g[1] * g[2]) // (self.v_merge**2)
 
     def encode_image_item(self, params, item, fn=None) -> np.ndarray:
-        if not isinstance(item, dict) or "image_grid_thw" not in item:
+        if not isinstance(item, dict):
             raise ValueError(
                 "Qwen2-VL image items must be dicts with 'pixel_values' "
                 "(flattened patches) and 'image_grid_thw'")
-        px = np.asarray(item["pixel_values"], np.float32)
-        g = np.asarray(item["image_grid_thw"]).reshape(-1)[-3:]
+        px, g = self._item_arrays(item)
+        px = np.asarray(px, np.float32)
         t, h, w = int(g[0]), int(g[1]), int(g[2])
         n = t * h * w
         if px.shape[0] != n:
@@ -342,5 +370,5 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
             self._vision_jit = jax.jit(self._vision_forward)
         out = self._vision_jit(params, jnp.asarray(px),
                                jnp.asarray(freqs),
-                               jnp.asarray([n], np.int32))
+                               jnp.asarray([n, h * w], np.int32))
         return np.asarray(out)[:n // m2]

@@ -95,6 +95,14 @@ _LAZY_REGISTRY = {
         _lazy("chameleon", "ChameleonForConditionalGeneration"),
     "InternVLForConditionalGeneration":
         _lazy("internvl", "InternVLForConditionalGeneration"),
+    # Remote-code OpenGVLab serialization (reference internvl.py:340):
+    # same graph, alternate config/weight spellings.
+    "InternVLChatModel":
+        _lazy("internvl", "InternVLForConditionalGeneration"),
+    # mistral-format consolidated checkpoints (params.json translation
+    # names the composite arch directly; reference pixtral.py:129).
+    "PixtralForConditionalGeneration":
+        _lazy("pixtral", "PixtralForConditionalGeneration"),
     "BartForConditionalGeneration":
         _lazy("bart", "BartForConditionalGeneration"),
     "BartModel": _lazy("bart", "BartForConditionalGeneration"),

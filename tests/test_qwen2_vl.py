@@ -257,3 +257,90 @@ def test_qwen2vl_two_images_chunked_prefill(qvl_dir):
             max_new_tokens=6, do_sample=False,
             suppress_tokens=[2], pad_token_id=0)
     assert list(out.token_ids) == exp[0, ids.shape[1]:].tolist()
+
+
+def make_video_item(seed, grid=(2, 4, 4)):
+    """HF-processor-shaped video item (pixel_values_videos /
+    video_grid_thw): grid_t > 1, temporal_patch_size frames folded into
+    the channel dim exactly like images."""
+    rng = np.random.default_rng(seed)
+    t, h, w = grid
+    return {
+        "pixel_values_videos": rng.standard_normal(
+            (t * h * w, PDIM)).astype(np.float32),
+        "video_grid_thw": np.asarray(grid, np.int64),
+    }
+
+
+def test_vision_tower_video_matches_hf(qvl_dir):
+    import torch
+    import transformers as tf
+
+    from aphrodite_tpu.common.config import LoadConfig, ModelConfig
+    from aphrodite_tpu.loader.weights import load_model_params
+    from aphrodite_tpu.models.qwen2_vl import (
+        Qwen2VLForConditionalGeneration)
+
+    mc = ModelConfig(model=qvl_dir, dtype="float32")
+    model = Qwen2VLForConditionalGeneration(mc)
+    params = load_model_params(model, mc, LoadConfig(), mesh=None)
+    hf = tf.Qwen2VLForConditionalGeneration.from_pretrained(
+        qvl_dir, torch_dtype=torch.float32)
+    hf.eval()
+    for grid in [(2, 4, 4), (3, 4, 8)]:
+        item = make_video_item(11, grid)
+        got = model.encode_image_item(params, item)
+        with torch.no_grad():
+            visual = getattr(hf, "visual", None) or hf.model.visual
+            expect = visual(
+                torch.tensor(item["pixel_values_videos"]),
+                grid_thw=torch.tensor(item["video_grid_thw"])[None],
+            ).numpy()
+        assert got.shape == expect.shape
+        np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2vl_video_and_image_greedy_matches_hf(qvl_dir):
+    """Mixed video + image request: temporal M-RoPE grid layout and
+    per-modality placeholder expansion vs HF generate."""
+    import torch
+    import transformers as tf
+
+    llm = LLM(model=qvl_dir, dtype="float32", max_num_seqs=2,
+              max_model_len=256)
+    vid = make_video_item(7)
+    img = make_item(1, grid=(1, 4, 8))
+    prompt_ids = [5, VSTART, VIDEO, VEND, 6, VSTART, IMG, VEND, 8]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                        custom_token_bans=[2])
+    out = llm.generate(
+        [{"prompt_token_ids": prompt_ids,
+          "multi_modal_data": {"image": img, "video": vid}}],
+        sp)[0].outputs[0]
+
+    model = tf.Qwen2VLForConditionalGeneration.from_pretrained(
+        qvl_dir, torch_dtype=torch.float32)
+    model.eval()
+    n_vid = int(np.prod(vid["video_grid_thw"])) // (MERGE * MERGE)
+    n_img = int(np.prod(img["image_grid_thw"])) // (MERGE * MERGE)
+    expanded = []
+    for t in prompt_ids:
+        if t == VIDEO:
+            expanded.extend([VIDEO] * n_vid)
+        elif t == IMG:
+            expanded.extend([IMG] * n_img)
+        else:
+            expanded.append(t)
+    ids = torch.tensor([expanded], dtype=torch.long)
+    with torch.no_grad():
+        exp = model.generate(
+            input_ids=ids,
+            pixel_values=torch.tensor(img["pixel_values"]),
+            image_grid_thw=torch.tensor(img["image_grid_thw"])[None],
+            pixel_values_videos=torch.tensor(
+                vid["pixel_values_videos"]),
+            video_grid_thw=torch.tensor(vid["video_grid_thw"])[None],
+            attention_mask=torch.ones_like(ids),
+            max_new_tokens=8, do_sample=False,
+            suppress_tokens=[2], pad_token_id=0)
+    assert list(out.token_ids) == exp[0, ids.shape[1]:].tolist()
