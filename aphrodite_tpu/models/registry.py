@@ -206,6 +206,18 @@ def get_model_class(model_config: ModelConfig):
                 PixtralForConditionalGeneration)
 
             return PixtralForConditionalGeneration
+    if arch == "MiniCPMV":
+        # Version routing (reference minicpmv.py:239-250: explicit
+        # config.version, else the 2.0 shape fingerprint).
+        hf = model_config.hf_config
+        ver = hf.get("version")
+        if ver is None:
+            ver = 2.0 if (hf.get("hidden_size") == 2304
+                          and hf.get("query_num") == 64) else 2.5
+        if float(ver) < 2.5:
+            from aphrodite_tpu.models.minicpmv import MiniCPMV2_0
+
+            return MiniCPMV2_0
     if arch in _MODEL_REGISTRY:
         return _MODEL_REGISTRY[arch]
     if arch in _LAZY_REGISTRY:
