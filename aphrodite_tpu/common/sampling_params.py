@@ -130,6 +130,7 @@ class SamplingParams:
     guided_regex: Optional[str] = None
     guided_json: Optional[Union[str, Dict[str, Any]]] = None
     guided_choice: Optional[List[str]] = None
+    guided_grammar: Optional[str] = None
     guided_json_object: bool = False
 
     def __post_init__(self) -> None:
@@ -287,6 +288,8 @@ class SamplingParams:
             return ("json", spec)
         if self.guided_choice is not None:
             return ("choice", _json.dumps(list(self.guided_choice)))
+        if self.guided_grammar is not None:
+            return ("grammar", self.guided_grammar)
         if self.guided_json_object:
             return ("json_object", "")
         return None

@@ -106,6 +106,7 @@ class _SamplerMixin(BaseModel):
     guided_regex: Optional[str] = None
     guided_json: Optional[Union[str, Dict[str, Any]]] = None
     guided_choice: Optional[List[str]] = None
+    guided_grammar: Optional[str] = None
     response_format: Optional[Dict[str, Any]] = None
 
     def to_sampling_params(self, default_max_tokens: int) -> SamplingParams:
@@ -181,6 +182,7 @@ class _SamplerMixin(BaseModel):
             guided_regex=self.guided_regex,
             guided_json=self.guided_json,
             guided_choice=self.guided_choice,
+            guided_grammar=self.guided_grammar,
             guided_json_object=(
                 (self.response_format or {}).get("type") == "json_object"),
         )

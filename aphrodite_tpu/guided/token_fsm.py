@@ -149,6 +149,13 @@ def get_token_fsm(kind: str, spec: str, tokenizer,
         from aphrodite_tpu.guided.json_schema import ANY_JSON_OBJECT_REGEX
 
         pattern = ANY_JSON_OBJECT_REGEX
+    elif kind == "grammar":
+        from aphrodite_tpu.guided.grammar_fsm import CFG, GrammarTokenFSM
+
+        fsm = GrammarTokenFSM(CFG(spec, alphabet), tokenizer,
+                              vocab_size)
+        _FSM_CACHE[key] = fsm
+        return fsm
     else:
         raise ValueError(f"unknown guided kind {kind!r}")
     dfa = compile_regex(pattern, alphabet)

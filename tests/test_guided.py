@@ -127,3 +127,97 @@ def test_guided_json_e2e(tiny_llm):
     out = tiny_llm.generate(["result:"], sp)[0].outputs[0]
     parsed = json.loads(out.text)
     assert isinstance(parsed["ok"], bool)
+
+
+# ---------------------------------------------------------------------------
+# guided_grammar (Lark-subset EBNF -> incremental Earley)
+
+
+def _walk(fsm, text):
+    """Advance the grammar chart char-by-char; None if it dies."""
+    chart = list(fsm._states[0])
+    for c in text:
+        if fsm._advance(chart, c) is None:
+            return None
+    return chart
+
+
+ARITH = r"""
+start: expr
+expr: term | expr "+" term | expr "-" term
+term: factor | term "*" factor
+factor: NUMBER | "(" expr ")"
+NUMBER: /[0-9]+/
+%ignore / /
+"""
+
+
+def _make_grammar_fsm(grammar, tmpdir):
+    from transformers import AutoTokenizer
+
+    from aphrodite_tpu.guided.grammar_fsm import CFG, GrammarTokenFSM
+    from tests.utils import make_tiny_tokenizer
+
+    d = str(tmpdir)
+    make_tiny_tokenizer(d, vocab_size=256)
+    tok = AutoTokenizer.from_pretrained(d)
+    alphabet = set()
+    for tid in range(256):
+        try:
+            alphabet.update(tok.decode([tid]))
+        except Exception:
+            pass
+    alphabet.discard("�")
+    return GrammarTokenFSM(CFG(grammar, alphabet), tok, 256)
+
+
+def test_grammar_recognizer_arith(tmp_path):
+    fsm = _make_grammar_fsm(ARITH, tmp_path)
+    good = ["1", "1+2", "12 * (3 + 4)", "(1)", "1 + 2 * 3 - 4"]
+    bad = ["+", "1 +", "(1", "1 ++ 2", ")", "* 3"]
+    for t in good:
+        chart = _walk(fsm, t)
+        assert chart is not None and fsm._accepts(chart), t
+    for t in bad:
+        chart = _walk(fsm, t)
+        assert chart is None or not fsm._accepts(chart), t
+    # Prefixes of valid strings stay alive even if not yet accepting.
+    chart = _walk(fsm, "12 * (")
+    assert chart is not None and not fsm._accepts(chart)
+
+
+def test_grammar_nested_recursion_depth(tmp_path):
+    fsm = _make_grammar_fsm(ARITH, tmp_path)
+    deep = "(" * 12 + "7" + ")" * 12
+    chart = _walk(fsm, deep)
+    assert chart is not None and fsm._accepts(chart)
+    assert _walk(fsm, "(" * 3 + "7" + ")" * 4) is None
+
+
+def test_grammar_quantifiers_and_imports(tmp_path):
+    g = r"""
+start: "v" DIGIT+ ("." DIGIT+)*
+%import common.DIGIT
+"""
+    fsm = _make_grammar_fsm(g, tmp_path)
+    for t in ["v1", "v12.3", "v1.2.3"]:
+        chart = _walk(fsm, t)
+        assert chart is not None and fsm._accepts(chart), t
+    for t in ["v", "v1.", "1.2", "v1..2"]:
+        chart = _walk(fsm, t)
+        assert chart is None or not fsm._accepts(chart), t
+
+
+def test_guided_grammar_e2e(tiny_llm):
+    import re
+
+    from aphrodite_tpu import SamplingParams
+
+    grammar = r"""
+start: "(" NUM ("," NUM)* ")"
+NUM: /[0-9]+/
+"""
+    sp = SamplingParams(temperature=0.9, seed=11, max_tokens=24,
+                        guided_grammar=grammar)
+    out = tiny_llm.generate(["list:"], sp)[0].outputs[0]
+    assert re.fullmatch(r"\([0-9]+(,[0-9]+)*\)", out.text), out.text
