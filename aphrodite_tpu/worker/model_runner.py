@@ -1417,6 +1417,17 @@ class ModelRunner:
         for i, ss in enumerate(scheduled):
             seq = ss.seq
             p = int((proposals[i] >= 0).sum())
+            # Clamp to the scheduler's (model-length-capped) slot
+            # reservation: near max_model_len the lookahead shrinks,
+            # and verification must not write KV past the block table
+            # (reference spec_decode proposal-len clamping).
+            start = seq.num_computed_tokens
+            cap = min(
+                self.model_config.max_model_len - seq.get_len(),
+                len(ss.block_ids) * self.block_size - start - 1)
+            if p > max(0, cap):
+                p = max(0, cap)
+                proposals[i, p:] = -1
             chunk = [seq.get_last_token_id()] + \
                 [int(t) for t in proposals[i, :p]]
             q_len = 1 + p

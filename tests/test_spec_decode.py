@@ -113,3 +113,25 @@ def test_spec_multi_step_conflict_rejected(tiny_dir):
         LLM(model=tiny_dir, dtype="float32",
             num_device_blocks_override=64,
             speculative_model="[ngram]", num_scheduler_steps=4)
+
+
+def test_ngram_spec_at_max_model_len(tmp_path):
+    """Proposals clamp to the scheduler's slot reservation near
+    max_model_len — verification must not write KV past the block
+    table (regression: IndexError in _build_spec_verify_batch)."""
+    from tests.utils import make_tiny_llama_checkpoint
+
+    from aphrodite_tpu import LLM, SamplingParams
+
+    d = str(tmp_path / "m")
+    make_tiny_llama_checkpoint(d)
+    llm = LLM(model=d, dtype="float32", speculative_model="[ngram]",
+              num_speculative_tokens=4, max_model_len=64,
+              num_device_blocks_override=128, block_size=8)
+    sp = SamplingParams(temperature=0.0, max_tokens=64, ignore_eos=True)
+    # Repetitive prompt maximizes ngram hits right up to the ceiling.
+    out = llm.generate(["a b a b a b a b"], sp)[0].outputs[0]
+    assert len(out.token_ids) > 0
+    total = len(llm.get_tokenizer().encode("a b a b a b a b")) + \
+        len(out.token_ids)
+    assert total <= 64
