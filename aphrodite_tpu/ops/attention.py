@@ -208,10 +208,10 @@ def ragged_paged_attention(
         and decode_supports(q, kv_pages, page_indices)
         and os.environ.get("APHRODITE_DECODE_KERNEL", "1") != "0")
 
-    if use_kernel and not use_decode_kernel and alibi_slopes is not None:
-        # The bundled Pallas kernel has no ALiBi bias input; ALiBi models
-        # (bloom/mpt/jais) run the jnp path for prefill. TODO(round 2):
-        # fork the ragged kernel with an in-loop distance bias.
+    if use_kernel and not use_decode_kernel and alibi_slopes is not None \
+            and os.environ.get("APHRODITE_ALIBI_KERNEL", "1") == "0":
+        # Escape hatch: force ALiBi prefill onto the jnp path instead of
+        # the vendored biased kernel (ops/rpa_alibi_kernel.py).
         use_kernel = False
     if use_kernel and not _kernel_supports(q, kv_pages):
         # The Pallas kernel has alignment requirements (e.g. head_dim
@@ -272,7 +272,7 @@ def ragged_paged_attention(
 
     if alibi_slopes is not None:
         # Slopes shard with the query heads.
-        alibi_impl = impl if use_decode_kernel else ref_ragged_paged_attention
+        alibi_impl = impl
         fn = jax.shard_map(
             lambda q_, kv_, kl_, pi_, cq_, ns_, sl_: alibi_impl(
                 q_, kv_, kl_, pi_, cq_, ns_, **{**kwargs,
@@ -318,7 +318,7 @@ def _kernel_supports(q, kv_pages) -> bool:
 
 def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
                       num_seqs, *, sm_scale, sliding_window, soft_cap,
-                      k_scale, v_scale):
+                      k_scale, v_scale, alibi_slopes=None):
     """TPU Pallas path (the JAX-bundled ragged paged attention kernel).
 
     Block sizes must be chosen explicitly: the kernel's internal default
@@ -360,6 +360,19 @@ def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     bkv = max(1, min(bkv, max_bkv))
     bq = min(bq, T)
 
+    if alibi_slopes is not None:
+        # Our vendored fork with an in-loop distance bias (the bundled
+        # kernel has no bias input); numerics match the jnp oracle to
+        # 1e-7 (tests/test_alibi_kernel.py, interpret mode).
+        from aphrodite_tpu.ops.rpa_alibi_kernel import (
+            ragged_paged_attention_alibi)
+
+        return ragged_paged_attention_alibi(
+            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+            alibi_slopes,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+            soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale,
+            num_kv_pages_per_block=bkv, num_queries_per_block=bq)
     return rpa_kernel(
         q,
         kv_pages,

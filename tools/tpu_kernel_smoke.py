@@ -206,6 +206,37 @@ def main() -> int:
           f"tokens={sampled.tolist()}")
     ok &= bool(in_range and finite)
 
+    # ---- ALiBi ragged kernel fork (ops/rpa_alibi_kernel.py) ----------
+    from aphrodite_tpu.ops.attention import ref_ragged_paged_attention
+    from aphrodite_tpu.ops.rpa_alibi_kernel import (
+        ragged_paged_attention_alibi)
+
+    rng = np.random.default_rng(11)
+    for name, (T, Hq, Hkv, D) in {
+            "alibi_rpa": (24, 4, 2, 128),
+            # 16 q heads / 8 kv heads splits into 2 heads blocks —
+            # exercises the per-block slopes BlockSpec (interpret mode
+            # cannot run multi-heads-block grids; hardware-only).
+            "alibi_rpa_multiblk": (16, 16, 8, 128)}.items():
+        PS, pps, S = 16, 6, 2
+        q = jnp.asarray(rng.standard_normal((T, Hq, D)),
+                        jnp.bfloat16) * 0.3
+        kvp = jnp.asarray(
+            rng.standard_normal((S * pps + 2, PS, 2 * Hkv, D)),
+            jnp.bfloat16) * 0.3
+        kvl = jnp.asarray([20, 33], np.int32)
+        pi = jnp.arange(S * pps, dtype=jnp.int32).reshape(S, pps)
+        cuq = jnp.asarray([0, T // 2, T], np.int32)
+        nsq = jnp.asarray([S], np.int32)
+        sl = jnp.asarray(0.5 ** np.arange(1, Hq + 1), jnp.float32)
+        got = ragged_paged_attention_alibi(
+            q, kvp, kvl, pi, cuq, nsq, sl, sm_scale=0.25,
+            num_kv_pages_per_block=2, num_queries_per_block=8)
+        want = ref_ragged_paged_attention(
+            q, kvp, kvl, pi, cuq, nsq, sm_scale=0.25, alibi_slopes=sl)
+        ok &= check(name, np.asarray(got, np.float32),
+                    np.asarray(want, np.float32), rtol=2e-2)
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
