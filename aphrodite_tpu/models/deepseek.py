@@ -70,6 +70,23 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
                       if factor > 1 else 1.0)
             self.sm_scale = self.sm_scale * mscale * mscale
         self.rope_interleave = bool(hf.get("rope_interleave", True))
+        import os
+
+        from aphrodite_tpu.common.utils import cdiv as _cdiv
+
+        # Latent-KV mode (beyond the reference snapshot, which
+        # materializes per-head K/V): cache the 512-dim compressed
+        # latent + shared rope key ONCE per token and absorb kv_b into
+        # the query/output projections — scores are mathematically
+        # identical, KV memory drops ~38-85x on V2/V3 geometry, and
+        # decode becomes MQA over one wide head.
+        self.mla_latent = os.environ.get("APHRODITE_MLA_LATENT",
+                                         "1") != "0"
+        lat = self.kv_rank + self.rope_dim
+        # Pad the effective head so the TPU kernel's 128-lane tiling
+        # applies on real geometry (576 -> 640); tiny test dims stay
+        # unpadded and ride the jnp path.
+        self.head_eff = _cdiv(lat, 128) * 128 if lat > 128 else lat
         self._cos, self._sin = compute_rope_tables(
             self.rope_dim, self.max_position,
             base=self.rope_theta, rope_scaling=self.rope_scaling,
@@ -104,10 +121,16 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
     def kv_cache_shape_suffix(self) -> Tuple[int, int]:
         if not self.mla:
             return super().kv_cache_shape_suffix
+        if self.mla_latent:
+            # ONE shared latent "head": K = [latent | roped k], V =
+            # [latent] (both padded to head_eff).
+            return (2, self.head_eff)
         # Materialized K/V per q-head at the qk dim (V zero-padded).
         return (2 * self.num_heads, self.qk_dim)
 
     def kv_cache_spec(self) -> P:
+        if self.mla and self.mla_latent:
+            return P()  # replicated: every shard reads the full latent
         return P(None, None, None, "model", None)
 
     # ---- params ------------------------------------------------------
@@ -448,7 +471,64 @@ class DeepseekV3ForCausalLM(LlamaForCausalLM):
                 o = o * jnp.asarray(rm, o.dtype)
             return x + o, pages
 
-        attention = attention_mla if self.mla else attention_gqa
+        def attention_mla_latent(x, lp, pages, slots, pidx):
+            """Absorbed MLA (latent cache): score_h(t) =
+            (q_nope_h @ W_k_h^T) . latent_t + q_rot_h . k_rot_t and
+            out_h = (sum_t p_t latent_t) @ W_v_h — kv_b never expands
+            into per-token per-head K/V."""
+            h = rms(x, lp["input_norm"])
+            if self.q_rank:
+                qa = rms(qmatmul(h, lp["q_a"]).astype(self.dtype),
+                         lp["q_a_norm"])
+                q = qmatmul(qa, lp["q_b"])
+            else:
+                q = qmatmul(h, lp["wq"])
+            q = q.astype(self.dtype).reshape(-1, NH, self.qk_dim)
+            q_nope, q_rot = (q[..., :self.nope_dim],
+                             q[..., self.nope_dim:])
+            q_rot = apply_rope(q_rot, cos, sin, is_neox_style=neox)
+            ckv = qmatmul(h, lp["kv_a"]).astype(self.dtype)
+            latent, k_rot = (ckv[..., :self.kv_rank],
+                             ckv[..., self.kv_rank:])
+            latent = rms(latent, lp["kv_a_norm"])
+            k_rot = apply_rope(k_rot[:, None, :], cos, sin,
+                               is_neox_style=neox)[:, 0]
+            lat_dim = self.kv_rank + self.rope_dim
+            pad = self.head_eff - lat_dim
+            k_w = jnp.pad(jnp.concatenate([latent, k_rot], axis=-1),
+                          ((0, 0), (0, pad)))[:, None, :]
+            v_w = jnp.pad(latent,
+                          ((0, 0),
+                           (0, self.head_eff - self.kv_rank)))[:, None, :]
+            pages = write_kv(pages, k_w, v_w, slots)
+            kvb = lp["kv_b"].reshape(self.kv_rank, NH,
+                                     self.nope_dim + self.v_dim)
+            w_k = kvb[..., :self.nope_dim]  # [r, n, d]
+            q_lat = jnp.einsum("tnd,rnd->tnr", q_nope,
+                               w_k.astype(self.dtype))
+            q_eff = jnp.concatenate([q_lat, q_rot], axis=-1)
+            q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, pad)))
+            attn = ragged_paged_attention(
+                q_eff, pages, batch.kv_lens, pidx,
+                batch.cu_q_lens, batch.num_seqs, sm_scale=self.sm_scale,
+                mesh=mesh, use_kernel=use_attention_kernel,
+                kv_replicated=True)
+            out_lat = attn[..., :self.kv_rank]  # [T, NH, r]
+            w_v = kvb[..., self.nope_dim:]  # [r, n, v]
+            attn_v = jnp.einsum("tnr,rnd->tnd", out_lat,
+                                w_v.astype(self.dtype))
+            o = qmatmul(attn_v.reshape(-1, NH * self.v_dim), lp["wo"])
+            o = o.astype(self.dtype)
+            if rm != 1.0:
+                o = o * jnp.asarray(rm, o.dtype)
+            return x + o, pages
+
+        if not self.mla:
+            attention = attention_gqa
+        elif self.mla_latent:
+            attention = attention_mla_latent
+        else:
+            attention = attention_mla
 
         def dense_layer(x, pages, slots, pidx, scanned):
             lp, mp = scanned

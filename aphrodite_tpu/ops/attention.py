@@ -175,6 +175,7 @@ def ragged_paged_attention(
     bs_on: Optional[jax.Array] = None,
     mesh: Optional[Mesh] = None,
     use_kernel: Optional[bool] = None,
+    kv_replicated: bool = False,
 ) -> jax.Array:
     """Dispatching wrapper: Pallas kernel on TPU, jnp reference elsewhere.
 
@@ -296,7 +297,10 @@ def ragged_paged_attention(
         mesh=_smap_mesh(mesh),
         in_specs=(
             P(None, "model", None),  # q: heads sharded
-            P(None, None, "model", None),  # kv_pages: kv heads sharded
+            # kv_pages: kv heads sharded, or replicated for MQA-style
+            # caches with fewer kv heads than shards (MLA latent mode:
+            # ONE shared latent "head" serves all query heads).
+            P(None, None, "model", None) if not kv_replicated else P(),
             P(), P(), P(), P(),
         ),
         out_specs=P(None, "model", None),

@@ -252,3 +252,31 @@ def test_minicpm3_matches_mup_scaled_deepseek_v2(tmp_path_factory):
         expect = gen[0, len(ids):].tolist()
         n = min(len(out_req.outputs[0].token_ids), len(expect))
         assert out_req.outputs[0].token_ids[:n] == expect[:n], prompt
+
+
+def test_mla_latent_vs_materialized(ds_dir, monkeypatch):
+    """Latent-KV (absorbed) MLA == materialized MLA token-for-token,
+    with the ~NH-fold smaller cache suffix."""
+    from aphrodite_tpu.common.config import ModelConfig
+    from aphrodite_tpu.models.deepseek import DeepseekV3ForCausalLM
+
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+
+    llm = LLM(model=ds_dir, dtype="float32", max_num_seqs=4,
+              max_model_len=128)
+    model = llm.engine.runner.model
+    assert model.mla_latent
+    assert model.kv_cache_shape_suffix == (2, model.head_eff)
+    latent = [list(o.outputs[0].token_ids)
+              for o in llm.generate(PROMPTS, sp)]
+    del llm
+
+    monkeypatch.setenv("APHRODITE_MLA_LATENT", "0")
+    llm = LLM(model=ds_dir, dtype="float32", max_num_seqs=4,
+              max_model_len=128)
+    model = llm.engine.runner.model
+    assert not model.mla_latent
+    assert model.kv_cache_shape_suffix[0] == 2 * model.num_heads
+    mat = [list(o.outputs[0].token_ids)
+           for o in llm.generate(PROMPTS, sp)]
+    assert latent == mat
