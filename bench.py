@@ -48,10 +48,39 @@ def build_model_dir(tmpdir: str, small: bool) -> str:
     return tmpdir
 
 
+def _backend_responds(timeout_s: int = 110) -> bool:
+    """Probe device init in a SUBPROCESS with a timeout: a wedged TPU
+    relay hangs jax.devices() forever, which must not hang the driver's
+    bench run."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import tempfile
 
     import numpy as np
+
+    for attempt in range(4):
+        if _backend_responds():
+            break
+        print(f"bench: backend probe {attempt + 1}/4 failed; retrying",
+              file=sys.stderr)
+        time.sleep(60)
+    else:
+        print(json.dumps({
+            "metric": "decode_throughput_1p4b_tpu", "value": 0.0,
+            "unit": "tok/s", "vs_baseline": 0.0,
+            "error": "device backend unavailable (TPU relay down); "
+                     "no measurement taken"}))
+        return
 
     from aphrodite_tpu import LLM, SamplingParams
 
