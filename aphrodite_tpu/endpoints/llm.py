@@ -109,6 +109,7 @@ class LLM:
         prompt_token_ids: Optional[Sequence[List[int]]] = None,
         use_tqdm: bool = False,
         lora_request=None,
+        prompt_adapter_request=None,
     ) -> List[RequestOutput]:
         if prompts is not None and isinstance(prompts, (str, dict)):
             prompts = [prompts]
@@ -149,6 +150,7 @@ class LLM:
                 lora_request=lora_request,
                 multi_modal_data=mm_data,
                 decoder_prompt_token_ids=dec_ids,
+                prompt_adapter_request=prompt_adapter_request,
             )
         return self._run_engine(request_ids, use_tqdm)
 

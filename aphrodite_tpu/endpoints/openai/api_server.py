@@ -79,6 +79,9 @@ class OpenAIServer:
         app.router.add_post("/v1/detokenize", self.detokenize)
         app.router.add_get("/metrics", self.metrics)
         app.router.add_get("/version", self.version)
+        app.router.add_get("/", self.root)
+        app.router.add_get("/.well-known/serviceinfo", self.serviceinfo)
+        app.router.add_post("/v1/soft_prompt/load", self.load_soft_prompt)
         app.router.add_post("/v1/lora/load", self.load_lora)
         app.router.add_post("/v1/lora/unload", self.unload_lora)
         app.router.add_post("/v1/model/load", self.load_model)
@@ -262,6 +265,56 @@ class OpenAIServer:
         gc.collect()
         return web.json_response({"status": "ok", "unloaded": True})
 
+    async def root(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {"name": "aphrodite-tpu", "health": "/health",
+             "openai_api": "/v1"})
+
+    async def serviceinfo(self, request: web.Request) -> web.Response:
+        """Service discovery document (reference api_server.py:590)."""
+        from aphrodite_tpu import __version__
+
+        api = {"openai": {"name": "OpenAI API", "rel_url": "/v1",
+                          "version": 1}}
+        if self.launch_kobold_api:
+            api["koboldai"] = {"name": "KoboldAI API", "rel_url": "/api",
+                               "version": 1}
+        return web.json_response({
+            "version": 0.2,
+            "software": {"name": "aphrodite-tpu",
+                         "version": __version__},
+            "api": api,
+        })
+
+    async def load_soft_prompt(self, request: web.Request) -> web.Response:
+        """Admin route (reference /v1/soft_prompt/load,
+        api_server.py:733): registers a prompt-tuning adapter; requests
+        then select it by prompt_adapter_name."""
+        try:
+            body = await request.json()
+            name = body.get("soft_prompt_name", body.get("name"))
+            path = body.get("soft_prompt_path", body.get("path"))
+            assert name and path
+        except Exception as e:
+            return _error(str(e))
+        pam = self.engine.runner.prompt_adapter_manager
+        if pam is None:
+            return _error("prompt adapters are not enabled (start with "
+                          "enable_prompt_adapter)", status=500,
+                          err_type="internal_error")
+        try:
+            from aphrodite_tpu.prompt_adapter.request import (
+                PromptAdapterRequest)
+
+            req = PromptAdapterRequest(name,
+                                       len(pam._name_to_slot) + 1, path)
+            runner = self.engine.runner
+            runner.params = pam.load(req, runner.params,
+                                     runner.model.dtype)
+        except Exception as e:
+            return _error(str(e), status=500, err_type="internal_error")
+        return web.json_response({"status": "ok", "loaded": name})
+
     async def load_lora(self, request: web.Request) -> web.Response:
         """Admin route (reference /v1/lora/load, api_server.py:315)."""
         try:
@@ -284,6 +337,20 @@ class OpenAIServer:
             return _error(str(e))
         removed = self.engine.remove_lora(name)
         return web.json_response({"status": "ok", "removed": removed})
+
+    def _soft_prompt_for_model_name(self, model_name: Optional[str]):
+        """Requests naming a loaded soft prompt route through it
+        (reference serves prompt adapters as additional model names)."""
+        if not model_name or self.engine is None:
+            return None
+        pam = self.engine.runner.prompt_adapter_manager
+        if pam is None or model_name not in pam._name_to_slot:
+            return None
+        from aphrodite_tpu.prompt_adapter.request import (
+            PromptAdapterRequest)
+
+        return PromptAdapterRequest(
+            model_name, pam._name_to_slot[model_name] + 1, model_name)
 
     def _lora_for_model_name(self, model_name: Optional[str]):
         """Requests naming a loaded adapter route through it (reference
@@ -369,7 +436,9 @@ class OpenAIServer:
                 stream = await self.async_engine.add_request(
                     f"{request_id}-{i}", prompt=prompt_text,
                     sampling_params=sp, prompt_token_ids=prompt_ids,
-                    lora_request=self._lora_for_model_name(req.model))
+                    lora_request=self._lora_for_model_name(req.model),
+                    prompt_adapter_request=self._soft_prompt_for_model_name(
+                        req.model))
                 streams.append((f"{request_id}-{i}", stream, prompt_ids, sp))
         except Exception as e:
             return _error(str(e))
@@ -664,7 +733,9 @@ class OpenAIServer:
                 request_id, prompt=prompt_text, sampling_params=sp,
                 prompt_token_ids=prompt_ids,
                 lora_request=self._lora_for_model_name(req.model),
-                multi_modal_data=mm_data)
+                multi_modal_data=mm_data,
+                prompt_adapter_request=self._soft_prompt_for_model_name(
+                    req.model))
         except Exception as e:
             return _error(str(e))
 

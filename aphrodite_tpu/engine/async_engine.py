@@ -98,13 +98,15 @@ class AsyncAphrodite:
         prompt_token_ids: Optional[List[int]] = None,
         lora_request=None,
         multi_modal_data=None,
+        prompt_adapter_request=None,
     ) -> AsyncStream:
         await self.check_health()
         stream = AsyncStream(request_id)
         self._streams[request_id] = stream
         self._new_requests.append(
             (request_id, prompt, sampling_params, prompt_token_ids,
-             time.monotonic(), lora_request, multi_modal_data))
+             time.monotonic(), lora_request, multi_modal_data,
+             prompt_adapter_request))
         self._ensure_loop()
         self._wakeup.set()
         return stream
@@ -142,14 +144,15 @@ class AsyncAphrodite:
 
     def _drain_new_requests(self) -> None:
         new, self._new_requests = self._new_requests, []
-        for rid, prompt, sp, ids, arrival, lora, mm in new:
+        for rid, prompt, sp, ids, arrival, lora, mm, pa in new:
             try:
                 self.engine.add_request(rid, prompt=prompt,
                                         sampling_params=sp,
                                         prompt_token_ids=ids,
                                         arrival_time=arrival,
                                         lora_request=lora,
-                                        multi_modal_data=mm)
+                                        multi_modal_data=mm,
+                                        prompt_adapter_request=pa)
             except Exception as e:  # bad request: fail just this stream
                 stream = self._streams.pop(rid, None)
                 if stream is not None:

@@ -347,3 +347,68 @@ async def test_completion_logit_bias_invalid(client):
         "logit_bias": {"not_an_int": 5},
     })
     assert resp.status == 400
+
+
+@pytest.fixture(scope="module")
+def soft_prompt_setup(tmp_path_factory):
+    import torch
+    from peft import PromptTuningConfig, TaskType, get_peft_model
+    from transformers import AutoModelForCausalLM
+
+    from tests.utils import make_tiny_llama_checkpoint
+
+    base_dir = str(tmp_path_factory.mktemp("pa_base_api"))
+    make_tiny_llama_checkpoint(base_dir)
+    torch.manual_seed(5)
+    model = AutoModelForCausalLM.from_pretrained(
+        base_dir, torch_dtype=torch.float32)
+    cfg = PromptTuningConfig(task_type=TaskType.CAUSAL_LM,
+                             num_virtual_tokens=8)
+    adir = str(tmp_path_factory.mktemp("pa_adapter_api"))
+    get_peft_model(model, cfg).save_pretrained(adir)
+    return base_dir, adir
+
+
+async def test_soft_prompt_http_load_and_route(soft_prompt_setup,
+                                               aiohttp_client):
+    """/v1/soft_prompt/load + per-request routing via model name ==
+    the offline PromptAdapterRequest path (reference api_server.py:733
+    + prompt adapters served as model names)."""
+    from aphrodite_tpu import LLM, SamplingParams
+    from aphrodite_tpu.prompt_adapter import PromptAdapterRequest
+
+    base_dir, adir = soft_prompt_setup
+    engine_args = EngineArgs(
+        model=base_dir, dtype="float32", max_num_seqs=4,
+        num_device_blocks_override=128, block_size=8,
+        enable_prompt_adapter=True, max_prompt_adapters=2,
+        max_prompt_adapter_token=16)
+    async_engine = AsyncAphrodite.from_engine_args(engine_args)
+    server = OpenAIServer(async_engine, served_model_names=["tiny"])
+    client = await aiohttp_client(server.build_app())
+
+    resp = await client.post("/v1/soft_prompt/load", json={
+        "soft_prompt_name": "my-soft", "soft_prompt_path": adir})
+    assert resp.status == 200, await resp.text()
+    # serviceinfo + root while a server is handy
+    assert (await client.get("/")).status == 200
+    info = await (await client.get("/.well-known/serviceinfo")).json()
+    assert info["api"]["openai"]["rel_url"] == "/v1"
+
+    body = {"prompt": "the quick brown fox", "max_tokens": 6,
+            "temperature": 0, "ignore_eos": True}
+    plain = await (await client.post(
+        "/v1/completions", json={**body, "model": "tiny"})).json()
+    routed = await (await client.post(
+        "/v1/completions", json={**body, "model": "my-soft"})).json()
+
+    llm = LLM(model=base_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8,
+              enable_prompt_adapter=True, max_prompt_adapters=2,
+              max_prompt_adapter_token=16)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    req = PromptAdapterRequest("my-soft", 1, adir)
+    expect = llm.generate(["the quick brown fox"], sp,
+                          prompt_adapter_request=req)[0].outputs[0].text
+    assert routed["choices"][0]["text"] == expect
+    assert routed["choices"][0]["text"] != plain["choices"][0]["text"]
