@@ -92,6 +92,9 @@ class LlamaForCausalLM:
     # feeds the MLP the SAME ln1 output (no post_norm params at all).
     parallel_residual: bool = False
     single_norm: bool = False
+    # OPT-350m do_layer_norm_before=False: LayerNorm applied to the SUM
+    # after each residual (x = norm(x + attn(x))), no pre-norm.
+    postnorm_residual: bool = False
     # Post-norm residual order (Molmo norm_after / Chameleon swin_norm):
     # x = x + norm(attn(x)); x = x + norm(mlp(x)) — the norms move from
     # the block inputs to the block outputs.
@@ -549,8 +552,9 @@ class LlamaForCausalLM:
             # slots/pidx are pre-offset into this layer's page region
             # (scan_layers_paged) so the write is an in-place scatter.
             lp, k_scale, v_scale, la, rope_on, bs_on = scanned
-            h = x if self.norm_after else self._norm(
-                x, lp.get("input_norm"), lp.get("input_norm_b"))
+            h = x if (self.norm_after or self.postnorm_residual) \
+                else self._norm(x, lp.get("input_norm"),
+                                lp.get("input_norm_b"))
             q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
             k = lora_add(qmatmul(h, lp["wk"]), h, la, "wk")
             v = lora_add(qmatmul(h, lp["wv"]), h, la, "wv")
@@ -613,6 +617,14 @@ class LlamaForCausalLM:
                 x = x + o.astype(self.dtype) + self.mlp(
                     lp, h2, mesh=inner_mesh, lora=la,
                     lora_add=lora_add).astype(self.dtype)
+            elif self.postnorm_residual:
+                x = self._norm(x + o.astype(self.dtype),
+                               lp.get("input_norm"),
+                               lp.get("input_norm_b"))
+                ff = self.mlp(lp, x, mesh=inner_mesh, lora=la,
+                              lora_add=lora_add).astype(self.dtype)
+                x = self._norm(x + ff, lp.get("post_norm"),
+                               lp.get("post_norm_b"))
             elif self.norm_after:
                 o = self._norm(o.astype(self.dtype), lp.get("input_norm"),
                                lp.get("input_norm_b"))
@@ -670,8 +682,9 @@ class LlamaForCausalLM:
             x, new_kv_pages = scan_layers_paged(
                 scan_body, x, kv_pages,
                 (layer_params, k_scales, v_scales, lora_scan), batch)
-        x = self._norm(x, params.get("final_norm"),
-                       params.get("final_norm_b"))
+        if not getattr(self, "skip_final_norm", False):
+            x = self._norm(x, params.get("final_norm"),
+                           params.get("final_norm_b"))
         return new_kv_pages, x
 
     def _layers_bskcn(self, layer_fn, x, kv_pages, scanned, batch):

@@ -107,3 +107,20 @@ def test_stablelm(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_stablelm"))
     make_tiny_checkpoint(path, cfg)
     _check(path)
+
+
+def test_cohere_plus_qk_norm(tmp_path_factory):
+    """Command-R+ use_qk_norm: bias-free per-head LayerNorm on q/k
+    before rotary (reference commandr.py:146-187)."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.CohereConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2,
+        intermediate_size=128, max_position_embeddings=128,
+        logit_scale=0.25, use_qk_norm=True)
+    path = str(tmp_path_factory.mktemp("tiny_cohere_plus"))
+    make_tiny_checkpoint(path, cfg)
+    _check(path)

@@ -69,3 +69,21 @@ def test_gpt2_decode_past_block_boundary(gpt2_dir):
     out = llm.generate([PROMPTS[0]], sp)[0].outputs[0]
     expect = hf_greedy_generate(gpt2_dir, tok.encode(PROMPTS[0]), 30)
     assert out.token_ids == expect
+
+
+def test_opt_350m_style_postnorm_word_proj(tmp_path_factory):
+    """OPT-350m quirks: do_layer_norm_before=False (LayerNorm AFTER
+    each residual sum, no final decoder norm) + word_embed_proj_dim !=
+    hidden (project_in/out folded into embed/head at load)."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.OPTConfig(
+        vocab_size=256, hidden_size=64, ffn_dim=128,
+        num_attention_heads=4, num_hidden_layers=2,
+        max_position_embeddings=128, word_embed_proj_dim=32,
+        do_layer_norm_before=False)
+    path = str(tmp_path_factory.mktemp("tiny_opt350"))
+    make_tiny_checkpoint(path, cfg)
+    _check(path)
