@@ -59,6 +59,10 @@ class LLM:
             **kwargs,
         )
         self.engine = AphroditeEngine.from_engine_args(engine_args)
+        # Offline generation reads text only at finish: skip per-step
+        # incremental detokenization on the hot loop (stop strings
+        # still force it per sequence).
+        self.engine.lazy_detokenize = True
         self._request_counter = 0
 
     def get_tokenizer(self):

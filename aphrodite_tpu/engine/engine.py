@@ -75,6 +75,10 @@ class AphroditeEngine:
                 self.scheduler.num_lookahead_slots,
                 engine_config.speculative_config.num_speculative_tokens)
         self.stop_checker = StopChecker(self.model_config.max_model_len)
+        # Offline consumers (LLM.generate) read text only at finish;
+        # they opt into lazy detokenization. Streaming frontends keep
+        # per-step incremental text.
+        self.lazy_detokenize = False
 
         self._seq_counter = 0
         self._groups: Dict[str, SequenceGroup] = {}
@@ -497,10 +501,20 @@ class AphroditeEngine:
                     seq.output_logprobs.append(entry)
 
                 new_text = ""
-                if sp.detokenize and self.tokenizer is not None:
+                # Lazy mode (offline LLM): per-step incremental
+                # detokenization is pure output decoration unless stop
+                # STRINGS need the text — skip it on the hot loop and
+                # decode once at finish (streaming consumers keep the
+                # incremental path).
+                need_inc = sp.detokenize and self.tokenizer is not None \
+                    and (bool(sp.stop) or not self.lazy_detokenize)
+                if need_inc:
                     new_text = self._decode_sequence(seq, sp)
                 self.stop_checker.maybe_stop_sequence(seq, new_text, sp)
             if seq.is_finished():
+                if (not need_inc and sp.detokenize
+                        and self.tokenizer is not None):
+                    self._decode_sequence_full(seq, sp)
                 self.scheduler.free_seq(seq)
             ss.group.maybe_set_first_token_time(now)
             if group is not None:
@@ -768,6 +782,27 @@ class AphroditeEngine:
                 results[idx] = pooled[row]
                 bm.free(seq)
         return results
+
+    def _decode_sequence_full(self, seq: Sequence,
+                              sp: SamplingParams) -> None:
+        """One-shot decode of the whole output at finish (lazy mode):
+        a short prompt-tail context pins the first token's leading-space
+        handling so the text matches the incremental path."""
+        tok = self.tokenizer
+        ctx = list(seq.prompt_token_ids[-8:]) if seq.prompt_token_ids \
+            else []
+        kw = dict(
+            skip_special_tokens=sp.skip_special_tokens,
+            spaces_between_special_tokens=(
+                sp.spaces_between_special_tokens))
+        prefix = tok.decode(ctx, **kw) if ctx else ""
+        text = tok.decode(ctx + list(seq.output_token_ids),
+                          **kw)[len(prefix):]
+        # The incremental path defers any text ENDING in U+FFFD
+        # (incomplete trailing UTF-8), so its final text never ends
+        # with one; match that.
+        seq.output_text = text.rstrip("\ufffd") \
+            if text.endswith("\ufffd") else text
 
     def _decode_sequence(self, seq: Sequence,
                          sampling_params: SamplingParams) -> str:

@@ -48,3 +48,32 @@ def test_incremental_matches_full_decode(tok, text):
     # And the last portion must be non-trivial for multi-token inputs.
     if len(ids) > 3:
         assert len(streamed) > 0
+
+
+def test_lazy_detokenize_matches_incremental(tmp_path_factory):
+    """LLM's lazy finish-time decode == the per-step incremental path
+    (engine.lazy_detokenize=False), incl. stop strings which force the
+    incremental path per sequence."""
+    from aphrodite_tpu import LLM, SamplingParams
+    from tests.utils import make_tiny_llama_checkpoint
+
+    d = str(tmp_path_factory.mktemp("tiny_lazy_detok"))
+    make_tiny_llama_checkpoint(d)
+    prompts = ["the quick brown fox", "hello world, this is",
+               "one two three"]
+    sps = [SamplingParams(temperature=0.0, max_tokens=16,
+                          ignore_eos=True),
+           SamplingParams(temperature=0.8, seed=3, max_tokens=16,
+                          ignore_eos=True),
+           SamplingParams(temperature=0.0, max_tokens=16,
+                          ignore_eos=True, stop=["e"])]
+
+    llm = LLM(model=d, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8)
+    assert llm.engine.lazy_detokenize
+    lazy = [(o.outputs[0].text, list(o.outputs[0].token_ids))
+            for o in llm.generate(prompts, sps)]
+    llm.engine.lazy_detokenize = False
+    inc = [(o.outputs[0].text, list(o.outputs[0].token_ids))
+           for o in llm.generate(prompts, sps)]
+    assert lazy == inc
