@@ -836,9 +836,13 @@ class AphroditeEngine:
             group = self._groups.get(rid)
             if group is None:
                 continue
-            if group.is_finished():
+            fin = group.is_finished()
+            if fin:
                 group.set_finished_time(now)
-            outputs.append(RequestOutput.from_seq_group(group))
-            if group.is_finished():
+            # Offline (lazy) mode: nothing reads per-step outputs of
+            # unfinished requests — skip building them.
+            if fin or not self.lazy_detokenize:
+                outputs.append(RequestOutput.from_seq_group(group))
+            if fin:
                 self._groups.pop(rid, None)
         return outputs
