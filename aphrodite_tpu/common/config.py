@@ -457,11 +457,22 @@ class EngineConfig:
             self.scheduler_config.max_model_len,
             self.model_config.max_model_len)
         tp = self.parallel_config.tensor_parallel_size
-        heads = self.model_config.get_num_attention_heads()
-        if heads % tp != 0:
-            raise ValueError(
-                f"num_attention_heads ({heads}) must be divisible by "
-                f"tensor_parallel_size ({tp})")
+        hf = self.model_config.hf_config
+        if str(hf.get("model_type", "")).startswith(("mamba",
+                                                     "falcon_mamba")):
+            # Attention-free SSMs shard the channel axis, not heads.
+            inner = int(hf.get("intermediate_size")
+                        or 2 * hf.get("hidden_size", 0))
+            if inner % tp != 0:
+                raise ValueError(
+                    f"SSM intermediate_size ({inner}) must be divisible "
+                    f"by tensor_parallel_size ({tp})")
+        else:
+            heads = self.model_config.get_num_attention_heads()
+            if heads % tp != 0:
+                raise ValueError(
+                    f"num_attention_heads ({heads}) must be divisible by "
+                    f"tensor_parallel_size ({tp})")
         pp = self.parallel_config.pipeline_parallel_size
         if pp > 1:
             layers = self.model_config.get_num_layers()

@@ -38,9 +38,9 @@ class MambaForCausalLM:
                  parallel_config: Optional[ParallelConfig] = None) -> None:
         self.config = model_config
         self.parallel_config = parallel_config or ParallelConfig()
-        if self.parallel_config.world_size > 1:
+        if self.parallel_config.pipeline_parallel_size > 1:
             raise NotImplementedError(
-                "multi-chip Mamba is not wired yet (tp/pp on SSM state)")
+                "pipeline parallelism over SSM layers is not wired yet")
         hf = model_config.hf_config
         self.hidden_size = model_config.get_hidden_size()
         self.num_layers = int(hf["num_hidden_layers"])
@@ -91,13 +91,38 @@ class MambaForCausalLM:
         return shapes
 
     def param_shardings(self) -> Dict[str, Any]:
-        def walk(shapes):
-            out = {}
-            for k, v in shapes.items():
-                out[k] = walk(v) if isinstance(v, dict) else P()
-            return out
+        """TP shards the d_inner channel axis — the selective scan is
+        per-channel independent, so the only cross-shard reductions are
+        x_proj (dt/B/C read all channels) and out_proj, which GSPMD
+        turns into one psum each. The [x; z] concat axis of in_proj
+        reshards at the split (correct; an interleaved layout would
+        avoid the collective — roadmap)."""
+        m = "model"
+        specs = {
+            "embed": P(),
+            "final_norm": P(),
+            "layers": {
+                "norm": P(),
+                "in_proj": P(None, None, m),
+                "conv_w": P(None, None, m),
+                "x_proj": P(None, m, None),
+                "dt_proj": P(None, None, m),
+                "dt_bias": P(None, m),
+                "A_log": P(None, m, None),
+                "D": P(None, m),
+                "out_proj": P(None, m, None),
+            },
+        }
+        if self.use_conv_bias:
+            specs["layers"]["conv_b"] = P(None, m)
+        if not self.tie_word_embeddings:
+            specs["lm_head"] = P(None, m)
+        return specs
 
-        return walk(self.param_shapes())
+    def cache_specs(self) -> Tuple[P, P]:
+        """(conv, ssm) state shardings: both split on d_inner."""
+        return (P(None, None, None, "model"),
+                P(None, None, "model", None))
 
     def quantizable_weights(self) -> List[str]:
         # Weight quantization of the SSM projections lands with the

@@ -56,6 +56,39 @@ class Mamba2ForCausalLM(MambaForCausalLM):
             shapes["lm_head"] = (H, self.vocab_size)
         return shapes
 
+    def param_shardings(self):
+        """TP shards channels/heads; the mixed in_proj concat axis
+        ([z | x | B | C | dt]) reshards at the splits (correct under
+        GSPMD; interleaved layouts are a later optimization)."""
+        from jax.sharding import PartitionSpec as P
+
+        m = "model"
+        specs = {
+            "embed": P(),
+            "final_norm": P(),
+            "layers": {
+                "norm": P(),
+                "in_proj": P(None, None, m),
+                "conv_w": P(None, None, m),
+                "dt_bias": P(None, m),
+                "A_log": P(None, m),
+                "D": P(None, m),
+                "gated_norm": P(None, m),
+                "out_proj": P(None, m, None),
+            },
+        }
+        if self.use_conv_bias:
+            specs["layers"]["conv_b"] = P(None, m)
+        if not self.tie_word_embeddings:
+            specs["lm_head"] = P(None, m)
+        return specs
+
+    def cache_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        return (P(None, None, None, "model"),
+                P(None, None, "model", None, None))
+
     def init_cache(self, num_slots: int, dtype=None) -> Tuple[jax.Array,
                                                               jax.Array]:
         dtype = dtype or jnp.float32

@@ -355,6 +355,14 @@ class ModelRunner:
             self.num_pages = num_slots
             self.cache_config.num_device_blocks = num_slots
             self.kv_pages = self.model.init_cache(num_slots)
+            if self.mesh is not None and hasattr(self.model,
+                                                 "cache_specs"):
+                from jax.sharding import NamedSharding
+
+                self.kv_pages = tuple(
+                    jax.device_put(c, NamedSharding(self.mesh, spec))
+                    for c, spec in zip(self.kv_pages,
+                                       self.model.cache_specs()))
             return
         if num_pages is None:
             num_pages = self.determine_num_pages()

@@ -130,3 +130,26 @@ def test_mamba2_state_slot_reuse_is_clean(mamba2_dir):
         llm.generate(["zzz different prompt", "qqq"], sp)
     again = [o.outputs[0].token_ids for o in llm.generate(["a b", "c"], sp)]
     assert first == again
+
+
+def test_mamba_tp2_matches_tp1(mamba_dir):
+    """SSM tensor parallelism: d_inner channels shard; the scan is
+    per-channel independent (GSPMD inserts the x_proj/out_proj
+    psums)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    o1 = LLM(model=mamba_dir, dtype="float32",
+             max_num_seqs=2).generate(PROMPTS, sp)
+    o2 = LLM(model=mamba_dir, dtype="float32", max_num_seqs=2,
+             tensor_parallel_size=2).generate(PROMPTS, sp)
+    assert [o.outputs[0].token_ids for o in o1] == \
+        [o.outputs[0].token_ids for o in o2]
+
+
+def test_mamba2_tp2_matches_tp1(mamba2_dir):
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    o1 = LLM(model=mamba2_dir, dtype="float32",
+             max_num_seqs=2).generate(PROMPTS, sp)
+    o2 = LLM(model=mamba2_dir, dtype="float32", max_num_seqs=2,
+             tensor_parallel_size=2).generate(PROMPTS, sp)
+    assert [o.outputs[0].token_ids for o in o1] == \
+        [o.outputs[0].token_ids for o in o2]
