@@ -230,7 +230,9 @@ class ModelConfig:
         # divisibility checks trivially pass.
         return int(self.hf_config.get("num_attention_heads")
                    or self.hf_config.get("n_head")
-                   or self.hf_config.get("n_heads") or 1)
+                   or self.hf_config.get("n_heads")
+                   or self.hf_config.get("decoder_attention_heads")
+                   or self.hf_config.get("num_heads") or 1)
 
     def get_total_num_kv_heads(self) -> int:
         return int(

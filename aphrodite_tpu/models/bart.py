@@ -54,9 +54,9 @@ class BartForConditionalGeneration:
                  parallel_config: Optional[ParallelConfig] = None) -> None:
         self.config = model_config
         self.parallel_config = parallel_config or ParallelConfig()
-        if self.parallel_config.world_size > 1:
+        if self.parallel_config.pipeline_parallel_size > 1:
             raise NotImplementedError(
-                "BART multi-chip sharding is not wired yet")
+                "pipeline parallelism over enc-dec stacks is not wired")
         hf = model_config.hf_config
         D = model_config.get_hidden_size()
         self.hidden_size = D
@@ -90,7 +90,9 @@ class BartForConditionalGeneration:
         return (2 * self.num_heads, self.head_dim)
 
     def kv_cache_spec(self) -> P:
-        return P()
+        # Self- and cross-KV shard on the interleaved combined-head
+        # axis, aligned with the head sharding of the projections.
+        return P(None, None, None, "model", None)
 
     # ---- params ----------------------------------------------------------
 
@@ -144,11 +146,33 @@ class BartForConditionalGeneration:
         return shapes
 
     def param_shardings(self) -> Dict[str, Any]:
-        def rep(node):
-            return {k: (rep(v) if isinstance(v, dict) else P())
-                    for k, v in node.items()}
+        """TP shards attention heads + FFN columns; all einsums are
+        head- or column-parallel so GSPMD inserts one psum per
+        wo/cwo/fc2 contraction."""
+        m = "model"
+        head_out = {"wq": P(None, None, m), "bq": P(None, m),
+                    "wk": P(None, None, m), "bk": P(None, m),
+                    "wv": P(None, None, m), "bv": P(None, m),
+                    "wo": P(None, m, None), "bo": P()}
+        ffn = {"fc1": P(None, None, m), "fc1_b": P(None, m),
+               "fc2": P(None, m, None), "fc2_b": P()}
 
-        return rep(self.param_shapes())
+        def spec_for(node, prefix=""):
+            out = {}
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    out[k] = spec_for(v)
+                elif k in head_out:
+                    out[k] = head_out[k]
+                elif k.startswith("c") and k[1:] in head_out:
+                    out[k] = head_out[k[1:]]
+                elif k in ffn:
+                    out[k] = ffn[k]
+                else:
+                    out[k] = P()
+            return out
+
+        return spec_for(self.param_shapes())
 
     def random_params(self, seed: int = 0) -> Dict[str, Any]:
         rng = np.random.RandomState(seed)

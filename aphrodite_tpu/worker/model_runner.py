@@ -398,6 +398,12 @@ class ModelRunner:
             cshape = (self.model.num_layers, num_pages + 1,
                       self.block_size, cckv, ccd)
             self.cross_kv = jnp.zeros(cshape, dtype=self.kv_dtype)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                self.cross_kv = jax.device_put(
+                    self.cross_kv,
+                    NamedSharding(self.mesh, self.model.kv_cache_spec()))
         if self.eagle:
             # Per-sequence target-hidden carry, keyed by first KV page;
             # the trailing row is the trash key for padding rows.

@@ -221,3 +221,16 @@ def test_bart_decoder_logits_match_hf(bart_dir):
                     decoder_input_ids=torch.tensor([dec_ids])
                     ).logits[0].numpy()
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_bart_tp2_matches_tp1(bart_dir):
+    """Enc-dec tensor parallelism: heads + FFN columns shard, both KV
+    caches shard on the interleaved combined-head axis."""
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    prompts = ["the quick brown fox", "hello world, this is"]
+    o1 = LLM(model=bart_dir, dtype="float32",
+             max_num_seqs=2).generate(prompts, sp)
+    o2 = LLM(model=bart_dir, dtype="float32", max_num_seqs=2,
+             tensor_parallel_size=2).generate(prompts, sp)
+    assert [o.outputs[0].token_ids for o in o1] == \
+        [o.outputs[0].token_ids for o in o2]
