@@ -44,9 +44,9 @@ class JambaForCausalLM:
                  parallel_config: Optional[ParallelConfig] = None) -> None:
         self.config = model_config
         self.parallel_config = parallel_config or ParallelConfig()
-        if self.parallel_config.world_size > 1:
+        if self.parallel_config.pipeline_parallel_size > 1:
             raise NotImplementedError(
-                "multi-chip Jamba is not wired yet (tp/pp on hybrid state)")
+                "pipeline parallelism over hybrid stacks is not wired")
         hf = model_config.hf_config
         self.hidden_size = model_config.get_hidden_size()
         self.num_layers = int(hf["num_hidden_layers"])
@@ -148,13 +148,61 @@ class JambaForCausalLM:
         return shapes
 
     def param_shardings(self) -> Dict[str, Any]:
+        """TP: attention heads, SSM channels, FFN columns, and MoE
+        experts all shard over "model"; GSPMD inserts the
+        contraction psums (out/x_proj/down)."""
         from jax.sharding import PartitionSpec as P
 
-        def walk(shapes):
-            return {k: walk(v) if isinstance(v, dict) else P()
-                    for k, v in shapes.items()}
+        m = "model"
+        specs: Dict[str, Any] = {
+            "embed": P(), "final_norm": P(),
+            "mamba": {
+                "norm": P(),
+                "in_proj": P(None, None, m),
+                "conv_w": P(None, None, m),
+                "x_proj": P(None, m, None),
+                "dt_ln": P(), "b_ln": P(), "c_ln": P(),
+                "dt_proj": P(None, None, m),
+                "dt_bias": P(None, m),
+                "A_log": P(None, m, None),
+                "D": P(None, m),
+                "out_proj": P(None, m, None),
+            },
+        }
+        if self.use_conv_bias:
+            specs["mamba"]["conv_b"] = P(None, m)
+        if len(self.attn_idx):
+            specs["attn"] = {
+                "norm": P(),
+                "wq": P(None, None, m),
+                "wk": P(None, None, m),
+                "wv": P(None, None, m),
+                "wo": P(None, m, None),
+            }
+        if len(self.dense_idx):
+            specs["ff_dense"] = {
+                "norm": P(),
+                "gate": P(None, None, m),
+                "up": P(None, None, m),
+                "down": P(None, m, None),
+            }
+        if len(self.moe_idx):
+            specs["ff_moe"] = {
+                "norm": P(), "router": P(),
+                "experts_gate": P(None, m, None, None),
+                "experts_up": P(None, m, None, None),
+                "experts_down": P(None, m, None, None),
+            }
+        if not self.tie_word_embeddings:
+            specs["lm_head"] = P(None, m)
+        return specs
 
-        return walk(self.param_shapes())
+    def cache_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        return (P(None, None, None, "model"),       # conv: channels
+                P(None, None, "model", None),       # ssm: channels
+                P(None, None, None, "model", None))  # kv: combined heads
 
     def quantizable_weights(self) -> List[str]:
         return []

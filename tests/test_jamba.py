@@ -86,3 +86,15 @@ def test_jamba_slot_recycling(jamba_dir):
     assert len(expect) >= 3
     assert out.token_ids[:len(expect)] == expect
     del first
+
+
+def test_jamba_tp2_matches_tp1(jamba_dir):
+    """Hybrid TP: attention heads, SSM channels, FFN columns and MoE
+    experts all shard; all three caches shard with them."""
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    o1 = LLM(model=jamba_dir, dtype="float32",
+             max_num_seqs=2).generate(PROMPTS, sp)
+    o2 = LLM(model=jamba_dir, dtype="float32", max_num_seqs=2,
+             tensor_parallel_size=2).generate(PROMPTS, sp)
+    assert [o.outputs[0].token_ids for o in o1] == \
+        [o.outputs[0].token_ids for o in o2]
