@@ -67,9 +67,9 @@ class T5ForConditionalGeneration:
                  parallel_config: Optional[ParallelConfig] = None) -> None:
         self.config = model_config
         self.parallel_config = parallel_config or ParallelConfig()
-        if self.parallel_config.world_size > 1:
+        if self.parallel_config.pipeline_parallel_size > 1:
             raise NotImplementedError(
-                "T5 multi-chip sharding is not wired yet")
+                "pipeline parallelism over enc-dec stacks is not wired")
         hf = model_config.hf_config
         D = model_config.get_hidden_size()
         self.hidden_size = D
@@ -108,7 +108,7 @@ class T5ForConditionalGeneration:
         return (2 * self.num_heads, self.head_dim)
 
     def kv_cache_spec(self) -> P:
-        return P()
+        return P(None, None, None, "model", None)
 
     # ---- params ----------------------------------------------------------
 
@@ -155,11 +155,28 @@ class T5ForConditionalGeneration:
         return shapes
 
     def param_shardings(self) -> Dict[str, Any]:
-        def rep(node):
-            return {k: (rep(v) if isinstance(v, dict) else P())
+        """TP: heads + FFN columns shard; the relative-bias tables
+        shard on their head axis (the in-graph bucket gather indexes
+        the replicated bucket axis)."""
+        m = "model"
+        head = {"wq": P(None, None, m), "wk": P(None, None, m),
+                "wv": P(None, None, m), "wo": P(None, m, None),
+                "cwq": P(None, None, m), "cwk": P(None, None, m),
+                "cwv": P(None, None, m), "cwo": P(None, m, None),
+                "wi": P(None, None, m), "wi0": P(None, None, m),
+                "wi1": P(None, None, m), "wo_ff": P(None, m, None)}
+
+        def spec_for(node):
+            return {k: (spec_for(v) if isinstance(v, dict)
+                        else head.get(k, P()))
                     for k, v in node.items()}
 
-        return rep(self.param_shapes())
+        specs = spec_for(self.param_shapes())
+        specs["enc_rel_bias"] = P(None, m)
+        specs["dec_rel_bias"] = P(None, m)
+        if not self.tie_word_embeddings:
+            specs["lm_head"] = P(None, m)
+        return specs
 
     def random_params(self, seed: int = 0) -> Dict[str, Any]:
         rng = np.random.RandomState(seed)

@@ -68,3 +68,17 @@ def test_t5_greedy_matches_hf(tmp_path, gated, tie):
     for ids, out in zip(enc_prompts, outs):
         expect = hf_generate(path, ids, 8)
         assert list(out.outputs[0].token_ids) == expect
+
+
+def test_t5_tp2_matches_tp1(tmp_path):
+    """Enc-dec TP on the T5 stack: heads/FFN columns + relative-bias
+    head axis shard; both KV caches shard on the combined-head axis."""
+    d = _make(tmp_path, _tiny_cfg())
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    prompts = ["summarize: the quick brown fox", "translate: hello"]
+    o1 = LLM(model=d, dtype="float32",
+             max_num_seqs=2).generate(prompts, sp)
+    o2 = LLM(model=d, dtype="float32", max_num_seqs=2,
+             tensor_parallel_size=2).generate(prompts, sp)
+    assert [o.outputs[0].token_ids for o in o1] == \
+        [o.outputs[0].token_ids for o in o2]
