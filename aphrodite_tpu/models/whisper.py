@@ -85,11 +85,33 @@ class WhisperForConditionalGeneration(BartForConditionalGeneration):
     def param_shardings(self) -> Dict[str, Any]:
         from jax.sharding import PartitionSpec as P
 
-        def rep(node):
-            return {k: (rep(v) if isinstance(v, dict) else P())
-                    for k, v in node.items()}
+        specs = super().param_shardings()  # bart's sharded text specs
+        m = "model"
+        specs["audio"] = {
+            "conv1_w": P(), "conv1_b": P(),
+            "conv2_w": P(), "conv2_b": P(),
+            "pos": P(),
+            "layers": {
+                "ln1": P(), "ln1_b": P(),
+                "wq": P(None, None, m), "bq": P(None, m),
+                "wk": P(None, None, m),
+                "wv": P(None, None, m), "bv": P(None, m),
+                "wo": P(None, m, None), "bo": P(),
+                "ln2": P(), "ln2_b": P(),
+                "fc1": P(None, None, m), "fc1_b": P(None, m),
+                "fc2": P(None, m, None), "fc2_b": P(),
+            },
+            "final_ln": P(), "final_ln_b": P(),
+        }
+        # Dropped text params (bart keys whisper removes) are already
+        # absent from param_shapes; prune their stale spec entries.
+        shapes = self.param_shapes()
 
-        return rep(self.param_shapes())
+        def prune(sp, sh):
+            return {k: (prune(v, sh[k]) if isinstance(v, dict) else v)
+                    for k, v in sp.items() if k in sh}
+
+        return prune(specs, shapes)
 
     def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:
         maps = super().hf_param_mappings()

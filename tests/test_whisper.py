@@ -140,3 +140,16 @@ def test_whisper_greedy_matches_hf(whisper_dir):
             lg[2] = -1e30  # banned token
             dec.append(int(lg.argmax()))
     assert list(out.token_ids) == dec[len(prompt_ids):]
+
+
+def test_whisper_tp2_matches_tp1(whisper_dir):
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    req = [{"prompt_token_ids": [SOT, 7],
+            "multi_modal_data": {"audio": make_mel(3)}}]
+    o1 = LLM(model=whisper_dir, dtype="float32", max_num_seqs=2,
+             max_model_len=64).generate(req, sp)
+    o2 = LLM(model=whisper_dir, dtype="float32", max_num_seqs=2,
+             max_model_len=64,
+             tensor_parallel_size=2).generate(req, sp)
+    assert [o.outputs[0].token_ids for o in o1] == \
+        [o.outputs[0].token_ids for o in o2]
