@@ -1,10 +1,16 @@
 """Phi-1.5/Phi-2: partial rotary (partial_rotary_factor), single-norm
-parallel residual (attn and MLP both read ln1's output), biased LM head.
+parallel residual (attn and MLP both read ln1's output), biased LM head,
+optional qk_layernorm (shared LayerNorm over head_dim on q and k before
+rotary, HF modeling_phi PhiAttention).
 
 Reference: aphrodite/modeling/models/phi.py (PhiForCausalLM).
 """
 
-from typing import List, Tuple
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from aphrodite_tpu.models.llama import LlamaForCausalLM
 
@@ -24,13 +30,55 @@ class PhiForCausalLM(LlamaForCausalLM):
         hf = model_config.hf_config
         hf.setdefault("rms_norm_eps", hf.get("layer_norm_eps", 1e-5))
         hf.setdefault("partial_rotary_factor", 0.5)
-        if hf.get("qk_layernorm"):
-            raise NotImplementedError("phi qk_layernorm not supported yet")
+        self.qk_layernorm = bool(hf.get("qk_layernorm", False))
         super().__init__(model_config, parallel_config)
+
+    def param_shapes(self) -> Dict[str, Any]:
+        shapes = super().param_shapes()
+        if self.qk_layernorm:
+            L, D = self.num_layers, self.head_dim
+            for k in ("q_norm", "q_norm_b", "k_norm", "k_norm_b"):
+                shapes["layers"][k] = (L, D)
+        return shapes
+
+    def param_shardings(self) -> Dict[str, Any]:
+        specs = super().param_shardings()
+        if self.qk_layernorm:
+            for k in ("q_norm", "q_norm_b", "k_norm", "k_norm_b"):
+                specs["layers"][k] = P()
+        return specs
+
+    def qk_norm(self, q: jax.Array, k: jax.Array, lp: Dict[str, Any]):
+        if not self.qk_layernorm:
+            return q, k
+        eps = self.rms_eps  # layer_norm_eps (mapped in __init__)
+
+        def ln(x, w, b):  # shared LayerNorm over head_dim
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.var(xf, axis=-1, keepdims=True)
+            return ((xf - mu) * jax.lax.rsqrt(var + eps) *
+                    w.astype(jnp.float32) +
+                    b.astype(jnp.float32)).astype(x.dtype)
+
+        return (ln(q, lp["q_norm"], lp["q_norm_b"]),
+                ln(k, lp["k_norm"], lp["k_norm_b"]))
 
     def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:
         la = "model.layers.{i}."
-        return [
+        extra = []
+        if self.qk_layernorm:
+            extra = [
+                (la + "self_attn.q_layernorm.weight", "layers.q_norm",
+                 False),
+                (la + "self_attn.q_layernorm.bias", "layers.q_norm_b",
+                 False),
+                (la + "self_attn.k_layernorm.weight", "layers.k_norm",
+                 False),
+                (la + "self_attn.k_layernorm.bias", "layers.k_norm_b",
+                 False),
+            ]
+        return extra + [
             (la + "input_layernorm.weight", "layers.input_norm", False),
             (la + "input_layernorm.bias", "layers.input_norm_b", False),
             (la + "self_attn.q_proj.weight", "layers.wq", True),

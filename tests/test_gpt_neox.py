@@ -124,3 +124,20 @@ def test_cohere_plus_qk_norm(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_cohere_plus"))
     make_tiny_checkpoint(path, cfg)
     _check(path)
+
+
+def test_phi_qk_layernorm(tmp_path_factory):
+    """phi qk_layernorm: shared LayerNorm over head_dim on q/k before
+    the partial rotary (HF PhiAttention)."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    cfg = tf.PhiConfig(
+        vocab_size=256, hidden_size=64, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=256,
+        max_position_embeddings=128, partial_rotary_factor=0.5,
+        qk_layernorm=True)
+    path = str(tmp_path_factory.mktemp("tiny_phi_qkln"))
+    make_tiny_checkpoint(path, cfg)
+    _check(path)
