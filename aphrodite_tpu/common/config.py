@@ -469,6 +469,14 @@ class EngineConfig:
                 raise ValueError(
                     f"SSM intermediate_size ({inner}) must be divisible "
                     f"by tensor_parallel_size ({tp})")
+            # Mamba2 additionally shards per-head leaves (A_log, dt_bias)
+            # on the head axis; intermediate_size % tp == 0 does not imply
+            # num_heads % tp == 0 when head_dim shares factors with tp.
+            ssm_heads = hf.get("num_heads")
+            if ssm_heads is not None and int(ssm_heads) % tp != 0:
+                raise ValueError(
+                    f"SSM num_heads ({ssm_heads}) must be divisible by "
+                    f"tensor_parallel_size ({tp})")
         else:
             heads = self.model_config.get_num_attention_heads()
             if heads % tp != 0:

@@ -21,6 +21,12 @@ def _add_serve_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--served-model-name", type=str, default=None)
     parser.add_argument("--api-keys", type=str, default=None,
                         help="comma-separated list of accepted API keys")
+    parser.add_argument("--admin-key", type=str, default=None,
+                        help="key required by admin routes (model/lora/"
+                             "soft-prompt load-unload); falls back to "
+                             "APHRODITE_ADMIN_KEY. When --api-keys is set "
+                             "without an admin key, admin routes are "
+                             "disabled.")
     EngineArgs.add_cli_args(parser)
 
 
@@ -33,7 +39,8 @@ def _run(args: argparse.Namespace) -> None:
     api_keys = args.api_keys.split(",") if args.api_keys else None
     asyncio.run(
         run_server(engine_args, host=args.host, port=args.port,
-                   served_model_names=served, api_keys=api_keys))
+                   served_model_names=served, api_keys=api_keys,
+                   admin_key=args.admin_key))
 
 
 def _complete(args: argparse.Namespace) -> None:

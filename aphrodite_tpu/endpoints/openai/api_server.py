@@ -116,7 +116,11 @@ class OpenAIServer:
 
     @web.middleware
     async def _auth_middleware(self, request: web.Request, handler):
-        if self.api_keys and request.path.startswith("/v1"):
+        """API-key gate over both the OpenAI (/v1) and KoboldAI (/api)
+        surfaces (the reference middleware covers both; OPTIONS preflight
+        is exempt, matching reference api_server auth)."""
+        if (self.api_keys and request.method != "OPTIONS"
+                and request.path.startswith(("/v1", "/api"))):
             auth = request.headers.get("Authorization", "")
             token = auth.removeprefix("Bearer ").strip()
             if token not in self.api_keys:
@@ -199,7 +203,19 @@ class OpenAIServer:
         })
 
     def _check_admin(self, request: web.Request) -> Optional[web.Response]:
+        """Gate for admin routes (model/lora/soft-prompt load-unload).
+
+        Reference semantics (api_server.py:315): admin routes require the
+        admin key; when the server is key-protected but no admin key was
+        configured, admin operations are DISABLED rather than open.
+        Only a completely unauthenticated dev server (no api_keys, no
+        admin_key) allows them without a key.
+        """
         if self.admin_key is None:
+            if self.api_keys:
+                return _error(
+                    "admin operations disabled (no --admin-key set)",
+                    status=401, err_type="authentication_error")
             return None
         key = request.headers.get("x-admin-key") or \
             request.headers.get("Authorization", "").removeprefix(
@@ -290,6 +306,9 @@ class OpenAIServer:
         """Admin route (reference /v1/soft_prompt/load,
         api_server.py:733): registers a prompt-tuning adapter; requests
         then select it by prompt_adapter_name."""
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
         try:
             body = await request.json()
             name = body.get("soft_prompt_name", body.get("name"))
@@ -317,6 +336,9 @@ class OpenAIServer:
 
     async def load_lora(self, request: web.Request) -> web.Response:
         """Admin route (reference /v1/lora/load, api_server.py:315)."""
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
         try:
             body = await request.json()
             name = body["lora_name"]
@@ -330,6 +352,9 @@ class OpenAIServer:
         return web.json_response({"status": "ok", "loaded": name})
 
     async def unload_lora(self, request: web.Request) -> web.Response:
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
         try:
             body = await request.json()
             name = body["lora_name"]
@@ -821,10 +846,15 @@ class OpenAIServer:
 async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
                      port: int = DEFAULT_PORT,
                      served_model_names: Optional[List[str]] = None,
-                     api_keys: Optional[List[str]] = None) -> None:
+                     api_keys: Optional[List[str]] = None,
+                     admin_key: Optional[str] = None) -> None:
+    import os
+
+    if admin_key is None:
+        admin_key = os.environ.get("APHRODITE_ADMIN_KEY") or None
     async_engine = AsyncAphrodite.from_engine_args(engine_args)
     server = OpenAIServer(async_engine, served_model_names, api_keys,
-                          engine_args=engine_args)
+                          engine_args=engine_args, admin_key=admin_key)
     app = server.build_app()
     runner = web.AppRunner(app)
     await runner.setup()

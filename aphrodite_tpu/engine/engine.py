@@ -462,6 +462,11 @@ class AphroditeEngine:
             if sp.use_beam_search:
                 beam_groups.setdefault(id(ss.group), []).append((i, ss))
                 continue
+            # k-invariant; computed up-front so the finish-time decode
+            # gate below is well-defined even when the k-loop body never
+            # runs (num_steps_done == 0 or valid_lens[i] == 0).
+            need_inc = sp.detokenize and self.tokenizer is not None \
+                and (bool(sp.stop) or not self.lazy_detokenize)
             for k in range(num_steps_done):
                 if seq.is_finished():
                     break  # later multi-step tokens are discarded
@@ -506,8 +511,6 @@ class AphroditeEngine:
                 # STRINGS need the text — skip it on the hot loop and
                 # decode once at finish (streaming consumers keep the
                 # incremental path).
-                need_inc = sp.detokenize and self.tokenizer is not None \
-                    and (bool(sp.stop) or not self.lazy_detokenize)
                 if need_inc:
                     new_text = self._decode_sequence(seq, sp)
                 self.stop_checker.maybe_stop_sequence(seq, new_text, sp)

@@ -412,3 +412,79 @@ async def test_soft_prompt_http_load_and_route(soft_prompt_setup,
                           prompt_adapter_request=req)[0].outputs[0].text
     assert routed["choices"][0]["text"] == expect
     assert routed["choices"][0]["text"] != plain["choices"][0]["text"]
+
+
+# ---------------------------------------------------------------------------
+# Auth: API keys must cover the KoboldAI surface; admin routes must be
+# gated (advisor round-1 findings).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+async def keyed_client(tiny_dir, aiohttp_client):
+    engine_args = EngineArgs(
+        model=tiny_dir,
+        dtype="float32",
+        max_num_seqs=8,
+        num_device_blocks_override=128,
+        block_size=8,
+    )
+    async_engine = AsyncAphrodite.from_engine_args(engine_args)
+    server = OpenAIServer(async_engine, served_model_names=["tiny"],
+                          api_keys=["sekrit"], admin_key="root-key")
+    return await aiohttp_client(server.build_app())
+
+
+async def test_api_key_gates_openai_and_kobold(keyed_client):
+    # /v1 without key -> 401
+    resp = await keyed_client.post("/v1/completions", json={
+        "prompt": "hi", "max_tokens": 1})
+    assert resp.status == 401
+    # Kobold surface without key -> 401 (round-1 hole: only /v1 checked)
+    resp = await keyed_client.post("/api/v1/generate", json={
+        "prompt": "hi", "max_length": 1})
+    assert resp.status == 401
+    # health stays open
+    assert (await keyed_client.get("/health")).status == 200
+    # with key -> served
+    hdr = {"Authorization": "Bearer sekrit"}
+    resp = await keyed_client.post(
+        "/v1/completions",
+        json={"prompt": "hi", "max_tokens": 1, "ignore_eos": True},
+        headers=hdr)
+    assert resp.status == 200, await resp.text()
+
+
+async def test_admin_routes_require_admin_key(keyed_client):
+    hdr = {"Authorization": "Bearer sekrit"}  # valid API key, NOT admin
+    for route, body in [
+        ("/v1/lora/load", {"lora_name": "x", "lora_path": "/nope"}),
+        ("/v1/lora/unload", {"lora_name": "x"}),
+        ("/v1/soft_prompt/load", {"soft_prompt_name": "x",
+                                  "soft_prompt_path": "/nope"}),
+        ("/v1/model/unload", {}),
+    ]:
+        resp = await keyed_client.post(route, json=body, headers=hdr)
+        assert resp.status == 401, (route, await resp.text())
+    # Correct admin key passes the gate (fails later on the bogus path,
+    # not on auth).
+    resp = await keyed_client.post(
+        "/v1/lora/load", json={"lora_name": "x", "lora_path": "/nope"},
+        headers={"Authorization": "Bearer sekrit",
+                 "x-admin-key": "root-key"})
+    assert resp.status != 401
+
+
+async def test_admin_disabled_when_keyed_without_admin_key(
+        tiny_dir, aiohttp_client):
+    engine_args = EngineArgs(
+        model=tiny_dir, dtype="float32", max_num_seqs=8,
+        num_device_blocks_override=128, block_size=8)
+    async_engine = AsyncAphrodite.from_engine_args(engine_args)
+    server = OpenAIServer(async_engine, served_model_names=["tiny"],
+                          api_keys=["sekrit"])  # no admin_key
+    client = await aiohttp_client(server.build_app())
+    resp = await client.post(
+        "/v1/model/unload", json={},
+        headers={"Authorization": "Bearer sekrit"})
+    assert resp.status == 401
