@@ -433,11 +433,13 @@ def load_gguf_params_to_host(model, path: str) -> Dict[str, Any]:
         if our_path in quantizable and is_q4:
             q, scale, zero = to_int4_pieces(gg, info)
             # ggml rows = out features; our layout is [in, out].
-            piece = {
+            from aphrodite_tpu.quantization.int4 import maybe_pack
+
+            piece = maybe_pack({
                 "q4": np.ascontiguousarray(q.T),
                 "scale": np.ascontiguousarray(scale.T),
                 "zero": np.ascontiguousarray(zero.T),
-            }
+            })
         else:
             arr = dequant_tensor(gg, info)  # [out, in] or [n]
             if arr.ndim == 2 and our_path not in ("embed",):

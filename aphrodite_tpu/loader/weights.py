@@ -308,7 +308,7 @@ def _check_shapes(expected, got, prefix: str) -> None:
                     f"expected {v}")
 
 
-_CONTAINER_KEYS = ("q", "q4")
+_CONTAINER_KEYS = ("q", "q4", "q4p")
 
 
 def _is_quant_container(node) -> bool:
@@ -592,6 +592,15 @@ def load_quantized_hf_params_to_host(
                 c = int4_mod.load_gptq_tensors(qweight, qzeros, scales,
                                                g_idx)
             containers.append(c)
+        if len({frozenset(c) for c in containers}) > 1:
+            # Mixed packed/unpacked layers (e.g. one desc_act layer):
+            # normalize to the unpacked q4 form so stacking is uniform.
+            from aphrodite_tpu.ops.quant_matmul import unpack_int4_rows
+
+            containers = [
+                {"q4": unpack_int4_rows(c.pop("q4p")), **c}
+                if "q4p" in c else c for c in containers
+            ]
         stacked = {
             k: np.stack([c[k] for c in containers], axis=0)
             for k in containers[0]

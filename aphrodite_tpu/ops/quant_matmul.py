@@ -218,6 +218,219 @@ def int4_matmul_pallas_groupwise(x, q4, scale, zero, group: int,
     )(x, q4, scale, zero)
 
 
+# ---------------------------------------------------------------------------
+# Packed (2 nibbles per byte) int4: the HBM-traffic-optimal format.
+#
+# Half-split layout: packed row i of [K/2, N] holds original row i in the
+# low nibble and row i + K/2 in the high nibble. Unlike adjacent-pair
+# packing this needs NO sublane interleave to restore natural order —
+# each packed tile covers two group-aligned original-row ranges, so the
+# kernel runs two group matmuls per packed group. Requires (K/2) % G == 0.
+# ---------------------------------------------------------------------------
+
+
+def pack_int4_rows(q4):
+    """int8[.., K, N] values 0..15 -> packed int8[.., K/2, N]
+    (numpy or jnp; half-split layout)."""
+    import numpy as _np
+
+    xp = _np if isinstance(q4, _np.ndarray) else jnp
+    K = q4.shape[-2]
+    assert K % 2 == 0, K
+    lo = q4[..., : K // 2, :].astype(xp.uint8)
+    hi = q4[..., K // 2:, :].astype(xp.uint8)
+    return (lo | (hi << 4)).astype(xp.int8)
+
+
+def unpack_int4_rows(q4p):
+    """Inverse of pack_int4_rows (numpy or jnp)."""
+    import numpy as _np
+
+    xp = _np if isinstance(q4p, _np.ndarray) else jnp
+    p = q4p.astype(xp.uint8)
+    lo = (p & 0xF).astype(xp.int8)
+    hi = (p >> 4).astype(xp.int8)
+    return xp.concatenate([lo, hi], axis=-2)
+
+
+def int4p_matmul_ref(x, q4p, scale, zero, group: int):
+    return int4_matmul_ref(x, unpack_int4_rows(q4p), scale, zero, group)
+
+
+def _kernel_packed_groupwise(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
+                             acc_ref, *, group: int, block_kp: int,
+                             half_groups: int):
+    """Packed-weight decode tile: raw-nibble MXU matmuls with group
+    scales applied to the [bt, bn] partials (see _kernel_groupwise), two
+    matmuls per packed group (low-half rows + high-half rows).
+
+        out = sum_g s_g * (x_g @ q_g) - s_g z_g * rowsum(x_g)
+
+    HBM weight traffic is K*N/2 bytes — the true int4 byte count (the
+    reference's Marlin W4A16 GEMM property,
+    kernels/quantization/marlin/dense/marlin_cuda_kernel.cu).
+    """
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    rpb = block_kp // group
+    row0 = k_idx * rpb
+    xl = xl_ref[:]  # [bt, bkp] columns K[k-tile] (low half)
+    xh = xh_ref[:]  # [bt, bkp] columns K/2 + k-tile (high half)
+    p = q_ref[:].astype(jnp.int32) & 255  # [bkp, bn] unsigned bytes
+    acc = acc_ref[:]
+    for g in range(rpb):
+        sl = slice(g * group, (g + 1) * group)
+        pg = p[sl, :]
+        qlo = (pg & 15).astype(xl.dtype)
+        qhi = (pg >> 4).astype(xl.dtype)
+        xlg = xl[:, sl]
+        xhg = xh[:, sl]
+        part_lo = jnp.dot(xlg, qlo, preferred_element_type=jnp.float32)
+        part_hi = jnp.dot(xhg, qhi, preferred_element_type=jnp.float32)
+        s_lo = s_ref[row0 + g, :][None, :]
+        z_lo = z_ref[row0 + g, :][None, :]
+        s_hi = s_ref[half_groups + row0 + g, :][None, :]
+        z_hi = z_ref[half_groups + row0 + g, :][None, :]
+        xsum_lo = jnp.sum(xlg.astype(jnp.float32), axis=1, keepdims=True)
+        xsum_hi = jnp.sum(xhg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = (acc + s_lo * part_lo - (s_lo * z_lo) * xsum_lo
+               + s_hi * part_hi - (s_hi * z_hi) * xsum_hi)
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _kernel_packed_dense(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
+                         acc_ref, *, group: int, block_kp: int,
+                         half_groups: int):
+    """Packed-weight prefill tile: dequantize both nibble planes in VMEM
+    and run two [bt, bkp] x [bkp, bn] matmuls (VPU dequant cost amortizes
+    over large bt)."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    rpb = block_kp // group
+    row0 = k_idx * rpb
+    p = q_ref[:].astype(jnp.int32) & 255
+    qlo = (p & 15).astype(jnp.float32)  # [bkp, bn]
+    qhi = (p >> 4).astype(jnp.float32)
+
+    def gather_rows(ref, base):
+        if rpb == 1:
+            return ref[base, :][None, :]
+        return jnp.stack([ref[base + g, :] for g in range(rpb)])
+
+    s_lo = jnp.repeat(gather_rows(s_ref, row0), group, axis=0)
+    z_lo = jnp.repeat(gather_rows(z_ref, row0), group, axis=0)
+    s_hi = jnp.repeat(gather_rows(s_ref, half_groups + row0), group, axis=0)
+    z_hi = jnp.repeat(gather_rows(z_ref, half_groups + row0), group, axis=0)
+    wlo = ((qlo - z_lo) * s_lo).astype(xl_ref.dtype)
+    whi = ((qhi - z_hi) * s_hi).astype(xl_ref.dtype)
+    acc_ref[:] += (
+        jnp.dot(xl_ref[:], wlo, preferred_element_type=jnp.float32)
+        + jnp.dot(xh_ref[:], whi, preferred_element_type=jnp.float32))
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def int4p_matmul_pallas(x, q4p, scale, zero, group: int,
+                        block_t: Optional[int] = None,
+                        block_n: Optional[int] = None,
+                        block_kp: Optional[int] = None,
+                        interpret: bool = False):
+    """Fused packed-int4 matmul. x[T, K] bf16/f32, q4p int8[K/2, N].
+
+    Dispatches the group-wise (decode, small T) or dense-dequant
+    (prefill, large T) tile body; both read the packed bytes once.
+    """
+    T, K = x.shape
+    Kh, N = q4p.shape[-2], q4p.shape[-1]
+    assert Kh * 2 == K and Kh % group == 0, (K, Kh, group)
+    half_groups = Kh // group
+    decode = T <= 128
+    if block_t is None:
+        block_t = 128 if decode else 256
+    if block_n is None:
+        block_n = 1024
+    if block_kp is None:
+        # Largest multiple of `group` dividing Kh, capped for VMEM.
+        cap = 1024 if decode else 2048
+        block_kp = group
+        for cand in range(cap, group - 1, -group):
+            if Kh % cand == 0:
+                block_kp = cand
+                break
+    block_t = min(block_t, T)
+    block_n = min(block_n, N)
+    grid = (pl.cdiv(T, block_t), pl.cdiv(N, block_n), Kh // block_kp)
+    body = _kernel_packed_groupwise if decode else _kernel_packed_dense
+    xl = x[:, :Kh]
+    xh = x[:, Kh:]
+    return pl.pallas_call(
+        functools.partial(body, group=group, block_kp=block_kp,
+                          half_groups=half_groups),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, block_kp), lambda t, n, k: (t, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, block_kp), lambda t, n, k: (t, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kp, block_n), lambda t, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // group, block_n), lambda t, n, k: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // group, block_n), lambda t, n, k: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, block_n), lambda t, n, k: (t, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * N * K,
+            bytes_accessed=T * K * 2 + Kh * N + T * N * 4,
+            transcendentals=0,
+        ),
+        name="int4p_matmul",
+        interpret=interpret,
+    )(xl, xh, q4p, scale, zero)
+
+
+def int4p_matmul_dispatch(x, q4p, scale, zero, group: int):
+    """Trace-time dispatch for the packed container: Pallas on TPU for
+    aligned shapes, unpack+ref elsewhere."""
+    if x.ndim > 2:
+        lead = x.shape[:-1]
+        out = int4p_matmul_dispatch(x.reshape(-1, x.shape[-1]), q4p,
+                                    scale, zero, group)
+        return out.reshape(*lead, -1)
+    import os
+
+    impl = os.environ.get("APHRODITE_TPU_INT4_IMPL", "pallas")
+    use_kernel = (jax.default_backend() in ("tpu", "axon")
+                  and impl == "pallas")
+    T, K = x.shape
+    Kh, N = q4p.shape[-2], q4p.shape[-1]
+    if (use_kernel and N % 128 == 0 and group > 1 and Kh % group == 0
+            and T >= 16):
+        return int4p_matmul_pallas(x, q4p, scale, zero, group)
+    return int4p_matmul_ref(x, q4p, scale, zero, group)
+
+
 def int4_matmul_dispatch(x, q4, scale, zero, group: int):
     """Trace-time dispatch: Pallas on TPU for aligned shapes, ref else.
 

@@ -25,6 +25,26 @@ import numpy as np
 NAME = "int4"
 RUNTIME_QUANTIZE = False
 
+
+def maybe_pack(container: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert {q4[K, N]} to the 2-nibbles-per-byte {q4p[K/2, N]} form
+    (half-split row layout, ops/quant_matmul.py) when group alignment
+    allows — HBM weight traffic halves, which is the entire point of
+    weight-only int4 on a bandwidth-bound decode (the property the
+    reference's Marlin GEMM provides, kernels/quantization/marlin/)."""
+    q4 = container.get("q4")
+    if q4 is None:
+        return container
+    K = q4.shape[-2]
+    G = K // container["scale"].shape[-2]
+    if G > 1 and K % 2 == 0 and (K // 2) % G == 0:
+        from aphrodite_tpu.ops.quant_matmul import pack_int4_rows
+
+        return {"q4p": pack_int4_rows(q4),
+                "scale": container["scale"],
+                "zero": container["zero"]}
+    return container
+
 def quantize_from_float(w: np.ndarray, group: int = 128) -> Dict[str, Any]:
     """Asymmetric 4-bit group quantization of a float weight [..., K, N]
     (runtime quant for benches/tests; real use loads GPTQ/AWQ files)."""
@@ -40,11 +60,11 @@ def quantize_from_float(w: np.ndarray, group: int = 128) -> Dict[str, Any]:
     zero = np.round(-wmin / scale)
     q = np.round(g / scale[..., None, :] + zero[..., None, :])
     q = np.clip(q, 0, 15).astype(np.int8).reshape(*lead, K, N)
-    return {
+    return maybe_pack({
         "q4": q,
         "scale": scale.astype(np.float32),
         "zero": zero.astype(np.float32),
-    }
+    })
 
 
 def _unpack_int32_nibbles(packed: np.ndarray, axis: int) -> np.ndarray:
@@ -80,7 +100,7 @@ def load_gptq_tensors(
             scale = scale[gi]  # [K, N]
             zeros = zeros[gi]
             return {"q4": q4, "scale": scale, "zero": zeros}
-    return {"q4": q4, "scale": scale, "zero": zeros}
+    return maybe_pack({"q4": q4, "scale": scale, "zero": zeros})
 
 
 def load_awq_tensors(
@@ -98,8 +118,8 @@ def load_awq_tensors(
     idx = (np.arange(N) // 8) * 8 + inv[np.arange(N) % 8]
     q4 = q4[:, idx].astype(np.int8)
     zeros = zeros[:, idx].astype(np.float32)
-    return {
+    return maybe_pack({
         "q4": q4,
         "scale": np.asarray(scales, dtype=np.float32),
         "zero": zeros,
-    }
+    })

@@ -42,6 +42,8 @@ def qmatmul(x: jax.Array, w: WeightLike) -> jax.Array:
     """
     if not isinstance(w, dict):
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if "q4p" in w:
+        return _int4p_matmul(x, w)
     if "q4" in w:
         return _int4_matmul(x, w)
     if w["q"].dtype == jnp.float8_e4m3fn:
@@ -98,10 +100,26 @@ def _int4_matmul(x: jax.Array, w: Dict[str, Any]) -> jax.Array:
     return int4_matmul_dispatch(x, w["q4"], w["scale"], w["zero"], group)
 
 
+def _int4p_matmul(x: jax.Array, w: Dict[str, Any]) -> jax.Array:
+    """Packed (2 nibbles/byte, half-split rows) int4 weight-only — the
+    HBM-optimal storage the Marlin W4A16 GEMM achieves in the reference
+    (kernels/quantization/marlin/dense/)."""
+    from aphrodite_tpu.ops.quant_matmul import int4p_matmul_dispatch
+
+    K = 2 * w["q4p"].shape[-2]
+    group = K // w["scale"].shape[-2]
+    return int4p_matmul_dispatch(x, w["q4p"], w["scale"], w["zero"], group)
+
+
 def dequantize(w: WeightLike, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the full-precision weight (tests / fallback)."""
     if not isinstance(w, dict):
         return w.astype(dtype)
+    if "q4p" in w:
+        from aphrodite_tpu.ops.quant_matmul import unpack_int4_rows
+
+        return dequantize({"q4": unpack_int4_rows(w["q4p"]),
+                           "scale": w["scale"], "zero": w["zero"]}, dtype)
     if "q4" in w:
         q = w["q4"].astype(jnp.float32)
         G = w["q4"].shape[-2] // w["scale"].shape[-2]

@@ -12,6 +12,14 @@ import jax
 import jax.numpy as jnp
 
 from aphrodite_tpu.quantization import int4, int8, fp8
+from aphrodite_tpu.ops.quant_matmul import (int4p_matmul_pallas,
+                                            int4p_matmul_ref,
+                                            pack_int4_rows,
+                                            unpack_int4_rows)
+
+
+def _q4_of(c):
+    return c["q4"] if "q4" in c else unpack_int4_rows(c["q4p"])
 from aphrodite_tpu.quantization.qlinear import dequantize, qmatmul
 
 RNG = np.random.default_rng(42)
@@ -49,7 +57,7 @@ def test_fp8_matmul_close_to_dense():
 def test_int4_quant_roundtrip_error():
     w = RNG.standard_normal((256, 128)).astype(np.float32)
     c = int4.quantize_from_float(w, group=64)
-    assert c["q4"].min() >= 0 and c["q4"].max() <= 15
+    assert _q4_of(c).min() >= 0 and _q4_of(c).max() <= 15
     wd = np.asarray(dequantize(c, jnp.float32))
     err = np.abs(wd - w).max()
     # 4-bit asymmetric with 64-wide groups: max err ~ scale/2.
@@ -93,7 +101,7 @@ def test_gptq_unpack_roundtrip():
     qweight = _pack_rows_int4(q)
     qzeros = _pack_cols_int4(zeros - 1)  # AutoGPTQ stores zero-1
     c = int4.load_gptq_tensors(qweight, qzeros, scales)
-    np.testing.assert_array_equal(c["q4"], q)
+    np.testing.assert_array_equal(_q4_of(c), q)
     np.testing.assert_array_equal(c["zero"], zeros.astype(np.float32))
     np.testing.assert_allclose(c["scale"], scales)
 
@@ -110,7 +118,7 @@ def test_awq_unpack_roundtrip():
         return _pack_cols_int4(il)
 
     c = int4.load_awq_tensors(awq_pack(q), awq_pack(zeros), scales)
-    np.testing.assert_array_equal(c["q4"], q)
+    np.testing.assert_array_equal(_q4_of(c), q)
     np.testing.assert_array_equal(c["zero"], zeros.astype(np.float32))
 
 
@@ -141,3 +149,59 @@ def test_e2e_int4_dummy_weights(tiny_llama_dir):
     sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
     out = llm.generate(["hello world"], sp)[0].outputs[0]
     assert len(out.token_ids) == 8
+
+
+# ---------------------------------------------------------------------------
+# Packed (2 nibbles per byte) int4
+# ---------------------------------------------------------------------------
+
+
+def test_pack_unpack_int4_roundtrip():
+    q = RNG.integers(0, 16, size=(3, 256, 64)).astype(np.int8)
+    p = pack_int4_rows(q)
+    assert p.shape == (3, 128, 64) and p.dtype == np.int8
+    np.testing.assert_array_equal(unpack_int4_rows(p), q)
+
+
+def test_quantize_from_float_emits_packed():
+    w = RNG.standard_normal((256, 128)).astype(np.float32)
+    c = int4.quantize_from_float(w, group=64)
+    assert "q4p" in c and c["q4p"].shape == (128, 128)
+    # dequantize() and qmatmul() consume the packed form directly.
+    wd = np.asarray(dequantize(jax.tree.map(jnp.asarray, c), jnp.float32))
+    assert np.abs(wd - w).max() <= c["scale"].max() * 0.51 + 1e-6
+    x = RNG.standard_normal((8, 256)).astype(np.float32)
+    got = np.asarray(qmatmul(jnp.asarray(x),
+                             jax.tree.map(jnp.asarray, c)))
+    np.testing.assert_allclose(got, x @ wd, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("T", [32, 512])  # groupwise (decode) vs dense body
+def test_int4p_pallas_kernel_matches_ref(T):
+    K, N, G = 512, 256, 64
+    w = RNG.standard_normal((K, N)).astype(np.float32)
+    c = int4.quantize_from_float(w, group=G)
+    assert "q4p" in c
+    x = (RNG.standard_normal((T, K)) * 0.3).astype(np.float32)
+    q4p, scale, zero = (jnp.asarray(c["q4p"]), jnp.asarray(c["scale"]),
+                        jnp.asarray(c["zero"]))
+    xj = jnp.asarray(x)
+    want = np.asarray(int4p_matmul_ref(xj, q4p, scale, zero, G))
+    got = np.asarray(int4p_matmul_pallas(xj, q4p, scale, zero, G,
+                                         interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_int4p_pallas_kernel_multi_ktile():
+    # Force several k grid steps so the scale-row offsets are exercised.
+    T, K, N, G = 32, 1024, 128, 64
+    w = RNG.standard_normal((K, N)).astype(np.float32)
+    c = int4.quantize_from_float(w, group=G)
+    x = (RNG.standard_normal((T, K)) * 0.3).astype(np.float32)
+    q4p, scale, zero = (jnp.asarray(c["q4p"]), jnp.asarray(c["scale"]),
+                        jnp.asarray(c["zero"]))
+    xj = jnp.asarray(x)
+    want = np.asarray(int4p_matmul_ref(xj, q4p, scale, zero, G))
+    got = np.asarray(int4p_matmul_pallas(xj, q4p, scale, zero, G,
+                                         block_kp=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

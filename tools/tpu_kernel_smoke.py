@@ -37,9 +37,11 @@ def main() -> int:
     ok = True
     rng = np.random.default_rng(0)
 
-    # 1. Fused int4 dequant-matmul Pallas kernel vs reference.
+    # 1. Fused int4 dequant-matmul Pallas kernels vs reference.
     from aphrodite_tpu.ops.quant_matmul import (int4_matmul_pallas,
-                                                int4_matmul_ref)
+                                                int4_matmul_ref,
+                                                int4p_matmul_pallas,
+                                                unpack_int4_rows)
     from aphrodite_tpu.quantization.int4 import quantize_from_float
 
     K, N, T, G = 1024, 1024, 256, 128
@@ -47,14 +49,20 @@ def main() -> int:
     c = quantize_from_float(w, group=G)
     x = rng.standard_normal((T, K)).astype(np.float32)
     xb = jnp.asarray(x, jnp.bfloat16)
-    q4 = jnp.asarray(c["q4"])
+    q4p = jnp.asarray(c["q4p"])
+    q4 = unpack_int4_rows(q4p)
     sc = jnp.asarray(c["scale"])
     z = jnp.asarray(c["zero"])
     got = jax.jit(lambda *a: int4_matmul_pallas(*a, group=G))(xb, q4, sc, z)
     want = int4_matmul_ref(jnp.asarray(x), q4, sc, z, G)
     ok &= check("int4_matmul_pallas", got, want, rtol=2e-2)
 
-    # 1b. Group-wise (decode) int4 kernel vs reference.
+    # 1a. Packed (2 nibbles/byte) kernel, prefill body.
+    got = jax.jit(lambda *a: int4p_matmul_pallas(*a, group=G))(
+        xb, q4p, sc, z)
+    ok &= check("int4p_matmul_prefill", got, want, rtol=2e-2)
+
+    # 1b. Group-wise (decode) kernels vs reference.
     from aphrodite_tpu.ops.quant_matmul import int4_matmul_pallas_groupwise
 
     Td = 64
@@ -63,6 +71,9 @@ def main() -> int:
         xd, q4, sc, z)
     want = int4_matmul_ref(xd.astype(jnp.float32), q4, sc, z, G)
     ok &= check("int4_matmul_groupwise", got, want, rtol=2e-2)
+    got = jax.jit(lambda *a: int4p_matmul_pallas(*a, group=G))(
+        xd, q4p, sc, z)
+    ok &= check("int4p_matmul_decode", got, want, rtol=2e-2)
 
     # 1c. Microbenchmark: dense bf16 vs int4 variants at decode shape.
     import time as _time
@@ -70,8 +81,9 @@ def main() -> int:
     Kb, Nb = 2048, 8192
     wb = rng.standard_normal((Kb, Nb)).astype(np.float32) * 0.05
     cb = quantize_from_float(wb, group=128)
-    q4b, scb, zb = (jnp.asarray(cb["q4"]), jnp.asarray(cb["scale"]),
-                    jnp.asarray(cb["zero"]))
+    q4pb = jnp.asarray(cb["q4p"])
+    q4b = unpack_int4_rows(q4pb)
+    scb, zb = jnp.asarray(cb["scale"]), jnp.asarray(cb["zero"])
     wb_bf = jnp.asarray(wb, jnp.bfloat16)
     xb2 = jnp.asarray(rng.standard_normal((Td, Kb)) * 0.3, jnp.bfloat16)
 
@@ -90,8 +102,11 @@ def main() -> int:
     t_grp = timeit(jax.jit(
         lambda *a: int4_matmul_pallas_groupwise(*a, group=128)),
         xb2, q4b, scb, zb)
+    t_pck = timeit(jax.jit(lambda *a: int4p_matmul_pallas(*a, group=128)),
+                   xb2, q4pb, scb, zb)
     print(f"INFO matmul T=64 K=2048 N=8192: dense_bf16={t_dense:.0f}us "
-          f"int4_dequant={t_deq:.0f}us int4_groupwise={t_grp:.0f}us")
+          f"int4_dequant={t_deq:.0f}us int4_groupwise={t_grp:.0f}us "
+          f"int4_packed={t_pck:.0f}us")
 
     # 2. Ragged paged attention kernel vs jnp oracle (mixed batch).
     from aphrodite_tpu.ops.attention import (_kernel_attention,
