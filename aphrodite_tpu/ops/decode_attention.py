@@ -54,13 +54,24 @@ PAGES_PER_CHUNK = 8
 _SLOT_BYTES_LIMIT = 4 * 1024 * 1024
 
 
+# Narrow KV-cache dtypes handled natively: 8-bit pages are DMA'd raw
+# (half the HBM traffic of bf16) and converted to bf16 in-register
+# inside the wave loop. Scales never enter the kernel: the models fold
+# k_scale into q and v_scale into the attention output (see
+# models/llama.py layer_fn), the TPU equivalent of the reference's
+# in-kernel scale multiplies (kernels/attention/attention_kernels.cu
+# fp8/int8 variants + dtype_fp8.cuh).
+_QUANT_KV_DTYPES = (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2)
+
+
 def supports(q, kv_pages, page_indices) -> bool:
     """Static gate: shapes/dtypes this kernel handles."""
     S, num_q_heads, head_dim = q.shape
     _, page_size, num_combined, hd2 = kv_pages.shape
     num_kv = num_combined // 2
     return (
-        kv_pages.dtype == jnp.bfloat16
+        (kv_pages.dtype == jnp.bfloat16
+         or kv_pages.dtype in _QUANT_KV_DTYPES)
         and q.dtype == jnp.bfloat16
         and head_dim == 128
         and hd2 == head_dim
@@ -93,8 +104,9 @@ def paged_decode_attention(
     pages_per_seq = page_indices.shape[1]
     G = GROUP
 
-    # Wave sizing under the VMEM budget.
-    slot_page_bytes = G * ps * CKV * D * 2
+    # Wave sizing under the VMEM budget (8-bit KV packs twice the pages
+    # per wave for the same VMEM, halving wave count AND HBM traffic).
+    slot_page_bytes = G * ps * CKV * D * jnp.dtype(kv_pages.dtype).itemsize
     C = max(1, min(PAGES_PER_CHUNK, pages_per_seq,
                    _SLOT_BYTES_LIMIT // slot_page_bytes))
     Tw = C * ps  # tokens per seq per wave
@@ -206,32 +218,52 @@ def _decode_kernel(
 
     issue_wave(0, 0)
 
-    # Wave-invariant score-mask metadata. Column n owns (seq, token,
-    # kv-head) = (n // (Tw*KV), (n // KV) % Tw, n % KV); row m owns
-    # (seq, kv-head) = (m // QH, (m % QH) // QG). Per-column kv length
-    # is assembled from the SMEM prefetch scalars with G selects.
-    col_n = lax.broadcasted_iota(jnp.int32, (1, N), 1)
-    col_seq = col_n // (Tw * KV)
-    col_tok_local = (col_n // KV) % Tw
-    col_head = col_n % KV
+    # K/V extraction lanes. bf16 pages pack the adjacent (K, V) rows of
+    # one head into one uint32 lane (one lane covering all N columns);
+    # 8-bit pages (int8 / fp8 KV cache) pack FOUR adjacent rows
+    # (K_a, V_a, K_b, V_b) per uint32, yielding two half-width lanes
+    # whose logical column index is n = 2*m + h for lane h. Each lane
+    # carries its own column metadata; the online softmax runs over the
+    # union of lanes, so the math is lane-count invariant.
+    kv_dtype = kv_bufs.dtype
+    quant8 = kv_dtype != jnp.bfloat16
+    num_lanes = 2 if quant8 else 1
+    NL = N // num_lanes  # columns per lane
+
+    # Wave-invariant score-mask metadata per lane. Column n owns (seq,
+    # token, kv-head) = (n // (Tw*KV), (n // KV) % Tw, n % KV); row m
+    # owns (seq, kv-head) = (m // QH, (m % QH) // QG). Per-column kv
+    # length is assembled from the SMEM prefetch scalars with G selects.
     row_m = lax.broadcasted_iota(jnp.int32, (M, 1), 0)
     row_seq = row_m // QH
     row_head = (row_m % QH) // QG
-    same_block = jnp.logical_and(row_seq == col_seq,
-                                 row_head == col_head)
-    kv_len_cols = jnp.zeros((1, N), jnp.int32)
-    for g in range(G):
-        kv_len_cols = jnp.where(col_seq == g, kv_lens_sref[seq0 + g],
-                                kv_len_cols)
-    # Same metadata in [N, 1] orientation for the K/V zeroing mask
-    # (Mosaic cannot reshape an i1 vector across dims).
-    col_n1 = lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-    col_tok_local_n = (col_n1 // KV) % Tw
-    col_seq_n = col_n1 // (Tw * KV)
-    kv_len_n = jnp.zeros((N, 1), jnp.int32)
-    for g in range(G):
-        kv_len_n = jnp.where(col_seq_n == g, kv_lens_sref[seq0 + g],
-                             kv_len_n)
+
+    def lane_meta(h):
+        col_n = (num_lanes * lax.broadcasted_iota(jnp.int32, (1, NL), 1)
+                 + h)
+        col_seq = col_n // (Tw * KV)
+        col_tok_local = (col_n // KV) % Tw
+        col_head = col_n % KV
+        same_block = jnp.logical_and(row_seq == col_seq,
+                                     row_head == col_head)
+        kv_len_cols = jnp.zeros((1, NL), jnp.int32)
+        for g in range(G):
+            kv_len_cols = jnp.where(col_seq == g, kv_lens_sref[seq0 + g],
+                                    kv_len_cols)
+        # Same metadata in [NL, 1] orientation for the K/V zeroing mask
+        # (Mosaic cannot reshape an i1 vector across dims).
+        col_n1 = (num_lanes * lax.broadcasted_iota(jnp.int32, (NL, 1), 0)
+                  + h)
+        col_tok_local_n = (col_n1 // KV) % Tw
+        col_seq_n = col_n1 // (Tw * KV)
+        kv_len_n = jnp.zeros((NL, 1), jnp.int32)
+        for g in range(G):
+            kv_len_n = jnp.where(col_seq_n == g, kv_lens_sref[seq0 + g],
+                                 kv_len_n)
+        return (same_block, kv_len_cols, col_tok_local, col_tok_local_n,
+                kv_len_n)
+
+    lanes_meta = [lane_meta(h) for h in range(num_lanes)]
 
     if use_alibi:
         # Per-row slope in [M, 1] orientation (Mosaic cannot shape-cast
@@ -244,6 +276,29 @@ def _decode_kernel(
 
     q_all = q_ref[...].reshape(M, D)  # [G, QH, D] -> [M, D]
 
+    def extract_lanes(slot):
+        """Unpack the wave buffer into per-lane (k, v) bf16 matrices.
+
+        Flat uint32 view: adjacent bf16 (K, V) rows of one head pack into
+        one uint32 lane; 8-bit rows pack four-deep (K_a, V_a, K_b, V_b) —
+        same trick as the bundled ragged kernel's strided_load_kv.
+        """
+        flat = kv_bufs.at[slot].reshape(2 * N, D)  # K/V rows
+        b = flat.bitcast(jnp.uint32)[...]
+        if not quant8:
+            k = pltpu.bitcast(b << 16, jnp.float32).astype(jnp.bfloat16)
+            v = pltpu.bitcast(b & jnp.uint32(0xFFFF0000),
+                              jnp.float32).astype(jnp.bfloat16)
+            return [(k, v)]
+        out = []
+        for h in range(2):
+            k8 = pltpu.bitcast((b >> (16 * h)).astype(jnp.uint8),
+                               kv_dtype)
+            v8 = pltpu.bitcast((b >> (16 * h + 8)).astype(jnp.uint8),
+                               kv_dtype)
+            out.append((k8.astype(jnp.bfloat16), v8.astype(jnp.bfloat16)))
+        return out
+
     def wave_body(wave, carry):
         m_prev, l_prev, acc_prev = carry
         slot = lax.rem(wave, 2)
@@ -254,49 +309,55 @@ def _decode_kernel(
 
         wait_wave(wave, slot)
 
-        col_pos = wave * Tw + col_tok_local  # absolute kv position
-        # Tokens past kv_len were never DMA'd: zero their K/V before the
-        # matmuls so buffer garbage (possibly NaN) can't poison scores
-        # through 0 * NaN (same guard as the bundled ragged kernel).
-        tok_valid = (wave * Tw + col_tok_local_n) < kv_len_n  # [N, 1]
-        valid = jnp.logical_and(same_block, col_pos < kv_len_cols)
-        if sliding_window is not None:
-            valid = jnp.logical_and(
-                valid, col_pos >= kv_len_cols - sliding_window)
-        neg = jnp.where(valid, 0.0, MASK_VALUE)  # [M, N] f32
+        kv_lanes = extract_lanes(slot)
 
-        # Flat uint32 view: adjacent (K, V) bf16 halves of one head pack
-        # into one uint32 lane (same trick as the bundled ragged kernel).
-        flat = kv_bufs.at[slot].reshape(2 * N, D)  # bf16 K/V rows
-        b = flat.bitcast(jnp.uint32)[...]  # [N, D] packed K/V rows
-        k = pltpu.bitcast(b << 16, jnp.float32).astype(jnp.bfloat16)
-        v = pltpu.bitcast(b & jnp.uint32(0xFFFF0000),
-                          jnp.float32).astype(jnp.bfloat16)
-        k = jnp.where(tok_valid, k, jnp.bfloat16(0))
-        v = jnp.where(tok_valid, v, jnp.bfloat16(0))
+        # Per-lane masked scores; online softmax over the lane union.
+        scores = []
+        for (k, v), meta in zip(kv_lanes, lanes_meta):
+            (same_block, kv_len_cols, col_tok_local, col_tok_local_n,
+             kv_len_n) = meta
+            col_pos = wave * Tw + col_tok_local  # absolute kv position
+            # Tokens past kv_len were never DMA'd: zero their K/V before
+            # the matmuls so buffer garbage (possibly NaN) can't poison
+            # scores through 0 * NaN (same guard as the bundled kernel).
+            tok_valid = (wave * Tw + col_tok_local_n) < kv_len_n
+            valid = jnp.logical_and(same_block, col_pos < kv_len_cols)
+            if sliding_window is not None:
+                valid = jnp.logical_and(
+                    valid, col_pos >= kv_len_cols - sliding_window)
+            neg = jnp.where(valid, 0.0, MASK_VALUE)  # [M, NL] f32
 
-        s = jax.lax.dot_general(
-            q_all, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [M, N]
-        s *= sm_scale
-        if soft_cap is not None:
-            s = soft_cap * jnp.tanh(s / soft_cap)
-        if use_alibi:
-            # bias = slope_h * (pos - (kv_len - 1)); masked cols don't
-            # care (MASK_VALUE dominates).
-            dist = (col_pos.astype(jnp.float32)
-                    - (kv_len_cols.astype(jnp.float32) - 1.0))
-            s += slope_rows * dist
-        s += neg
+            k = jnp.where(tok_valid, k, jnp.bfloat16(0))
+            v = jnp.where(tok_valid, v, jnp.bfloat16(0))
 
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [M, 1]
+            s = jax.lax.dot_general(
+                q_all, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [M, NL]
+            s *= sm_scale
+            if soft_cap is not None:
+                s = soft_cap * jnp.tanh(s / soft_cap)
+            if use_alibi:
+                # bias = slope_h * (pos - (kv_len - 1)); masked cols
+                # don't care (MASK_VALUE dominates).
+                dist = (col_pos.astype(jnp.float32)
+                        - (kv_len_cols.astype(jnp.float32) - 1.0))
+                s += slope_rows * dist
+            s += neg
+            scores.append((s, v))
+
+        m_cur = scores[0][0].max(axis=1, keepdims=True)
+        for s, _ in scores[1:]:
+            m_cur = jnp.maximum(m_cur, s.max(axis=1, keepdims=True))
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [M, N]
         alpha = jnp.exp(m_prev - m_new)  # [M, 1]
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [M, D]
+        l_new = alpha * l_prev
+        pv = jnp.zeros_like(acc_prev)
+        for s, v in scores:
+            p = jnp.exp(s - m_new)  # [M, NL]
+            l_new = l_new + jnp.sum(p, axis=1, keepdims=True)
+            pv = pv + jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [M, D]
         acc_new = alpha * acc_prev + pv
         return m_new, l_new, acc_new
 

@@ -1,0 +1,89 @@
+"""Grouped decode kernel over quantized KV pages (interpret mode).
+
+Round-1 verdict item: int8/fp8 KV decode used to fall back to the slower
+bundled ragged kernel (ops/decode_attention.py gated on bf16 pages). The
+grouped kernel now DMAs 8-bit pages raw (half the HBM traffic) and
+converts in-register. Scales never enter the kernel — models fold
+k_scale into q and v_scale into the output (models/llama.py layer_fn) —
+so numerics here compare raw quantized pages against the jnp oracle.
+
+Reference capability: kernels/attention/attention_kernels.cu fp8/int8
+variants + kernels/quantization/int8_kvcache/quant_utils.cuh.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aphrodite_tpu.ops.attention import ref_ragged_paged_attention
+from aphrodite_tpu.ops.decode_attention import (paged_decode_attention,
+                                                supports)
+
+
+def _mk_batch(rng, S, pages_per_seq, page_size, KVH, QH, D):
+    num_pages = S * pages_per_seq + 1
+    kv = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, 2 * KVH, D)) * 0.3,
+        jnp.bfloat16)
+    kv_lens = np.zeros((S,), np.int32)
+    pi = np.zeros((S, pages_per_seq), np.int32)
+    perm = rng.permutation(num_pages - 1) + 1
+    j = 0
+    for i in range(S):
+        kv_lens[i] = int(rng.integers(1, pages_per_seq * page_size))
+        npg = -(-int(kv_lens[i]) // page_size)
+        pi[i, :npg] = perm[(j + np.arange(npg)) % len(perm)]
+        j += npg
+    q = jnp.asarray(rng.standard_normal((S, QH, D)) * 0.3, jnp.bfloat16)
+    return (q, kv, jnp.asarray(kv_lens), jnp.asarray(pi),
+            jnp.arange(S + 1, dtype=jnp.int32), jnp.asarray([S], jnp.int32))
+
+
+def _cast_pages(kv, dtype):
+    if dtype == jnp.int8:
+        return jnp.clip(jnp.round(kv.astype(jnp.float32) * 80), -128,
+                        127).astype(jnp.int8)
+    return kv.astype(dtype)
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.bfloat16, jnp.int8,
+                                      jnp.float8_e4m3fn, jnp.float8_e5m2])
+def test_decode_kernel_quant_kv_matches_oracle(kv_dtype):
+    rng = np.random.default_rng(7)
+    q, kv, kvl, pij, cu, ns = _mk_batch(rng, 16, 8, 16, 2, 8, 128)
+    kvq = _cast_pages(kv, kv_dtype)
+    assert supports(q, kvq, pij)
+    got = paged_decode_attention(q, kvq, kvl, pij, ns, sm_scale=0.125,
+                                 interpret=True)
+    want = ref_ragged_paged_attention(q, kvq, kvl, pij, cu, ns,
+                                      sm_scale=0.125)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0, atol=0.01 * float(
+                                   np.abs(np.asarray(want,
+                                                     np.float32)).max()))
+
+
+@pytest.mark.parametrize("feature", ["window", "softcap", "alibi"])
+def test_decode_kernel_int8_kv_features(feature):
+    rng = np.random.default_rng(11)
+    # KVH=1 exercises the odd-head lane split of the packed layout.
+    q, kv, kvl, pij, cu, ns = _mk_batch(rng, 8, 8, 16, 1, 4, 128)
+    kvq = _cast_pages(kv, jnp.int8)
+    kw = dict(window=dict(sliding_window=30),
+              softcap=dict(soft_cap=30.0),
+              alibi=dict(alibi_slopes=jnp.asarray(
+                  rng.uniform(0.01, 0.5, 4), jnp.float32)))[feature]
+    got = paged_decode_attention(q, kvq, kvl, pij, ns, sm_scale=0.125,
+                                 interpret=True, **kw)
+    want = ref_ragged_paged_attention(q, kvq, kvl, pij, cu, ns,
+                                      sm_scale=0.125, **kw)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0, atol=0.01 * float(
+                                   np.abs(np.asarray(want,
+                                                     np.float32)).max()))

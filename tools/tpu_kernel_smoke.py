@@ -179,6 +179,27 @@ def main() -> int:
             qd, kv_pages, kvl_d, pi_dj, cu_d, ns_d, sm_scale=0.125, **dkw)
         ok &= check(name, np.asarray(got), np.asarray(want), rtol=3e-2)
 
+    # 2d. Grouped decode kernel over QUANTIZED KV pages (int8/fp8):
+    # raw 8-bit DMA + in-register convert (scales fold outside).
+    for qname, qdt in [("int8", jnp.int8), ("e4m3", jnp.float8_e4m3fn),
+                       ("e5m2", jnp.float8_e5m2)]:
+        if qdt == jnp.int8:
+            kv_q = jnp.clip(jnp.round(kv_pages.astype(jnp.float32) * 80),
+                            -128, 127).astype(jnp.int8)
+        else:
+            kv_q = kv_pages.astype(qdt)
+        got = jax.jit(functools.partial(
+            paged_decode_attention, sm_scale=0.125))(
+                qd, kv_q, kvl_d, pi_dj, ns_d)
+        want = ref_ragged_paged_attention(
+            qd, kv_q, kvl_d, pi_dj, cu_d, ns_d, sm_scale=0.125)
+        ok &= check(f"decode_attention_{qname}_kv", np.asarray(got),
+                    np.asarray(want), rtol=3e-2)
+        t_q = timeit(jax.jit(functools.partial(
+            paged_decode_attention, sm_scale=0.125)),
+            qd, kv_q, kvl_d, pi_dj, ns_d)
+        print(f"INFO decode {qname}-KV: {t_q:.0f}us/call (S={Sd})")
+
     # 3. fp8 W8A8 matmul on device.
     from aphrodite_tpu.quantization import fp8
     from aphrodite_tpu.quantization.qlinear import qmatmul
