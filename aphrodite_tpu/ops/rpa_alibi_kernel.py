@@ -658,13 +658,23 @@ def ragged_paged_attention_kernel(
           q = fold_on_2nd_minor(
               q_ref[:, q_head_idx : q_head_idx + num_q_heads_per_kv_head, :]
           )
-          slopes_vec = alibi_slopes_ref[
-              0, q_head_idx : q_head_idx + num_q_heads_per_kv_head
-          ]
-          slope_col = jnp.broadcast_to(
-              slopes_vec[None, :],
-              (num_q_per_blk, num_q_heads_per_kv_head),
-          ).reshape(-1, 1)
+          # Per-row slope column for the folded (q, head) layout: row
+          # r = q_idx * H + head_idx, so slope[r] = slopes[r % H]. Built
+          # with iota + static selects — a broadcast_to().reshape(-1, 1)
+          # here is a cross-lane shape cast Mosaic cannot lower
+          # (vector<8x2> -> vector<16x1> "unsupported shape cast").
+          rows = lax.broadcasted_iota(
+              jnp.int32,
+              (num_q_per_blk * num_q_heads_per_kv_head, 1), 0)
+          head_of_row = lax.rem(rows, num_q_heads_per_kv_head)
+          slope_col = jnp.zeros(
+              (num_q_per_blk * num_q_heads_per_kv_head, 1), jnp.float32)
+          for h in range(num_q_heads_per_kv_head):
+            slope_col = jnp.where(
+                head_of_row == h,
+                alibi_slopes_ref[0, q_head_idx + h],
+                slope_col,
+            )
           flash_attention(
               q,
               k,
