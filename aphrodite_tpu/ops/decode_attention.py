@@ -227,7 +227,9 @@ def _decode_kernel(
     # union of lanes, so the math is lane-count invariant.
     kv_dtype = kv_bufs.dtype
     quant8 = kv_dtype != jnp.bfloat16
-    num_lanes = 2 if quant8 else 1
+    # fp8 lanes re-interleave to the natural column order at the bit
+    # level (see extract_lanes), so only int8 needs the two-lane layout.
+    num_lanes = 2 if kv_dtype == jnp.int8 else 1
     NL = N // num_lanes  # columns per lane
 
     # Wave-invariant score-mask metadata per lane. Column n owns (seq,
@@ -274,7 +276,10 @@ def _decode_kernel(
             slope_rows = jnp.where(row_qh == qh, slopes_ref[0, qh],
                                    slope_rows)
 
-    q_all = q_ref[...].reshape(M, D)  # [G, QH, D] -> [M, D]
+    # Fold sm_scale into q up front: saves one [M, N] f32 multiply per
+    # wave (one bf16 rounding of q instead; well inside kernel tolerance).
+    q_all = (q_ref[...].reshape(M, D).astype(jnp.float32)
+             * sm_scale).astype(jnp.bfloat16)  # [G, QH, D] -> [M, D]
 
     def extract_lanes(slot):
         """Unpack the wave buffer into per-lane (k, v) bf16 matrices.
@@ -290,14 +295,45 @@ def _decode_kernel(
             v = pltpu.bitcast(b & jnp.uint32(0xFFFF0000),
                               jnp.float32).astype(jnp.bfloat16)
             return [(k, v)]
-        out = []
-        for h in range(2):
-            k8 = pltpu.bitcast((b >> (16 * h)).astype(jnp.uint8),
-                               kv_dtype)
-            v8 = pltpu.bitcast((b >> (16 * h + 8)).astype(jnp.uint8),
-                               kv_dtype)
-            out.append((k8.astype(jnp.bfloat16), v8.astype(jnp.bfloat16)))
-        return out
+
+        if kv_dtype == jnp.int8:
+            def to_bf16(byte):  # byte value in the low 8 bits (garbage above)
+                i8 = pltpu.bitcast(byte.astype(jnp.uint8), jnp.int8)
+                return i8.astype(jnp.bfloat16)
+
+            return [(to_bf16(b >> (16 * h)), to_bf16(b >> (16 * h + 8)))
+                    for h in range(2)]
+
+        # fp8 -> bf16 without convert_element_type: v5e has no native fp8
+        # conversion, so XLA emulates astype with a long scalar sequence
+        # (measured 2.5x total kernel cost). Instead place sign/exponent/
+        # mantissa straight into bf16 bit positions and fix the
+        # exponent-bias difference with ONE multiply:
+        #   e4m3fn (bias 7):  bits = s<<15 | (em7 << 4), scale 2^120
+        #   e5m2   (bias 15): bits = s<<15 | (em7 << 5), scale 2^112
+        # Denormal fp8 inputs come out exactly right through the same
+        # multiply (the bf16 intermediate is denormal); fp8 NaN maps to a
+        # large finite value, which a KV cache never holds. (Reference
+        # folds the equivalent conversion into its CUDA kernels via
+        # dtype_fp8.cuh.)
+        #
+        # Both bytes of a lane pair are converted INSIDE one uint32 (low
+        # half = row 2m, high half = row 2m+1) and bitcast to bf16 once:
+        # no 16-bit repacking relayouts, and the result lands in the
+        # natural flat column order, so fp8 uses the same single-lane
+        # score pass as bf16.
+        mshift = 4 if kv_dtype == jnp.float8_e4m3fn else 5
+        scale = jnp.bfloat16(2.0 ** (120 if mshift == 4 else 112))
+
+        def pair_to_bf16(lo_byte, hi_byte):
+            lo = (((lo_byte & 0x80) << 8) | ((lo_byte & 0x7F) << mshift))
+            hi = (((hi_byte & 0x80) << 24)
+                  | ((hi_byte & 0x7F) << (16 + mshift)))
+            return pltpu.bitcast(lo | hi, jnp.bfloat16) * scale  # [2r, D]
+
+        k = pair_to_bf16(b, b >> 16)
+        v = pair_to_bf16(b >> 8, b >> 24)
+        return [(k, v)]
 
     def wave_body(wave, carry):
         m_prev, l_prev, acc_prev = carry
@@ -333,7 +369,6 @@ def _decode_kernel(
             s = jax.lax.dot_general(
                 q_all, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [M, NL]
-            s *= sm_scale
             if soft_cap is not None:
                 s = soft_cap * jnp.tanh(s / soft_cap)
             if use_alibi:
