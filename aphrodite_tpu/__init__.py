@@ -9,6 +9,17 @@ compilation, in-graph sampling, Pallas kernels for the hot ops.
 
 __version__ = "0.1.0"
 
+# Multi-host bootstrap must precede ANY jax call that initializes the
+# XLA backend, so it runs at package import. Env-gated: a no-op unless
+# APHRODITE_NUM_HOSTS/APHRODITE_MULTIHOST is set (parallel/multihost.py).
+import os as _os
+
+if (_os.environ.get("APHRODITE_MULTIHOST")
+        or int(_os.environ.get("APHRODITE_NUM_HOSTS", "1")) > 1):
+    from aphrodite_tpu.parallel.multihost import maybe_initialize as _mh_init
+
+    _mh_init()
+
 from aphrodite_tpu.common.sampling_params import SamplingParams
 from aphrodite_tpu.common.outputs import CompletionOutput, RequestOutput
 

@@ -32,9 +32,19 @@ def _add_serve_args(parser: argparse.ArgumentParser) -> None:
 
 def _run(args: argparse.Namespace) -> None:
     from aphrodite_tpu.endpoints.openai.api_server import run_server
+    from aphrodite_tpu.parallel import multihost
 
     engine_args = EngineArgs.from_cli_args(args)
     engine_args.model = args.model
+    # Multi-host: every host launches this same command with identical
+    # engine args (APHRODITE_NUM_HOSTS / APHRODITE_HOST_ID /
+    # APHRODITE_COORDINATOR env). Host 0 serves HTTP; the rest replay
+    # the primary's steps (reference: Ray TPU workers,
+    # executor/ray_tpu_executor.py:29).
+    multihost.maybe_initialize()
+    if multihost.is_active() and not multihost.is_primary():
+        multihost.run_follower(engine_args.create_engine_config())
+        return
     served = [args.served_model_name] if args.served_model_name else None
     api_keys = args.api_keys.split(",") if args.api_keys else None
     asyncio.run(

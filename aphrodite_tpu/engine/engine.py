@@ -66,6 +66,16 @@ class AphroditeEngine:
         self.runner = ModelRunner(engine_config)
         self.runner.load_model()
         self.runner.initialize_cache()
+        if self.runner._multihost:
+            # Release the follower processes' replay loops when the
+            # primary exits (reference: empty broadcast dict stops the
+            # worker loop, worker_base.py:269-289).
+            import atexit
+
+            from aphrodite_tpu.parallel import multihost
+
+            if multihost.is_primary():
+                atexit.register(multihost.primary_broadcast_stop)
 
         self.scheduler = Scheduler(engine_config.scheduler_config,
                                    engine_config.cache_config)
@@ -120,6 +130,25 @@ class AphroditeEngine:
         multi_modal_data: Optional[Dict[str, Any]] = None,
         decoder_prompt_token_ids: Optional[List[int]] = None,
     ) -> None:
+        if self.runner._multihost and (
+                lora_request is not None
+                or prompt_adapter_request is not None
+                or multi_modal_data is not None
+                or (sampling_params is not None
+                    and (sampling_params.logits_processors
+                         or sampling_params.guided_regex
+                         or sampling_params.guided_json
+                         or sampling_params.guided_choice
+                         or getattr(sampling_params, "guided_grammar",
+                                    None)))):
+            # These carry host-side state (adapter tensors, image
+            # features, FSMs, callables) that lives only on the primary;
+            # followers could not replay the step (parallel/multihost.py
+            # feature gates).
+            raise ValueError(
+                "LoRA / prompt-adapter / multimodal / guided-decoding / "
+                "logits_processors requests are not supported on "
+                "multi-host deployments")
         if lora_request is not None and self.runner.lora_manager is None:
             raise ValueError(
                 "LoRA request received but enable_lora=False")

@@ -50,14 +50,22 @@ def build_mesh(
             f"mesh needs {want} devices (data={dp} x pipe={pp} x "
             f"model={tp}) but only {len(devices)} are visible")
     devices = list(devices)[:want]
-    if len(set(d.process_index for d in devices)) > 1:
-        # Multi-host: hybrid ICI x DCN mesh.
+    num_procs = len(set(d.process_index for d in devices))
+    num_slices = len(set(getattr(d, "slice_index", 0) for d in devices))
+    if num_slices > 1:
+        # Multi-slice pod: hybrid ICI x DCN mesh — the outermost ("data")
+        # axis crosses the slice boundary so TP/PP collectives stay on ICI.
         mesh_devices = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(dp, pp, tp),
-            dcn_mesh_shape=(len(set(d.process_index
-                                    for d in devices)), 1, 1),
+            dcn_mesh_shape=(num_slices, 1, 1),
             devices=devices,
         )
+    elif num_procs > 1:
+        # Multi-process without slice topology (one slice spanning hosts,
+        # or the CPU multi-process test rig): process-major raw order —
+        # the trailing ("model") axis stays within a process wherever
+        # tp <= devices-per-process.
+        mesh_devices = np.asarray(devices).reshape(dp, pp, tp)
     else:
         mesh_devices = mesh_utils.create_device_mesh((dp, pp, tp),
                                                      devices=devices)

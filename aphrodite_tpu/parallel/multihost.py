@@ -1,0 +1,299 @@
+"""Multi-host (multi-process SPMD) serving support.
+
+TPU-native answer to the reference's multi-host stack — the Ray TPU
+executor (`executor/ray_tpu_executor.py:29`), the TPU communicator's
+`pjrt.initialize_multiprocess` bootstrap
+(`distributed/device_communicators/tpu_communicator.py:28-50`) and the
+driver→worker `broadcast_tensor_dict` control plane
+(`worker/worker_base.py:240-268`).
+
+Design (multi-controller SPMD, the JAX model):
+
+- Every host runs the same binary. `jax.distributed.initialize()` joins
+  the processes into one runtime; `jax.devices()` then spans all hosts
+  and one `Mesh` covers the pod slice (model/expert axes ride ICI within
+  a host's chips, DCN between hosts via the hybrid mesh in
+  ``parallel/mesh.py``).
+- Host 0 (the *primary*) runs the full engine: HTTP frontend, scheduler,
+  detokenizers. Hosts 1..N-1 run a *follower loop*
+  (:func:`run_follower`): they build the identical ModelRunner, then
+  replay the primary's per-step metadata. Because batch assembly is a
+  deterministic pure function of that metadata, every process issues the
+  same XLA programs in the same order with the same dense inputs — the
+  SPMD lockstep the reference approximates with Ray +
+  `broadcast_tensor_dict` (`APHRODITE_USE_RAY_SPMD_WORKER`).
+- The control plane is `multihost_utils.broadcast_one_to_all`: pickled
+  step metadata in size-bucketed uint8 buffers (buckets keep the number
+  of distinct broadcast shapes — hence compiled programs — small).
+
+Environment contract (mirrors `jax.distributed.initialize` arguments):
+
+- ``APHRODITE_NUM_HOSTS``: total process count (int, default 1).
+- ``APHRODITE_HOST_ID``: this process's id (0 = primary).
+- ``APHRODITE_COORDINATOR``: ``host:port`` of process 0's coordinator.
+- On Cloud TPU pods, ``APHRODITE_MULTIHOST=auto`` instead lets
+  ``jax.distributed.initialize()`` autodetect all three from the TPU
+  metadata server.
+
+What is and isn't verified without multi-host hardware: the full
+lockstep path (init → mesh → cache sizing agreement → step replay →
+shutdown) is exercised by ``tests/test_multihost.py`` on TWO CPU
+processes with 4 virtual devices each (tp=8 across a process boundary,
+collectives over the gloo cross-process backend) and compared
+token-exactly against a single-process run. Real DCN latency behavior
+and >2-host scaling are NOT measurable in this environment.
+
+Feature gates: requests using guided decoding, LoRA adapters, prompt
+adapters, multimodal inputs or host logits processors are rejected on
+multi-host deployments (their host-side state lives only on the
+primary); encoder-decoder models are likewise primary-only for now. The
+core text serving paths — dense/MoE prefill+decode, multi-step decode,
+speculative decode, beam search — replay deterministically.
+"""
+
+import os
+import pickle
+from typing import Any, List, Optional
+
+import numpy as np
+
+from aphrodite_tpu.common.logger import init_logger
+
+logger = init_logger(__name__)
+
+_initialized = False
+
+# Broadcast buffer buckets: each distinct size compiles one broadcast
+# program. Step metadata is tiny (KBs); big buckets exist for safety.
+_BUCKETS = [1 << 12, 1 << 14, 1 << 16, 1 << 18, 1 << 20, 1 << 24, 1 << 28]
+
+# Follower-loop opcodes.
+OP_EXECUTE = 0
+OP_POOLING = 1
+OP_STOP = 2
+OP_COPIES = 3
+
+
+def maybe_initialize() -> None:
+    """Join the multi-process runtime if the env contract asks for it.
+
+    Idempotent; a no-op for single-host deployments (the default).
+    Must run before first device use (reference tpu_communicator.py:49
+    calls pjrt.initialize_multiprocess at the same point).
+    """
+    global _initialized
+    if _initialized:
+        return
+    mode = os.environ.get("APHRODITE_MULTIHOST", "")
+    num_hosts = int(os.environ.get("APHRODITE_NUM_HOSTS", "1"))
+    if mode != "auto" and num_hosts <= 1:
+        return
+    import jax
+
+    if mode == "auto":
+        # Cloud TPU pod: coordinator/count/id from the metadata server.
+        jax.distributed.initialize()
+    else:
+        coord = os.environ.get("APHRODITE_COORDINATOR")
+        host_id = int(os.environ.get("APHRODITE_HOST_ID", "0"))
+        if coord is None:
+            raise ValueError(
+                "APHRODITE_NUM_HOSTS > 1 requires APHRODITE_COORDINATOR "
+                "(host:port of host 0) and APHRODITE_HOST_ID")
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=num_hosts,
+                                   process_id=host_id)
+    _initialized = True
+    logger.info("multi-host runtime up: process %d/%d, %d devices visible",
+                jax.process_index(), jax.process_count(),
+                len(jax.devices()))
+
+
+def is_active() -> bool:
+    import jax
+
+    return _initialized or jax.process_count() > 1
+
+
+def is_primary() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def _bucket_for(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"step metadata of {n} bytes exceeds the largest "
+                     f"broadcast bucket ({_BUCKETS[-1]})")
+
+
+def broadcast_obj(obj: Any = None) -> Any:
+    """One-to-all broadcast of a picklable object (primary sends)."""
+    from jax.experimental import multihost_utils
+
+    if is_primary():
+        payload = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+        n = len(payload)
+        hdr = np.array([n, _bucket_for(n)], np.int64)
+    else:
+        hdr = np.zeros(2, np.int64)
+    hdr = np.asarray(multihost_utils.broadcast_one_to_all(hdr))
+    n, bucket = int(hdr[0]), int(hdr[1])
+    buf = np.zeros(bucket, np.uint8)
+    if is_primary():
+        buf[:n] = np.frombuffer(payload, np.uint8)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(buf[:n].tobytes())
+
+
+def agree_num_pages(local_num_pages: int) -> int:
+    """Min-reduce the per-host KV page budget so all processes build
+    identically shaped caches (reference DistributedGPUExecutor takes the
+    min across workers the same way)."""
+    if not is_active():
+        return local_num_pages
+    from jax.experimental import multihost_utils
+
+    all_pages = np.asarray(multihost_utils.process_allgather(
+        np.array([local_num_pages], np.int64)))
+    agreed = int(all_pages.min())
+    if agreed != local_num_pages:
+        logger.info("KV pages: local budget %d, pod-agreed min %d",
+                    local_num_pages, agreed)
+    return agreed
+
+
+# ---------------------------------------------------------------------------
+# Step-metadata mirror: a picklable, engine-free snapshot of
+# SchedulerOutputs that thaws back into real Sequence/SequenceGroup
+# objects on the follower (the runner only reads them).
+# ---------------------------------------------------------------------------
+
+
+def freeze_outputs(outputs) -> dict:
+    rows = []
+    for ss in outputs.scheduled:
+        seq = ss.seq
+        sp = ss.group.sampling_params
+        if sp.logits_processors:
+            raise ValueError(
+                "host logits processors are not supported on multi-host "
+                "deployments (primary-only state)")
+        if seq.fsm is not None or seq.mm_spans is not None \
+                or seq.encoder_token_ids is not None \
+                or ss.group.lora_request is not None:
+            raise ValueError(
+                "guided decoding / multimodal / encoder-decoder / LoRA "
+                "requests are primary-only; reject them at admission on "
+                "multi-host deployments")
+        rows.append(dict(
+            request_id=ss.group.request_id,
+            seq_id=seq.seq_id,
+            prompt_token_ids=seq.prompt_token_ids,
+            output_token_ids=seq.output_token_ids,
+            block_size=seq.block_size,
+            eos_token_id=seq.eos_token_id,
+            num_computed_tokens=seq.num_computed_tokens,
+            seed_offset=seq.seed_offset,
+            sampling_params=sp,
+            num_tokens=ss.num_tokens,
+            first_token_idx=ss.first_token_idx,
+            block_ids=ss.block_ids,
+            do_sample=ss.do_sample,
+        ))
+    return dict(
+        rows=rows,
+        num_prefill_tokens=outputs.num_prefill_tokens,
+        num_decode_tokens=outputs.num_decode_tokens,
+        blocks_to_copy=outputs.blocks_to_copy,
+    )
+
+
+def thaw_outputs(payload: dict):
+    from aphrodite_tpu.common.sequence import (ScheduledSequence,
+                                               SchedulerOutputs, Sequence,
+                                               SequenceGroup,
+                                               SequenceStatus)
+
+    scheduled: List[ScheduledSequence] = []
+    for r in payload["rows"]:
+        seq = Sequence(
+            seq_id=r["seq_id"],
+            prompt_token_ids=r["prompt_token_ids"],
+            block_size=r["block_size"],
+            eos_token_id=r["eos_token_id"],
+        )
+        seq.output_token_ids = list(r["output_token_ids"])
+        seq.num_computed_tokens = r["num_computed_tokens"]
+        seq.seed_offset = r["seed_offset"]
+        seq.status = SequenceStatus.RUNNING
+        group = SequenceGroup(
+            request_id=r["request_id"],
+            seqs=[seq],
+            sampling_params=r["sampling_params"],
+        )
+        scheduled.append(ScheduledSequence(
+            seq=seq,
+            group=group,
+            num_tokens=r["num_tokens"],
+            first_token_idx=r["first_token_idx"],
+            block_ids=r["block_ids"],
+            do_sample=r["do_sample"],
+        ))
+    return SchedulerOutputs(
+        scheduled=scheduled,
+        num_prefill_tokens=payload["num_prefill_tokens"],
+        num_decode_tokens=payload["num_decode_tokens"],
+        blocks_to_copy=payload["blocks_to_copy"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Primary-side hooks + follower loop
+# ---------------------------------------------------------------------------
+
+
+def primary_broadcast_execute(outputs, num_steps: int) -> None:
+    broadcast_obj((OP_EXECUTE, freeze_outputs(outputs), num_steps))
+
+
+def primary_broadcast_pooling(outputs, pooling: str) -> None:
+    broadcast_obj((OP_POOLING, freeze_outputs(outputs), pooling))
+
+
+def primary_broadcast_stop() -> None:
+    broadcast_obj((OP_STOP, None, None))
+
+
+def run_follower(engine_config) -> None:
+    """Hosts 1..N-1: build the identical runner, replay the primary's
+    steps until OP_STOP (reference follower loop:
+    LocalOrDistributedWorkerBase.execute_model, worker_base.py:269-289,
+    where an empty broadcast dict stops the loop)."""
+    from aphrodite_tpu.worker.model_runner import ModelRunner
+
+    runner = ModelRunner(engine_config)
+    runner.load_model()
+    runner.initialize_cache()
+    logger.info("follower %d ready; entering replay loop",
+                _process_index())
+    while True:
+        op, payload, extra = broadcast_obj()
+        if op == OP_STOP:
+            logger.info("follower %d: stop received", _process_index())
+            return
+        outputs = thaw_outputs(payload)
+        if op == OP_EXECUTE:
+            runner.execute(outputs, num_steps=extra)
+        elif op == OP_POOLING:
+            runner.execute_pooling(outputs, pooling=extra)
+        else:
+            raise ValueError(f"unknown follower opcode {op}")
+
+
+def _process_index() -> int:
+    import jax
+
+    return jax.process_index()

@@ -78,6 +78,13 @@ def _enable_compilation_cache() -> None:
     _CACHE_ENABLED = True
 
 
+def _sharded_zeros(shape, dtype, sharding):
+    """Zeros materialized directly as per-device shards (no transient
+    single-device full array; works on meshes spanning processes)."""
+    return jax.jit(lambda: jnp.zeros(shape, dtype=dtype),
+                   out_shardings=sharding)()
+
+
 def _buckets(max_value: int, start: int) -> List[int]:
     """Power-of-two buckets from `start` up to (and including) max_value."""
     out = []
@@ -122,6 +129,10 @@ class ModelRunner:
     """Owns device state and executes scheduler outputs."""
 
     def __init__(self, engine_config: EngineConfig) -> None:
+        from aphrodite_tpu.parallel import multihost
+
+        multihost.maybe_initialize()  # must precede first device use
+        self._multihost = multihost.is_active()
         _enable_compilation_cache()
         self.config = engine_config
         self.model_config = engine_config.model_config
@@ -346,6 +357,10 @@ class ModelRunner:
         logger.info(
             "KV cache: %d pages x %d tokens (%.2f GiB/device)", num,
             self.block_size, num * page_bytes / (1 << 30))
+        if self._multihost:
+            from aphrodite_tpu.parallel import multihost
+
+            num = multihost.agree_num_pages(int(num))
         return int(num)
 
     def initialize_cache(self, num_pages: Optional[int] = None) -> None:
@@ -375,8 +390,10 @@ class ModelRunner:
             from jax.sharding import NamedSharding
 
             sharding = NamedSharding(self.mesh, self.model.kv_cache_spec())
-            self.kv_pages = jax.device_put(
-                jnp.zeros(shape, dtype=self.kv_dtype), sharding)
+            # Jitted sharded zeros: materializes each shard on its own
+            # device directly (no transient full-size single-device array;
+            # required for meshes spanning multiple processes).
+            self.kv_pages = _sharded_zeros(shape, self.kv_dtype, sharding)
         else:
             self.kv_pages = jnp.zeros(shape, dtype=self.kv_dtype)
         if self.draft_model is not None:
@@ -389,21 +406,21 @@ class ModelRunner:
 
                 dsharding = NamedSharding(
                     self.mesh, self.draft_model.kv_cache_spec())
-                self.draft_kv = jax.device_put(
-                    jnp.zeros(dshape, dtype=ddtype), dsharding)
+                self.draft_kv = _sharded_zeros(dshape, ddtype, dsharding)
             else:
                 self.draft_kv = jnp.zeros(dshape, dtype=ddtype)
         if self.is_encdec:
             cckv, ccd = self.model.cross_kv_cache_shape_suffix
             cshape = (self.model.num_layers, num_pages + 1,
                       self.block_size, cckv, ccd)
-            self.cross_kv = jnp.zeros(cshape, dtype=self.kv_dtype)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding
 
-                self.cross_kv = jax.device_put(
-                    self.cross_kv,
+                self.cross_kv = _sharded_zeros(
+                    cshape, self.kv_dtype,
                     NamedSharding(self.mesh, self.model.kv_cache_spec()))
+            else:
+                self.cross_kv = jnp.zeros(cshape, dtype=self.kv_dtype)
         if self.eagle:
             # Per-sequence target-hidden carry, keyed by first KV page;
             # the trailing row is the trash key for padding rows.
@@ -413,9 +430,8 @@ class ModelRunner:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
 
-                self.eagle_carry = jax.device_put(
-                    jnp.zeros(cshape, dtype=cdtype),
-                    NamedSharding(self.mesh, P()))
+                self.eagle_carry = _sharded_zeros(
+                    cshape, cdtype, NamedSharding(self.mesh, P()))
             else:
                 self.eagle_carry = jnp.zeros(cshape, dtype=cdtype)
 
@@ -940,6 +956,15 @@ class ModelRunner:
 
     def execute(self, outputs: SchedulerOutputs,
                 num_steps: int = 1) -> StepResult:
+        if self._multihost:
+            from aphrodite_tpu.parallel import multihost
+
+            if multihost.is_primary():
+                # Fan the step metadata out to the follower processes;
+                # every host then assembles the identical dense batch and
+                # issues the same XLA program (SPMD lockstep; reference
+                # broadcast_tensor_dict, worker_base.py:240-268).
+                multihost.primary_broadcast_execute(outputs, num_steps)
         try:
             return self._execute_inner(outputs, num_steps)
         except Exception:
@@ -1230,6 +1255,11 @@ class ModelRunner:
         """Embedding/pooling forward (reference embedding_model_runner):
         returns [num_rows, H] pooled hidden states for the scheduled
         sequences (each must be a full single-chunk prefill)."""
+        if self._multihost:
+            from aphrodite_tpu.parallel import multihost
+
+            if multihost.is_primary():
+                multihost.primary_broadcast_pooling(outputs, pooling)
         scheduled = outputs.scheduled
         total_tokens = sum(ss.num_tokens for ss in scheduled)
         T = _pad_to_bucket(total_tokens, self.token_buckets)

@@ -1,0 +1,129 @@
+"""Multi-host (2-process) SPMD serving equivalence on CPU.
+
+Strategy (SURVEY.md §4 takeaway + VERDICT round-1 item 4): the reference
+tests multi-node behavior with Ray actors on real hardware; we validate
+the full multi-process path — `jax.distributed.initialize`, a tp mesh
+spanning a process boundary, pod-agreed KV sizing, per-step metadata
+broadcast, follower replay, shutdown — on TWO CPU processes with 2
+virtual devices each, and require token-exact agreement with a
+single-process tp=4 run.
+
+What this cannot validate: real DCN latency, >2 hosts, TPU ICI overlap.
+Those need pod hardware; the code path is identical.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROMPTS = ["the quick brown fox", "hello world, this is", "tell me"]
+
+_PRIMARY = """
+import json, sys
+from aphrodite_tpu import LLM, SamplingParams
+
+llm = LLM(model=sys.argv[1], dtype="float32", max_num_seqs=4,
+          num_device_blocks_override=96, block_size=8,
+          tensor_parallel_size=4)
+sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+outs = llm.generate({prompts!r}, sp)
+toks = [o.outputs[0].token_ids for o in outs]
+# A second wave reuses the warm engine (exercises steady-state lockstep).
+outs2 = llm.generate(["second wave prompt"], sp)
+toks.append(outs2[0].outputs[0].token_ids)
+print("TOKENS=" + json.dumps(toks), flush=True)
+"""
+
+_FOLLOWER = """
+import sys
+from aphrodite_tpu.engine.args import EngineArgs
+from aphrodite_tpu.parallel import multihost
+
+multihost.maybe_initialize()
+args = EngineArgs(model=sys.argv[1], dtype="float32", max_num_seqs=4,
+                  num_device_blocks_override=96, block_size=8,
+                  tensor_parallel_size=4, skip_tokenizer_init=True)
+multihost.run_follower(args.create_engine_config())
+print("FOLLOWER_DONE", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _env(host_id: int, port: int) -> dict:
+    env = dict(os.environ)
+    # Replace PYTHONPATH entirely: drops any sitecustomize that force-
+    # registers a hardware backend at interpreter boot.
+    env.update(
+        PYTHONPATH=REPO,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        APHRODITE_NUM_HOSTS="2",
+        APHRODITE_HOST_ID=str(host_id),
+        APHRODITE_COORDINATOR=f"127.0.0.1:{port}",
+        APHRODITE_TPU_LOG_LEVEL="WARNING",
+    )
+    return env
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    from tests.utils import make_tiny_llama_checkpoint
+
+    path = str(tmp_path_factory.mktemp("tiny_llama_mh"))
+    make_tiny_llama_checkpoint(path)
+    return path
+
+
+def test_two_process_tp4_matches_single_process(tiny_dir):
+    from aphrodite_tpu import LLM, SamplingParams
+
+    # Baseline: single-process tp=4 on the in-test virtual mesh.
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    base = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=96, block_size=8,
+               tensor_parallel_size=4)
+    expect = [o.outputs[0].token_ids for o in base.generate(PROMPTS, sp)]
+    expect.append(
+        base.generate(["second wave prompt"], sp)[0].outputs[0].token_ids)
+    del base
+
+    port = _free_port()
+    primary = subprocess.Popen(
+        [sys.executable, "-c", _PRIMARY.format(prompts=PROMPTS), tiny_dir],
+        env=_env(0, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    follower = subprocess.Popen(
+        [sys.executable, "-c", _FOLLOWER, tiny_dir],
+        env=_env(1, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        p_out, _ = primary.communicate(timeout=600)
+        f_out, _ = follower.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        primary.kill()
+        follower.kill()
+        p_out = primary.communicate()[0]
+        f_out = follower.communicate()[0]
+        pytest.fail(f"multi-host run timed out.\nPRIMARY:\n{p_out}\n"
+                    f"FOLLOWER:\n{f_out}")
+
+    assert primary.returncode == 0, f"primary failed:\n{p_out}"
+    assert follower.returncode == 0, f"follower failed:\n{f_out}"
+    assert "FOLLOWER_DONE" in f_out, f_out
+
+    tok_line = [ln for ln in p_out.splitlines()
+                if ln.startswith("TOKENS=")]
+    assert tok_line, p_out
+    got = json.loads(tok_line[0][len("TOKENS="):])
+    assert got == expect
