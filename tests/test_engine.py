@@ -208,3 +208,43 @@ def test_preemption_recompute(tiny_llama_dir_module, monkeypatch):
     outs_big = [o.outputs[0].token_ids
                 for o in llm_big.generate(PROMPTS, sp)]
     assert outs_small == outs_big
+
+
+def test_preemption_recompute_forked_groups(tiny_llama_dir_module):
+    """Forked multi-seq groups (seeded n=2 and beam search) survive
+    preemption-by-recompute exactly.
+
+    The reference cannot recompute multi-seq groups and must SWAP their
+    KV instead (scheduler.py:1308-1371): its recompute path restores only
+    the prompt. Ours replays prompt + each sibling's own stored output
+    tokens through prefill, so a sampled fork resumes its exact stream
+    (per-row PRNG keys fold generated_len, so sibling randomness is
+    position-stable across the replay). This test is the swap-or-prove
+    evidence: a pool small enough to force preemption at n=2/beam=2 must
+    reproduce the unconstrained run token-for-token, including both
+    siblings' divergent tails and beam ordering."""
+
+    def run(blocks):
+        llm = LLM(
+            model=tiny_llama_dir_module,
+            dtype="float32",
+            max_num_seqs=8,
+            num_device_blocks_override=blocks,
+            block_size=8,
+        )
+        sampled = llm.generate(
+            PROMPTS,
+            SamplingParams(temperature=0.9, seed=1234, n=2, max_tokens=8,
+                           ignore_eos=True))
+        beams = llm.generate(
+            PROMPTS,
+            SamplingParams(temperature=0.0, use_beam_search=True, n=2,
+                           best_of=2, max_tokens=8, ignore_eos=True))
+        toks = [[c.token_ids for c in o.outputs] for o in sampled]
+        toks += [[c.token_ids for c in o.outputs] for o in beams]
+        return toks, llm.engine.scheduler.num_cumulative_preemption
+
+    small, n_preempt = run(blocks=16)
+    assert n_preempt > 0, "pool must be tight enough to force preemption"
+    big, _ = run(blocks=128)
+    assert small == big
