@@ -364,10 +364,15 @@ def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     bkv = max(1, min(bkv, max_bkv))
     bq = min(bq, T)
 
-    if alibi_slopes is not None:
-        # Our vendored fork with an in-loop distance bias (the bundled
-        # kernel has no bias input); numerics match the jnp oracle to
-        # 1e-7 (tests/test_alibi_kernel.py, interpret mode).
+    fp8_kv = kv_pages.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+    if alibi_slopes is not None or (fp8_kv and q.dtype == jnp.bfloat16):
+        # Our vendored fork. Two reasons to take it over the bundled
+        # kernel: (a) the in-loop ALiBi distance bias (the bundled kernel
+        # has no bias input; numerics match the jnp oracle to 1e-7,
+        # tests/test_alibi_kernel.py), and (b) fast bit-placement
+        # fp8->bf16 conversion — the bundled kernel leaves fp8 K/V for
+        # implicit convert_element_type, which v5e emulates with a long
+        # scalar sequence (measured 1.5-2x on whole prefill steps).
         from aphrodite_tpu.ops.rpa_alibi_kernel import (
             ragged_paged_attention_alibi)
 

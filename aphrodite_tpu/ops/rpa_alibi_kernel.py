@@ -326,6 +326,7 @@ def ragged_paged_attention_kernel(
     mask_value: float | None = DEFAULT_MASK_VALUE,
     k_scale: float | None = None,
     v_scale: float | None = None,
+    use_alibi: bool = True,
 ):
   if mask_value is None:
     mask_value = DEFAULT_MASK_VALUE
@@ -549,7 +550,8 @@ def ragged_paged_attention_kernel(
       if soft_cap is not None:
         qk = soft_cap * jnp.tanh(qk / soft_cap)
       # ALiBi: slope * (kv_pos - q_pos) per query head (fork point).
-      qk += slope_col * (col_ids - row_ids).astype(jnp.float32)
+      if use_alibi:
+        qk += slope_col * (col_ids - row_ids).astype(jnp.float32)
       qk += jnp.where(causal_mask, mask_value, 0.0)
       m_curr = jnp.max(qk, axis=1, keepdims=True)
       s_curr = jnp.exp(qk - m_curr)
@@ -643,14 +645,24 @@ def ragged_paged_attention_kernel(
         for step_idx in range(kv_load_step):
           k = k_list[step_idx]
           v = v_list[step_idx]
-          if k_scale is not None:
-            # NOTE: Conversion between arbitrary data types is not supported.
-            # That's why it is converted to float32 first.
-            k = k.astype(jnp.float32) * k_scale
-            k = k.astype(q_ref.dtype)
-          if v_scale is not None:
-            v = v.astype(jnp.float32) * v_scale
-            v = v.astype(q_ref.dtype)
+          if k.dtype in (jnp.float8_e4m3fn,
+                         jnp.float8_e5m2) and q_ref.dtype == jnp.bfloat16:
+            # Fast fp8 -> bf16 (fork addition): v5e emulates fp8
+            # convert_element_type with a long scalar sequence; place the
+            # fields into bf16 bit positions and fold BOTH the exponent
+            # bias fix and the optional dequant scale into one multiply
+            # (same trick as ops/decode_attention.py extract_lanes).
+            k = _fp8_to_bf16_fast(k, k_scale)
+            v = _fp8_to_bf16_fast(v, v_scale)
+          else:
+            if k_scale is not None:
+              # NOTE: Conversion between arbitrary data types is not
+              # supported. That's why it is converted to float32 first.
+              k = k.astype(jnp.float32) * k_scale
+              k = k.astype(q_ref.dtype)
+            if v_scale is not None:
+              v = v.astype(jnp.float32) * v_scale
+              v = v.astype(q_ref.dtype)
           kv_head_idx = kv_head_chunk_idx + step_idx
           q_head_idx = kv_head_idx * num_q_heads_per_kv_head
           # TODO(jevinjiang): extra handling for packed type that can start at
@@ -658,23 +670,25 @@ def ragged_paged_attention_kernel(
           q = fold_on_2nd_minor(
               q_ref[:, q_head_idx : q_head_idx + num_q_heads_per_kv_head, :]
           )
-          # Per-row slope column for the folded (q, head) layout: row
-          # r = q_idx * H + head_idx, so slope[r] = slopes[r % H]. Built
-          # with iota + static selects — a broadcast_to().reshape(-1, 1)
-          # here is a cross-lane shape cast Mosaic cannot lower
-          # (vector<8x2> -> vector<16x1> "unsupported shape cast").
-          rows = lax.broadcasted_iota(
-              jnp.int32,
-              (num_q_per_blk * num_q_heads_per_kv_head, 1), 0)
-          head_of_row = lax.rem(rows, num_q_heads_per_kv_head)
-          slope_col = jnp.zeros(
-              (num_q_per_blk * num_q_heads_per_kv_head, 1), jnp.float32)
-          for h in range(num_q_heads_per_kv_head):
-            slope_col = jnp.where(
-                head_of_row == h,
-                alibi_slopes_ref[0, q_head_idx + h],
-                slope_col,
-            )
+          slope_col = None
+          if use_alibi:
+            # Per-row slope column for the folded (q, head) layout: row
+            # r = q_idx * H + head_idx, so slope[r] = slopes[r % H]. Built
+            # with iota + static selects — a broadcast_to().reshape(-1, 1)
+            # here is a cross-lane shape cast Mosaic cannot lower
+            # (vector<8x2> -> vector<16x1> "unsupported shape cast").
+            rows = lax.broadcasted_iota(
+                jnp.int32,
+                (num_q_per_blk * num_q_heads_per_kv_head, 1), 0)
+            head_of_row = lax.rem(rows, num_q_heads_per_kv_head)
+            slope_col = jnp.zeros(
+                (num_q_per_blk * num_q_heads_per_kv_head, 1), jnp.float32)
+            for h in range(num_q_heads_per_kv_head):
+              slope_col = jnp.where(
+                  head_of_row == h,
+                  alibi_slopes_ref[0, q_head_idx + h],
+                  slope_col,
+              )
           flash_attention(
               q,
               k,
@@ -707,6 +721,23 @@ def ragged_paged_attention_kernel(
   seq_buf_idx_ref[0] = lax.select(seq_idx < num_seqs, seq_idx, 0)
   seq_buf_idx_ref[1] = buf_idx
   o_ref[...] = acc_ref[...].astype(q_ref.dtype)
+
+
+def _fp8_to_bf16_fast(x, scale: float | None):
+  """fp8 -> bf16 by bit placement (fork addition; see
+  ops/decode_attention.py): sign to bit 15, exp/mantissa shifted into the
+  bf16 fields, exponent-bias correction (and optional dequant scale)
+  folded into one multiply. fp8 denormals come out exact; fp8 NaN maps to
+  a large finite value (never present in a KV cache)."""
+  mshift = 4 if x.dtype == jnp.float8_e4m3fn else 5
+  mult = 2.0 ** (120 if mshift == 4 else 112)
+  if scale is not None:
+    mult *= scale
+  # Bit ops stay in uint32 (Mosaic cannot legalize 16-bit vector
+  # shifts); truncate to uint16 only for the final bitcast.
+  u = pltpu.bitcast(x, jnp.uint8).astype(jnp.uint32)
+  bits = (((u & 0x80) << 8) | ((u & 0x7F) << mshift)).astype(jnp.uint16)
+  return pltpu.bitcast(bits, jnp.bfloat16) * jnp.bfloat16(mult)
 
 
 def get_dtype_packing(dtype):
@@ -770,7 +801,7 @@ def ragged_paged_attention_alibi(
     page_indices: jax.Array,  # i32[max_num_seqs, pages_per_seq]
     cu_q_lens: jax.Array,  # i32[max_num_seqs + 1]
     num_seqs: jax.Array,  # i32[1]
-    alibi_slopes: jax.Array,  # f32[num_q_heads]
+    alibi_slopes: jax.Array | None,  # f32[num_q_heads], or None (no bias)
     *,
     sm_scale: float = 1.0,
     sliding_window: int | None = None,
@@ -915,6 +946,7 @@ def ragged_paged_attention_alibi(
           mask_value=mask_value,
           k_scale=k_scale,
           v_scale=v_scale,
+          use_alibi=alibi_slopes is not None,
       ),
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=len(scalar_prefetches),
@@ -934,7 +966,13 @@ def ragged_paged_attention_alibi(
       name="ragged_paged_attention_kernel",
   )
 
-  slopes_blk = alibi_slopes.astype(jnp.float32).reshape(
-      num_heads_blks, num_q_heads_per_blk
-  )
+  if alibi_slopes is None:
+    # The slopes operand keeps the pallas signature stable; the kernel
+    # skips all bias arithmetic (use_alibi=False compile-time branch).
+    slopes_blk = jnp.zeros((num_heads_blks, num_q_heads_per_blk),
+                           jnp.float32)
+  else:
+    slopes_blk = alibi_slopes.astype(jnp.float32).reshape(
+        num_heads_blks, num_q_heads_per_blk
+    )
   return kernel(*scalar_prefetches, q, kv_pages, slopes_blk)

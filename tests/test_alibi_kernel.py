@@ -81,3 +81,39 @@ def test_alibi_kernel_with_window_and_cap():
     _run(2, T=16, Hq=4, Hkv=2, D=128,
          kv_lens=[30, 25], cu=[0, 8, 16],
          slopes=[0.9, 0.5, 0.3, 0.1], window=16, cap=30.0)
+
+
+@pytest.mark.parametrize("fp8_dtype", ["float8_e4m3fn", "float8_e5m2"])
+def test_fork_fp8_kv_no_alibi(fp8_dtype):
+    """The fork also serves as the fast-fp8 prefill kernel (bit-placement
+    fp8->bf16 with optional fused dequant scale; alibi_slopes=None skips
+    all bias arithmetic)."""
+    import jax.numpy as jnp
+
+    from aphrodite_tpu.ops.attention import ref_ragged_paged_attention
+    from aphrodite_tpu.ops.rpa_alibi_kernel import (
+        ragged_paged_attention_alibi)
+
+    rng = np.random.default_rng(5)
+    T, Hq, Hkv, D, PS, pages_per_seq, S = 24, 4, 2, 128, 16, 6, 3
+    P = S * pages_per_seq + 2
+    dt = jnp.dtype(fp8_dtype)
+    q = jnp.asarray(rng.standard_normal((T, Hq, D)), jnp.bfloat16) * 0.3
+    kv = (jnp.asarray(rng.standard_normal((P, PS, 2 * Hkv, D)),
+                      jnp.float32) * 0.3).astype(dt)
+    kvl = jnp.asarray([10, 37, 8], jnp.int32)
+    pi = jnp.arange(S * pages_per_seq,
+                    dtype=jnp.int32).reshape(S, pages_per_seq)
+    cu = jnp.asarray([0, 1, 16, 24], jnp.int32)
+    ns = jnp.asarray([S], jnp.int32)
+    for scale in (None, 1.5):
+        out = ragged_paged_attention_alibi(
+            q, kv, kvl, pi, cu, ns, None, sm_scale=0.25,
+            k_scale=scale, v_scale=scale,
+            num_kv_pages_per_block=2, num_queries_per_block=8)
+        ref = ref_ragged_paged_attention(
+            q, kv, kvl, pi, cu, ns, sm_scale=0.25,
+            k_scale=scale, v_scale=scale)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=3e-2, atol=3e-2)

@@ -273,6 +273,29 @@ def main() -> int:
         ok &= check(name, np.asarray(got, np.float32),
                     np.asarray(want, np.float32), rtol=2e-2)
 
+    # Fork as the fast-fp8 prefill kernel (bit-placement conversion,
+    # no alibi bias): compiled-on-hardware check.
+    T, Hq, Hkv, D = 24, 4, 2, 128
+    PS, pps, S = 16, 6, 2
+    q = jnp.asarray(rng.standard_normal((T, Hq, D)), jnp.bfloat16) * 0.3
+    kvl = jnp.asarray([20, 33], np.int32)
+    pi = jnp.arange(S * pps, dtype=jnp.int32).reshape(S, pps)
+    cuq = jnp.asarray([0, T // 2, T], np.int32)
+    nsq = jnp.asarray([S], np.int32)
+    for fp8_name, fp8_dt in (("e4m3", jnp.float8_e4m3fn),
+                             ("e5m2", jnp.float8_e5m2)):
+        kvp8 = (jnp.asarray(
+            rng.standard_normal((S * pps + 2, PS, 2 * Hkv, D)),
+            jnp.float32) * 0.3).astype(fp8_dt)
+        got = ragged_paged_attention_alibi(
+            q, kvp8, kvl, pi, cuq, nsq, None, sm_scale=0.25,
+            num_kv_pages_per_block=2, num_queries_per_block=8)
+        want = ref_ragged_paged_attention(
+            q, kvp8, kvl, pi, cuq, nsq, sm_scale=0.25)
+        ok &= check(f"fork_fp8_prefill_{fp8_name}",
+                    np.asarray(got, np.float32),
+                    np.asarray(want, np.float32), rtol=3e-2)
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
