@@ -153,6 +153,15 @@ class Sequence:
         self.output_token_ids.append(token_id)
         self.cumulative_logprob += logprob
 
+    def extend_token_ids(self, token_ids: List[int],
+                         logprob_sum: float) -> None:
+        """Bulk append for multi-step windows (engine fast path): one
+        Python call per sequence instead of one per token. KV accounting
+        for the intermediate tokens is the caller's job (the fused window
+        computed them in-graph)."""
+        self.output_token_ids.extend(token_ids)
+        self.cumulative_logprob += logprob_sum
+
     def get_num_uncomputed_tokens(self) -> int:
         """Tokens that still need a forward pass (prompt remainder, or the
         single next-token during decode)."""

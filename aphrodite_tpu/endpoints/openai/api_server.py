@@ -86,6 +86,9 @@ class OpenAIServer:
         app.router.add_post("/v1/lora/unload", self.unload_lora)
         app.router.add_post("/v1/model/load", self.load_model)
         app.router.add_post("/v1/model/unload", self.unload_model)
+        app.router.add_post("/v1/profile/start", self.profile_start)
+        app.router.add_post("/v1/profile/stop", self.profile_stop)
+        app.router.add_get("/v1/internal/engine_stats", self.engine_stats)
         if self.launch_kobold_api and self.tokenizer is not None:
             from aphrodite_tpu.endpoints.kobold.api_server import (
                 KoboldServer)
@@ -280,6 +283,58 @@ class OpenAIServer:
         self.engine = None
         gc.collect()
         return web.json_response({"status": "ok", "unloaded": True})
+
+    async def profile_start(self, request: web.Request) -> web.Response:
+        """Admin route: begin a jax.profiler device trace. Body:
+        {"dir": "/tmp/trace"} (optional; defaults to a tmp dir). View
+        with tensorboard/xprof. For live capture without routes, set
+        APHRODITE_PROFILER_PORT to run the gRPC trace server instead."""
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
+        import tempfile
+
+        import jax
+
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        trace_dir = body.get("dir") or tempfile.mkdtemp(
+            prefix="aphrodite_trace_")
+        try:
+            jax.profiler.start_trace(trace_dir)
+        except Exception as e:
+            return _error(f"trace start failed: {e}", status=409)
+        self._trace_dir = trace_dir
+        return web.json_response({"status": "ok", "dir": trace_dir})
+
+    async def profile_stop(self, request: web.Request) -> web.Response:
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:
+            return _error(f"trace stop failed: {e}", status=409)
+        return web.json_response({
+            "status": "ok", "dir": getattr(self, "_trace_dir", None)})
+
+    async def engine_stats(self, request: web.Request) -> web.Response:
+        """Per-phase engine iteration timings (cumulative + last): the
+        schedule / execute / postprocess split that identifies host-side
+        bottlenecks. Prometheus exposes the same as histograms; this
+        route is the zero-dependency JSON view."""
+        if self.engine is None:
+            return _error("no engine loaded", status=409)
+        pt = dict(self.engine.phase_timings)
+        it = max(pt["iterations"], 1)
+        pt["avg_schedule_ms"] = pt["schedule_s"] / it * 1e3
+        pt["avg_execute_ms"] = pt["execute_s"] / it * 1e3
+        pt["avg_postprocess_ms"] = pt["postprocess_s"] / it * 1e3
+        return web.json_response(pt)
 
     async def root(self, request: web.Request) -> web.Response:
         return web.json_response(

@@ -94,6 +94,21 @@ class AphroditeEngine:
         self._groups: Dict[str, SequenceGroup] = {}
         self._generation_config = self._load_generation_config()
         self.stat_logger = StatLogger(self.model_config.model)
+        # Per-phase wall time of engine iterations (schedule / execute /
+        # postprocess), cumulative since engine start plus the latest
+        # iteration — surfaced via Prometheus gauges and the
+        # /v1/internal/engine_stats route. The reference exposes only
+        # aggregate iteration stats; the phase split is what TPU tuning
+        # actually needs (host gaps show up here, not in device time).
+        self.phase_timings = {
+            "iterations": 0,
+            "schedule_s": 0.0,
+            "execute_s": 0.0,
+            "postprocess_s": 0.0,
+            "last_schedule_ms": 0.0,
+            "last_execute_ms": 0.0,
+            "last_postprocess_ms": 0.0,
+        }
 
     @classmethod
     def from_engine_args(cls, engine_args: EngineArgs) -> "AphroditeEngine":
@@ -496,53 +511,18 @@ class AphroditeEngine:
             # runs (num_steps_done == 0 or valid_lens[i] == 0).
             need_inc = sp.detokenize and self.tokenizer is not None \
                 and (bool(sp.stop) or not self.lazy_detokenize)
-            for k in range(num_steps_done):
-                if seq.is_finished():
-                    break  # later multi-step tokens are discarded
-                if (result.valid_lens is not None
-                        and k >= result.valid_lens[i]):
-                    break  # speculative proposals beyond acceptance
-                if k > 0:
-                    # KV of the token appended at step k-1 was computed
-                    # on-device during the fused multi-step program.
-                    seq.num_computed_tokens += 1
-                token_id = int(result.sampled[k, i])
-                logprob_val = float(result.sampled_logprob[k, i])
-                seq.append_token_id(token_id, logprob_val)
-                self._tokens_appended_iter += 1
-                if seq.fsm is not None:
-                    seq.fsm_state = seq.fsm.next_state(seq.fsm_state,
-                                                       token_id)
-                    if seq.fsm_state < 0:
-                        # Automaton left its language (should only happen
-                        # via forced EOS on dead ends): stop here.
-                        seq.status = SequenceStatus.FINISHED_STOPPED
-                if sp.logprobs is not None:
-                    entry = {
-                        token_id: Logprob(
-                            logprob=logprob_val,
-                            rank=int(result.sampled_rank[k, i]))
-                    }
-                    for j in range(min(sp.logprobs,
-                                       result.topk_ids.shape[2])):
-                        tid = int(result.topk_ids[k, i, j])
-                        entry.setdefault(
-                            tid,
-                            Logprob(
-                                logprob=float(result.topk_logprobs[k, i,
-                                                                   j]),
-                                rank=j + 1))
-                    seq.output_logprobs.append(entry)
-
-                new_text = ""
-                # Lazy mode (offline LLM): per-step incremental
-                # detokenization is pure output decoration unless stop
-                # STRINGS need the text — skip it on the hot loop and
-                # decode once at finish (streaming consumers keep the
-                # incremental path).
-                if need_inc:
-                    new_text = self._decode_sequence(seq, sp)
-                self.stop_checker.maybe_stop_sequence(seq, new_text, sp)
+            if (num_steps_done > 1 and seq.fsm is None
+                    and sp.logprobs is None and not need_inc
+                    and not sp.logits_processors):
+                # Fast path for multi-step windows: one vectorized pass
+                # replaces the per-token Python loop below (which was
+                # ~half of decode wall time at 32-step x 128-seq windows,
+                # tools/profile_step_ablation.py).
+                self._append_window_bulk(seq, sp, result, i,
+                                         num_steps_done)
+            else:
+                self._append_window_slow(seq, sp, result, i,
+                                         num_steps_done, need_inc)
             if seq.is_finished():
                 if (not need_inc and sp.detokenize
                         and self.tokenizer is not None):
@@ -557,12 +537,135 @@ class AphroditeEngine:
 
         self.scheduler.free_finished_seq_groups()
         self._log_stats(scheduler_outputs, now)
+        t_post = time.monotonic()
+        pt = self.phase_timings
+        pt["iterations"] += 1
+        pt["schedule_s"] += t_sched - t0
+        pt["execute_s"] += t_exec - t_sched
+        pt["postprocess_s"] += t_post - t_exec
+        pt["last_schedule_ms"] = (t_sched - t0) * 1e3
+        pt["last_execute_ms"] = (t_exec - t_sched) * 1e3
+        pt["last_postprocess_ms"] = (t_post - t_exec) * 1e3
         if trace:
             logger.info("step timing: process=%.1fms (%d tokens appended)",
-                        (time.monotonic() - t_exec) * 1e3,
+                        (t_post - t_exec) * 1e3,
                         self._tokens_appended_iter)
         ignored = scheduler_outputs.ignored
         return self._make_outputs(ignored, touched)
+
+    def _append_window_bulk(self, seq, sp, result, i: int,
+                            num_steps_done: int) -> None:
+        """Vectorized equivalent of `_append_window_slow` for rows that
+        need no per-token host work (no FSM, no requested logprobs, no
+        incremental detokenization): numpy computes the stop cutoff, then
+        the window's tokens append in one call."""
+        import numpy as np
+
+        n = num_steps_done
+        if result.valid_lens is not None:
+            n = min(n, int(result.valid_lens[i]))
+        if n <= 0 or seq.is_finished():
+            return
+        toks = np.asarray(result.sampled[:n, i])
+        out_len = seq.get_output_len()
+        counts = out_len + np.arange(1, n + 1)  # output len after token j
+        eos = seq.eos_token_id
+        check_eos = not sp.ignore_eos and eos is not None
+        stop_ids = sp.all_stop_token_ids
+        stop_mask = np.zeros((n,), bool)
+        if check_eos:
+            stop_mask |= toks == eos
+        if stop_ids:
+            stop_mask |= np.isin(toks, list(stop_ids))
+        if sp.min_tokens:
+            # Stop tokens are inert until min_tokens outputs exist
+            # (StopChecker.maybe_stop_sequence's first gate).
+            stop_mask &= counts >= sp.min_tokens
+        cut, status, stop_reason = n, None, None
+        hits = np.nonzero(stop_mask)[0]
+        if hits.size:
+            j = int(hits[0])
+            cut = j + 1
+            status = SequenceStatus.FINISHED_STOPPED
+            tok = int(toks[j])
+            if not (check_eos and tok == eos):
+                stop_reason = tok
+        # Length caps; at the same position a stop token wins (the
+        # per-token path checks stop conditions before _check_length).
+        len_cut = n + 1
+        if sp.max_tokens is not None and out_len + n >= sp.max_tokens:
+            len_cut = sp.max_tokens - out_len
+        mml_cut = (self.stop_checker.max_model_len - seq.get_prompt_len()
+                   - out_len)
+        if mml_cut < len_cut:
+            len_cut = mml_cut
+        if len_cut <= n and (len_cut < cut
+                             or (len_cut == cut and status is None)):
+            cut = max(len_cut, 0)
+            status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            stop_reason = None
+        if cut > 0:
+            lp_sum = float(np.asarray(result.sampled_logprob[:cut, i],
+                                      np.float64).sum())
+            seq.extend_token_ids(toks[:cut].tolist(), lp_sum)
+            seq.num_computed_tokens += cut - 1
+            self._tokens_appended_iter += cut
+        if status is not None:
+            seq.status = status
+            seq.stop_reason = stop_reason
+
+    def _append_window_slow(self, seq, sp, result, i: int,
+                            num_steps_done: int, need_inc: bool) -> None:
+        """Per-token append path: rows with FSM advancement, requested
+        logprobs, or incremental detokenization (stop strings / streaming)
+        need host work per token."""
+        for k in range(num_steps_done):
+            if seq.is_finished():
+                break  # later multi-step tokens are discarded
+            if (result.valid_lens is not None
+                    and k >= result.valid_lens[i]):
+                break  # speculative proposals beyond acceptance
+            if k > 0:
+                # KV of the token appended at step k-1 was computed
+                # on-device during the fused multi-step program.
+                seq.num_computed_tokens += 1
+            token_id = int(result.sampled[k, i])
+            logprob_val = float(result.sampled_logprob[k, i])
+            seq.append_token_id(token_id, logprob_val)
+            self._tokens_appended_iter += 1
+            if seq.fsm is not None:
+                seq.fsm_state = seq.fsm.next_state(seq.fsm_state,
+                                                   token_id)
+                if seq.fsm_state < 0:
+                    # Automaton left its language (should only happen
+                    # via forced EOS on dead ends): stop here.
+                    seq.status = SequenceStatus.FINISHED_STOPPED
+            if sp.logprobs is not None:
+                entry = {
+                    token_id: Logprob(
+                        logprob=logprob_val,
+                        rank=int(result.sampled_rank[k, i]))
+                }
+                for j in range(min(sp.logprobs,
+                                   result.topk_ids.shape[2])):
+                    tid = int(result.topk_ids[k, i, j])
+                    entry.setdefault(
+                        tid,
+                        Logprob(
+                            logprob=float(result.topk_logprobs[k, i,
+                                                               j]),
+                            rank=j + 1))
+                seq.output_logprobs.append(entry)
+
+            new_text = ""
+            # Lazy mode (offline LLM): per-step incremental
+            # detokenization is pure output decoration unless stop
+            # STRINGS need the text — skip it on the hot loop and
+            # decode once at finish (streaming consumers keep the
+            # incremental path).
+            if need_inc:
+                new_text = self._decode_sequence(seq, sp)
+            self.stop_checker.maybe_stop_sequence(seq, new_text, sp)
 
     def _log_stats(self, scheduler_outputs, now: float) -> None:
         bm = self.scheduler.block_manager
@@ -580,6 +683,11 @@ class AphroditeEngine:
             num_generation_tokens_iter=getattr(
                 self, "_tokens_appended_iter",
                 scheduler_outputs.num_decode_tokens),
+            # Phase times lag one iteration: postprocess of the current
+            # iteration isn't finished when stats are cut.
+            schedule_ms_iter=self.phase_timings["last_schedule_ms"],
+            execute_ms_iter=self.phase_timings["last_execute_ms"],
+            postprocess_ms_iter=self.phase_timings["last_postprocess_ms"],
         )
         for ss in scheduler_outputs.scheduled:
             m = ss.group.metrics

@@ -34,6 +34,13 @@ class Stats:
     time_per_output_tokens_iter: List[float] = field(default_factory=list)
     time_e2e_requests: List[float] = field(default_factory=list)
     finished_reason_iter: List[str] = field(default_factory=list)
+    # Per-phase wall time of this engine iteration (ms). The split host
+    # engineers actually tune against on TPU: schedule = host scheduling,
+    # execute = batch build + device program + output fetch,
+    # postprocess = token append / detok / stop checks.
+    schedule_ms_iter: float = 0.0
+    execute_ms_iter: float = 0.0
+    postprocess_ms_iter: float = 0.0
 
 
 class PrometheusMetrics:
@@ -83,6 +90,18 @@ class PrometheusMetrics:
         self.counter_finish = self._counter(
             prom, f"{ns}:request_success_total",
             "Finished requests.", labels + ["finished_reason"])
+        self.hist_phase_schedule = self._histogram(
+            prom, f"{ns}:iteration_schedule_ms",
+            "Engine iteration scheduling phase (ms).", labels,
+            (0.1, 0.25, 0.5, 1, 2.5, 5, 10, 25, 50, 100))
+        self.hist_phase_execute = self._histogram(
+            prom, f"{ns}:iteration_execute_ms",
+            "Engine iteration execute phase incl. device time (ms).",
+            labels, (1, 5, 10, 25, 50, 100, 250, 500, 1000, 2500))
+        self.hist_phase_postprocess = self._histogram(
+            prom, f"{ns}:iteration_postprocess_ms",
+            "Engine iteration output postprocess phase (ms).", labels,
+            (0.1, 0.25, 0.5, 1, 2.5, 5, 10, 25, 50, 100, 250))
 
     @staticmethod
     def _get_or_make(prom, cls, name, doc, labels, **kw):
@@ -147,6 +166,13 @@ class StatLogger:
             for reason in stats.finished_reason_iter:
                 self.prom.counter_finish.labels(
                     finished_reason=reason, **lbl).inc()
+            if stats.execute_ms_iter:
+                self.prom.hist_phase_schedule.labels(**lbl).observe(
+                    stats.schedule_ms_iter)
+                self.prom.hist_phase_execute.labels(**lbl).observe(
+                    stats.execute_ms_iter)
+                self.prom.hist_phase_postprocess.labels(**lbl).observe(
+                    stats.postprocess_ms_iter)
 
         now = time.monotonic()
         if now - self._last_log >= self.log_interval:

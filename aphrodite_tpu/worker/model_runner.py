@@ -78,6 +78,30 @@ def _enable_compilation_cache() -> None:
     _CACHE_ENABLED = True
 
 
+_PROFILER_STARTED = False
+
+
+def _maybe_start_profiler_server() -> None:
+    """Start the JAX profiler's gRPC trace server when
+    APHRODITE_PROFILER_PORT is set: `tensorboard --logdir ...` (or
+    xprof) can then capture live device traces from a running engine.
+    TPU answer to the reference's torch-profiler env toggles
+    (aphrodite/envs.py APHRODITE_TORCH_PROFILER_DIR)."""
+    global _PROFILER_STARTED
+    if _PROFILER_STARTED:
+        return
+    import os
+
+    port = os.environ.get("APHRODITE_PROFILER_PORT")
+    if port:
+        try:
+            jax.profiler.start_server(int(port))
+            logger.info("jax.profiler trace server on port %s", port)
+        except Exception as e:  # profiling is opt-in, never fatal
+            logger.warning("profiler server failed to start: %s", e)
+    _PROFILER_STARTED = True
+
+
 def _sharded_zeros(shape, dtype, sharding):
     """Zeros materialized directly as per-device shards (no transient
     single-device full array; works on meshes spanning processes)."""
@@ -134,6 +158,7 @@ class ModelRunner:
         multihost.maybe_initialize()  # must precede first device use
         self._multihost = multihost.is_active()
         _enable_compilation_cache()
+        _maybe_start_profiler_server()
         self.config = engine_config
         self.model_config = engine_config.model_config
         self.cache_config = engine_config.cache_config

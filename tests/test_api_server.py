@@ -488,3 +488,35 @@ async def test_admin_disabled_when_keyed_without_admin_key(
         "/v1/model/unload", json={},
         headers={"Authorization": "Bearer sekrit"})
     assert resp.status == 401
+
+
+async def test_engine_stats_route(client):
+    # Drive one generation so phase timings are populated.
+    resp = await client.post("/v1/completions", json={
+        "prompt": "hi there", "max_tokens": 4, "temperature": 0,
+        "ignore_eos": True})
+    assert resp.status == 200
+    resp = await client.get("/v1/internal/engine_stats")
+    assert resp.status == 200
+    data = await resp.json()
+    assert data["iterations"] >= 1
+    assert data["execute_s"] > 0
+    assert "avg_postprocess_ms" in data
+
+
+async def test_profile_routes_trace_cycle(client, tmp_path):
+    d = str(tmp_path / "trace")
+    resp = await client.post("/v1/profile/start", json={"dir": d})
+    assert resp.status == 200, await resp.text()
+    resp = await client.post("/v1/completions", json={
+        "prompt": "trace me", "max_tokens": 2, "temperature": 0,
+        "ignore_eos": True})
+    assert resp.status == 200
+    resp = await client.post("/v1/profile/stop", json={})
+    assert resp.status == 200, await resp.text()
+    import os
+    # jax writes trace subdirs under the requested dir.
+    assert os.path.isdir(d) and os.listdir(d)
+    # A second stop without a running trace is a clean 409.
+    resp = await client.post("/v1/profile/stop", json={})
+    assert resp.status == 409
