@@ -480,9 +480,32 @@ class EngineConfig:
         else:
             heads = self.model_config.get_num_attention_heads()
             if heads % tp != 0:
-                raise ValueError(
-                    f"num_attention_heads ({heads}) must be divisible by "
-                    f"tensor_parallel_size ({tp})")
+                # Asymmetric TP (reference parallel_state.py:1200): our
+                # SPMD form zero-pads whole KV groups instead of splitting
+                # ranks unevenly; only architectures on the base
+                # forward/param machinery support it.
+                ok = False
+                try:
+                    from aphrodite_tpu.models.registry import \
+                        get_model_class
+
+                    cls = get_model_class(self.model_config)
+                    ok = bool(getattr(cls, "supports_head_padding",
+                                      lambda: False)())
+                except Exception:
+                    ok = False
+                if not ok:
+                    raise ValueError(
+                        f"num_attention_heads ({heads}) must be divisible "
+                        f"by tensor_parallel_size ({tp}) (this "
+                        f"architecture does not support asymmetric-TP "
+                        f"head padding)")
+                if self.lora_config is not None:
+                    raise ValueError(
+                        "asymmetric TP (padded head groups) is not "
+                        "supported together with LoRA adapters: adapter "
+                        "B matrices are sized for the unpadded head "
+                        "layout")
         pp = self.parallel_config.pipeline_parallel_size
         if pp > 1:
             layers = self.model_config.get_num_layers()

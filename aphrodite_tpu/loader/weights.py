@@ -376,6 +376,28 @@ def _synthesize_leaf_on_device(arr: np.ndarray, spec, target_dtype,
     return fn(key)
 
 
+def _divisible_spec_or_replicated(shape, spec, mesh):
+    """jax.device_put requires sharded dims to divide exactly. Weights
+    whose dims do not divide the mesh axis (e.g. a vocab axis under
+    asymmetric tp=3) fall back to replicated placement — GSPMD still
+    partitions the consuming matmuls as it sees fit."""
+    from jax.sharding import PartitionSpec
+
+    for dim, part in enumerate(tuple(spec)):
+        if part is None:
+            continue
+        names = part if isinstance(part, tuple) else (part,)
+        size = 1
+        for nm in names:
+            size *= mesh.shape[nm]
+        if dim >= len(shape) or shape[dim] % size:
+            logger.warning(
+                "replicating weight of shape %s: dim %d not divisible "
+                "by mesh axes %s (size %d)", shape, dim, names, size)
+            return PartitionSpec()
+    return spec
+
+
 def place_params_on_mesh(
     model,
     host_params: Dict[str, Any],
@@ -410,6 +432,7 @@ def place_params_on_mesh(
             cast = False
         target = jnp.asarray(arr, dtype=dtype) if cast else jnp.asarray(arr)
         if mesh is not None:
+            spec = _divisible_spec_or_replicated(arr.shape, spec, mesh)
             return jax.device_put(target, NamedSharding(mesh, spec))
         return jax.device_put(target)
 
@@ -605,12 +628,68 @@ def load_quantized_hf_params_to_host(
             k: np.stack([c[k] for c in containers], axis=0)
             for k in containers[0]
         }
-        if model.num_kv_heads_padded != model.num_kv_heads and \
-                our_path in ("layers.wk", "layers.wv"):
-            raise NotImplementedError(
-                "tp > num_kv_heads with int4 checkpoints not supported yet")
+        if model.num_kv_heads_padded != model.num_kv_heads:
+            if getattr(model, "_kv_pad_mode", "none") == "zero":
+                stacked = _pad_int4_container_heads(model, our_path,
+                                                    stacked)
+            elif our_path in ("layers.wk", "layers.wv"):
+                raise NotImplementedError(
+                    "tp > num_kv_heads with int4 checkpoints not "
+                    "supported yet")
         _set_path(params, our_path, stacked)
     return params
+
+
+def _pad_int4_container_heads(model, our_path: str,
+                              c: Dict[str, np.ndarray]):
+    """Asymmetric-TP zero padding for pre-quantized containers: padded
+    output columns (wq/wk/wv) or input row groups (wo) carry q=0,
+    scale=0, zero=0, so they dequantize to exact zeros (the head-padding
+    no-op invariant; see LlamaForCausalLM.maybe_pad_kv_weight)."""
+    D = model.head_dim
+    extra_cols = 0
+    if our_path == "layers.wq":
+        extra_cols = (model.num_heads_padded - model.num_heads) * D
+    elif our_path in ("layers.wk", "layers.wv"):
+        extra_cols = (model.num_kv_heads_padded - model.num_kv_heads) * D
+    if extra_cols:
+        def pad_n(a):
+            return np.concatenate(
+                [a, np.zeros(a.shape[:-1] + (extra_cols,), a.dtype)],
+                axis=-1)
+
+        return {k: pad_n(v) for k, v in c.items()}
+    if our_path != "layers.wo":
+        return c
+    # wo pads K (rows). Group quantization slices K into G-sized groups;
+    # NH*D and NH'*D are multiples of the head dim, and G divides the
+    # original K, so padded rows extend whole groups when G | extra.
+    extra_rows = (model.num_heads_padded - model.num_heads) * D
+    if extra_rows == 0:
+        return c
+    K = (c["q4"].shape[-2] if "q4" in c else 2 * c["q4p"].shape[-2])
+    G = K // c["scale"].shape[-2]
+    if extra_rows % G or "q4p" in c:
+        # q4p's half-split row packing interleaves K/2 halves; repacking
+        # around padding is not worth it — fall back to unpacked form.
+        from aphrodite_tpu.ops.quant_matmul import unpack_int4_rows
+
+        if "q4p" in c:
+            c = {"q4": unpack_int4_rows(c.pop("q4p")), **c}
+    if extra_rows % G:
+        raise NotImplementedError(
+            f"wo group size {G} does not divide head padding "
+            f"{extra_rows}")
+
+    def pad_rows(a, rows):
+        pad = np.zeros(a.shape[:-2] + (rows, a.shape[-1]), a.dtype)
+        return np.concatenate([a, pad], axis=-2)
+
+    return {
+        "q4": pad_rows(c["q4"], extra_rows),
+        "scale": pad_rows(c["scale"], extra_rows // G),
+        "zero": pad_rows(c["zero"], extra_rows // G),
+    }
 
 
 def load_model_params(

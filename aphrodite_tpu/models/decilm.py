@@ -16,6 +16,11 @@ from aphrodite_tpu.models.llama import LlamaForCausalLM
 
 
 class DeciLMForCausalLM(LlamaForCausalLM):
+    # Per-layer GQA schedules replicate each layer's kv heads up to the
+    # max; zero-padded asymmetric-TP groups would collide with that
+    # replication layout.
+    supports_asymmetric_tp = False
+
     def __init__(self, model_config, parallel_config=None) -> None:
         hf = model_config.hf_config
         per_layer = hf.get("num_key_value_heads_per_layer")

@@ -44,6 +44,10 @@ class LlamaForCausalLM:
     (modeling/models/*.py) without duplicating the decoder loop.
     """
 
+    # Head counts need not divide tp: whole KV groups zero-pad up to the
+    # next multiple (see __init__). Subclasses with bespoke head layouts
+    # (per-layer GQA schedules) opt out.
+    supports_asymmetric_tp: bool = True
     # Flags overridden by subclasses (e.g. Qwen2 adds attention bias).
     attention_bias: bool = False
     tie_word_embeddings_default: bool = False
@@ -104,6 +108,17 @@ class LlamaForCausalLM:
     # Clamp QKV projections to [-clip, clip] (dbrx clip_qkv; 0 = off).
     qkv_clip: float = 0.0
 
+    @classmethod
+    def supports_head_padding(cls) -> bool:
+        """Eligibility for asymmetric-TP zero-padded head groups: the
+        subclass must run the base forward/param machinery (subclasses
+        overriding them index heads with the unpadded counts)."""
+        return (cls.supports_asymmetric_tp
+                and cls.forward is LlamaForCausalLM.forward
+                and cls.param_shapes is LlamaForCausalLM.param_shapes
+                and cls.maybe_pad_kv_weight
+                is LlamaForCausalLM.maybe_pad_kv_weight)
+
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
         self.config = model_config
@@ -138,13 +153,55 @@ class LlamaForCausalLM:
         self.sm_scale = self.head_dim**-0.5
 
         tp = self.parallel_config.tensor_parallel_size
-        if self.num_kv_heads % tp != 0 and tp % self.num_kv_heads != 0:
+        if self.num_heads % max(self.num_kv_heads, 1) != 0:
             raise ValueError(
-                f"kv heads ({self.num_kv_heads}) vs tp ({tp}) mismatch")
-        # When tp > num_kv_heads, KV heads are replicated onto shards
-        # (reference: modeling/layers/linear.py QKVParallelLinear replicates
-        # kv heads when tp exceeds them).
-        self.num_kv_heads_padded = max(self.num_kv_heads, tp)
+                f"q heads ({self.num_heads}) must be a multiple of kv "
+                f"heads ({self.num_kv_heads})")
+        q_per_kv = self.num_heads // max(self.num_kv_heads, 1)
+        if self.num_kv_heads % tp == 0:
+            # Even split — the common case.
+            self.num_kv_heads_padded = self.num_kv_heads
+            self.num_heads_padded = self.num_heads
+            self._kv_pad_mode = "none"
+        elif tp % self.num_kv_heads == 0:
+            # tp > num_kv_heads with exact fit: KV heads replicate onto
+            # shards (reference: modeling/layers/linear.py
+            # QKVParallelLinear replicates kv heads when tp exceeds them).
+            self.num_kv_heads_padded = tp
+            self.num_heads_padded = self.num_heads
+            self._kv_pad_mode = "replicate"
+        else:
+            # Asymmetric TP (reference parallel_state.py:1200,1216 uneven
+            # rank partitions): SPMD shard_map needs equal shards, so
+            # instead of uneven splits we zero-pad WHOLE KV GROUPS (a kv
+            # head + its q_per_kv q heads) up to the next multiple of tp.
+            # Padded groups are exact no-ops: k=v=0 pages attend to
+            # nothing (uniform softmax x zero V = 0) and the o-projection
+            # rows for padded q heads are zero. Cost is the padded KV
+            # cache rows; tp need not divide the head counts.
+            if not type(self).supports_head_padding():
+                raise ValueError(
+                    f"{type(self).__name__}: head counts "
+                    f"({self.num_heads}/{self.num_kv_heads}) are not "
+                    f"divisible by tp={tp} and this architecture does "
+                    f"not support asymmetric-TP head padding")
+            self.num_kv_heads_padded = -(-self.num_kv_heads // tp) * tp
+            self.num_heads_padded = self.num_kv_heads_padded * q_per_kv
+            self._kv_pad_mode = "zero"
+        # Asymmetric TP also pads the MLP intermediate axis (zero gate
+        # columns make padded lanes exact no-ops: silu(0)*up = 0, and the
+        # padded down-projection rows are zero anyway). Round to a
+        # multiple of lcm(tp, 128): per-rank shards stay lane-aligned AND
+        # 128-wide quantization groups along the down-projection's K axis
+        # keep their original boundaries (padding must not change the
+        # rounding of real weights).
+        self.intermediate_padded = self.intermediate_size
+        if self._kv_pad_mode == "zero" and self.intermediate_size % tp:
+            import math
+
+            unit = tp * 128 // math.gcd(tp, 128)
+            self.intermediate_padded = \
+                -(-self.intermediate_size // unit) * unit
 
         # Per-head ALiBi slopes (f32[NH]); set by subclasses (bloom).
         self.alibi_slopes: Optional[jax.Array] = None
@@ -184,8 +241,10 @@ class LlamaForCausalLM:
 
     def param_shapes(self) -> Dict[str, Any]:
         H, L = self.hidden_size, self.num_layers
-        NH, NKV, D = self.num_heads, self.num_kv_heads_padded, self.head_dim
-        F, V = self.intermediate_size, self.vocab_size
+        NH, NKV, D = (self.num_heads_padded, self.num_kv_heads_padded,
+                      self.head_dim)
+        F = getattr(self, "intermediate_padded", self.intermediate_size)
+        V = self.vocab_size
         shapes = {
             "embed": (V, H),
             "final_norm": (H,),
@@ -369,7 +428,26 @@ class LlamaForCausalLM:
                     out[k] = make(v)
             return out
 
-        return walk(self.param_shapes())
+        params = walk(self.param_shapes())
+        if getattr(self, "_kv_pad_mode", "none") == "zero":
+            # Keep the padded head groups exact no-ops under dummy
+            # weights too (random values there would make the padded
+            # model a different function from the unpadded one).
+            D = self.head_dim
+            lp = params.get("layers", {})
+            qcol = self.num_heads * D
+            kvcol = self.num_kv_heads * D
+            F = self.intermediate_size
+            for key, col in (("wq", qcol), ("wk", kvcol), ("wv", kvcol),
+                             ("bq", qcol), ("bk", kvcol), ("bv", kvcol),
+                             ("gate", F), ("up", F), ("fc1", F),
+                             ("gate_b", F), ("up_b", F), ("fc1_b", F)):
+                if key in lp:
+                    lp[key][..., col:] = 0.0
+            for key, row in (("wo", qcol), ("down", F), ("fc2", F)):
+                if key in lp:
+                    lp[key][..., row:, :] = 0.0
+        return params
 
     def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:
         """(hf_template, our_path, transpose) for per-layer weights.
@@ -444,23 +522,67 @@ class LlamaForCausalLM:
 
     def maybe_pad_kv_weight(self, our_path: str,
                             arr: np.ndarray) -> np.ndarray:
-        """Replicate KV-projection outputs when tp > num_kv_heads."""
+        """Adapt head-indexed projection weights to the padded head
+        layout: replicate KV groups when tp > num_kv_heads (exact fit),
+        or zero-pad whole KV groups for asymmetric TP (tp not dividing
+        the head counts; reference parallel_state.py:1200 splits ranks
+        unevenly instead — SPMD wants equal shards)."""
         if self.num_kv_heads_padded == self.num_kv_heads:
             return arr
+        D = self.head_dim
+        if self._kv_pad_mode == "replicate":
+            if our_path in ("layers.wk", "layers.wv"):
+                reps = self.num_kv_heads_padded // self.num_kv_heads
+                # arr: [..., in, kv*D] -> REPEAT each head group in place
+                # ([g1,g1,g2,g2], not tiled [g1,g2,g1,g2]): under TP the
+                # column shards must pair q-head i with kv-head
+                # i//q_per_kv.
+                in_dim = arr.shape[0]
+                arr = arr.reshape(in_dim, self.num_kv_heads, D)
+                arr = np.repeat(arr, reps, axis=1)
+                return arr.reshape(in_dim, -1)
+            if our_path in ("layers.bk", "layers.bv"):
+                reps = self.num_kv_heads_padded // self.num_kv_heads
+                arr = arr.reshape(self.num_kv_heads, D)
+                arr = np.repeat(arr, reps, axis=0)
+                return arr.reshape(-1)
+            return arr
+        # Zero-pad mode: append zero q/k/v columns (and zero o-proj
+        # ROWS) for the padded groups. Group pairing is preserved
+        # because q_per_kv is unchanged and padding sits at the end on
+        # both the q and kv axes.
+        kv_extra = (self.num_kv_heads_padded - self.num_kv_heads) * D
+        q_extra = (self.num_heads_padded - self.num_heads) * D
         if our_path in ("layers.wk", "layers.wv"):
-            reps = self.num_kv_heads_padded // self.num_kv_heads
-            # arr: [..., in, kv*D] -> REPEAT each head group in place
-            # ([g1,g1,g2,g2], not tiled [g1,g2,g1,g2]): under TP the
-            # column shards must pair q-head i with kv-head i//q_per_kv.
-            in_dim = arr.shape[0]
-            arr = arr.reshape(in_dim, self.num_kv_heads, self.head_dim)
-            arr = np.repeat(arr, reps, axis=1)
-            return arr.reshape(in_dim, -1)
+            return np.concatenate(
+                [arr, np.zeros((arr.shape[0], kv_extra), arr.dtype)],
+                axis=1)
+        if our_path == "layers.wq":
+            return np.concatenate(
+                [arr, np.zeros((arr.shape[0], q_extra), arr.dtype)],
+                axis=1)
+        if our_path == "layers.wo":
+            return np.concatenate(
+                [arr, np.zeros((q_extra, arr.shape[1]), arr.dtype)],
+                axis=0)
         if our_path in ("layers.bk", "layers.bv"):
-            reps = self.num_kv_heads_padded // self.num_kv_heads
-            arr = arr.reshape(self.num_kv_heads, self.head_dim)
-            arr = np.repeat(arr, reps, axis=0)
-            return arr.reshape(-1)
+            return np.concatenate([arr, np.zeros((kv_extra,), arr.dtype)])
+        if our_path == "layers.bq":
+            return np.concatenate([arr, np.zeros((q_extra,), arr.dtype)])
+        f_extra = self.intermediate_padded - self.intermediate_size
+        if f_extra:
+            if our_path in ("layers.gate", "layers.up", "layers.fc1"):
+                return np.concatenate(
+                    [arr, np.zeros((arr.shape[0], f_extra), arr.dtype)],
+                    axis=1)
+            if our_path in ("layers.down", "layers.fc2"):
+                return np.concatenate(
+                    [arr, np.zeros((f_extra, arr.shape[1]), arr.dtype)],
+                    axis=0)
+            if our_path in ("layers.gate_b", "layers.up_b",
+                            "layers.fc1_b"):
+                return np.concatenate(
+                    [arr, np.zeros((f_extra,), arr.dtype)])
         return arr
 
     # ------------------------------------------------------------------
@@ -491,7 +613,7 @@ class LlamaForCausalLM:
         reference's in-kernel scale multiplies
         (kernels/attention/attention_kernels.cu fp8/int8 paths).
         """
-        NH, NKV, D = (self.num_heads, self.num_kv_heads_padded,
+        NH, NKV, D = (self.num_heads_padded, self.num_kv_heads_padded,
                       self.head_dim)
         x = params["embed"][batch.token_ids]  # [T, H]
         x = x.astype(self.dtype)
@@ -525,6 +647,16 @@ class LlamaForCausalLM:
         else:
             cos = self._cos[batch.positions]  # [T, D/2]
             sin = self._sin[batch.positions]
+
+        alibi = self.alibi_slopes
+        if alibi is not None and alibi.shape[0] != NH:
+            # Asymmetric-TP head padding: slope values for padded q heads
+            # are irrelevant (their K/V pages are zero and their o-proj
+            # rows are zero) — zeros keep the bias arithmetic finite.
+            alibi = jnp.pad(alibi, (0, NH - alibi.shape[0]))
+        bs_offsets = self.bs_head_offsets
+        if bs_offsets is not None and bs_offsets.shape[0] != NH:
+            bs_offsets = jnp.pad(bs_offsets, (0, NH - bs_offsets.shape[0]))
 
         layer_params = params["layers"]
         has_bias = "bq" in layer_params
@@ -596,9 +728,9 @@ class LlamaForCausalLM:
                 sm_scale=self.sm_scale,
                 sliding_window=self.sliding_window,
                 soft_cap=self.attn_softcap or None,
-                alibi_slopes=self.alibi_slopes,
+                alibi_slopes=alibi,
                 blocksparse=self.blocksparse_params,
-                bs_head_offsets=self.bs_head_offsets,
+                bs_head_offsets=bs_offsets,
                 bs_on=bs_on,
                 mesh=inner_mesh,
                 use_kernel=use_attention_kernel,

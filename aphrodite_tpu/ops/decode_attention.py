@@ -45,9 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-# Sequences per grid step. The S buckets are powers of two >= 8, so 8
-# always divides the padded batch.
-GROUP = 8
+# Sequences per grid step. The S buckets are powers of two >= 8, so any
+# power of two <= 8 divides the padded batch. Elementwise score work per
+# layer scales LINEARLY with the group size (the [M, N] block-diagonal
+# score matrix wastes a G*KV fraction on masked cross-seq/cross-head
+# products), while DMA batching improves with it — tunable for probes.
+import os as _os
+
+GROUP = int(_os.environ.get("APHRODITE_DECODE_GROUP", "8"))
 # KV pages per sequence per DMA wave (wave token width = C * page_size).
 PAGES_PER_CHUNK = 8
 # VMEM budget for one kv double-buffer slot.

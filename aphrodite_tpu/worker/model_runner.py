@@ -697,9 +697,25 @@ class ModelRunner:
             out = sample(logits, step_tensors, flags)
             return (kv_pages, out.sampled, positions + 1), out
 
-        def multi_step(params, kv_pages, token_ids, positions,
-                       page_indices, kv_capacity, num_seqs, tensors,
-                       step_offset, rope_delta=None):
+        def multi_step(params, kv_pages, carry, sched, tensors,
+                       rope_delta=None):
+            # H2D round-trips on a relay-attached device cost ~25ms each
+            # (measured), so the window takes exactly TWO device inputs
+            # besides params/tensors:
+            #   carry int32[2S+1] = [token_ids | positions | step_offset]
+            #     — device-RESIDENT: returned updated, reused by the next
+            #     window and (when the batch is unchanged) by the next
+            #     engine step with no upload at all.
+            #   sched int32[S*pps + S + 1] = [page_indices | kv_capacity |
+            #     num_seqs] — one bundled upload per engine step.
+            S = (carry.shape[0] - 1) // 2
+            token_ids = carry[:S]
+            positions = carry[S:2 * S]
+            step_offset = carry[2 * S]
+            pps = (sched.shape[0] - S - 1) // S
+            page_indices = sched[:S * pps].reshape(S, pps)
+            kv_capacity = sched[S * pps:S * pps + S]
+            num_seqs = sched[S * pps + S:]
             body = functools.partial(one_iteration, params=params,
                                      page_indices=page_indices,
                                      kv_capacity=kv_capacity,
@@ -710,6 +726,9 @@ class ModelRunner:
                 lambda c, i: body(c, i),
                 (kv_pages, token_ids, positions),
                 jnp.arange(num_steps, dtype=jnp.int32))
+            new_carry = jnp.concatenate([
+                last_tokens, last_pos,
+                (step_offset + num_steps)[None]])
             # Pack every per-step output into ONE int32 buffer (floats
             # bitcast): each D2H fetch pays a fixed round-trip on a
             # relay-attached device (~25-30ms measured), so the host
@@ -721,9 +740,9 @@ class ModelRunner:
             if outs.topk_ids.shape[-1]:
                 parts.append(outs.topk_ids.reshape(-1))
                 parts.append(i32(outs.topk_logprobs).reshape(-1))
-            return kv_pages, last_tokens, last_pos, jnp.concatenate(parts)
+            return kv_pages, new_carry, jnp.concatenate(parts)
 
-        fn = jax.jit(multi_step, donate_argnums=(1,))
+        fn = jax.jit(multi_step, donate_argnums=(1, 2))
         self._multi_step_fns[key] = fn
         return fn
 
@@ -1994,18 +2013,15 @@ class ModelRunner:
     def _execute_multi(self, scheduled: List[ScheduledSequence], S: int,
                        tensors_dev, flags: SamplingFlags,
                        num_steps: int) -> StepResult:
-        token_ids = np.zeros((S,), np.int32)
-        positions = np.zeros((S,), np.int32)
-        page_indices = np.zeros((S, self.pages_per_seq), np.int32)
-        kv_capacity = np.zeros((S,), np.int32)
+        pps = self.pages_per_seq
+        sched_host = np.zeros((S * pps + S + 1,), np.int32)
+        pages_view = sched_host[:S * pps].reshape(S, pps)
         for i, ss in enumerate(scheduled):
-            seq = ss.seq
-            token_ids[i] = seq.get_last_token_id()
-            positions[i] = seq.num_computed_tokens
             table = ss.block_ids
-            page_indices[i, :len(table)] = table
-            kv_capacity[i] = len(table) * self.block_size
-        num_seqs = jnp.asarray([len(scheduled)], np.int32)
+            pages_view[i, :len(table)] = table
+            sched_host[S * pps + i] = len(table) * self.block_size
+        sched_host[S * pps + S] = len(scheduled)
+        sched_dev = jnp.asarray(sched_host)
         rope_delta = None
         if self.model_is_mrope:
             rd = np.zeros((S,), np.int32)
@@ -2013,20 +2029,41 @@ class ModelRunner:
                 rd[i] = ss.seq.mrope_delta
             rope_delta = jnp.asarray(rd)
 
+        # Device-resident decode carry: when the batch rows and their
+        # computed-token counts are exactly the stashed window's
+        # prediction, the on-device [token_ids | positions | step_offset]
+        # array already equals the host state — skip its H2D upload (a
+        # full relay round-trip) entirely. Any composition change (a
+        # finish, a join, a preemption, an interleaved non-multi-step
+        # path) misses the fingerprint and rebuilds from host truth.
+        fp = (S, tuple((ss.seq.seq_id, ss.seq.num_computed_tokens)
+                       for ss in scheduled))
+        carry = None
+        stash = getattr(self, "_decode_carry", None)
+        if stash is not None and stash[0] == fp:
+            carry = stash[1]
+        if carry is None:
+            carry_host = np.zeros((2 * S + 1,), np.int32)
+            for i, ss in enumerate(scheduled):
+                carry_host[i] = ss.seq.get_last_token_id()
+                carry_host[S + i] = ss.seq.num_computed_tokens
+            carry = jnp.asarray(carry_host)
+
         W = min(num_steps, self.MULTI_STEP_WINDOW)
         num_windows = cdiv(num_steps, W)
         fn = self._get_multi_step_fn(flags, W)
-        tok_dev = jnp.asarray(token_ids)
-        pos_dev = jnp.asarray(positions)
-        pages_dev = jnp.asarray(page_indices)
-        cap_dev = jnp.asarray(kv_capacity)
         window_outs = []
-        for w in range(num_windows):
-            self.kv_pages, tok_dev, pos_dev, packed = fn(
-                self.params, self.kv_pages, tok_dev, pos_dev, pages_dev,
-                cap_dev, num_seqs, tensors_dev,
-                jnp.asarray(w * W, jnp.int32), rope_delta)
+        for _ in range(num_windows):
+            self.kv_pages, carry, packed = fn(
+                self.params, self.kv_pages, carry, sched_dev,
+                tensors_dev, rope_delta)
             window_outs.append(packed)
+        done = num_windows * W
+        self._decode_carry = (
+            (S, tuple((ss.seq.seq_id, ss.seq.num_computed_tokens + done)
+                      for ss in scheduled)),
+            carry,
+        )
 
         n = len(scheduled)
         K = flags.max_logprobs

@@ -109,3 +109,49 @@ def test_tp4_kv_head_padding_matches_tp1(tiny_dir):
              max_model_len=64, tensor_parallel_size=4).generate(
                  ["pad check"], sp)[0].outputs[0].token_ids
     assert o1 == o4
+
+
+def test_tp3_asymmetric_head_padding_matches_tp1(tiny_dir):
+    """tp=3 does not divide 4 q heads / 2 kv heads: whole KV groups are
+    zero-padded to 3 kv x 6 q heads (reference handles this with uneven
+    rank partitions, parallel_state.py:1200; SPMD shards must be equal,
+    so padded groups are exact no-ops instead)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    o1 = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+             num_device_blocks_override=128,
+             block_size=8).generate(PROMPTS, sp)
+    expect = [o.outputs[0].token_ids for o in o1]
+    del o1
+
+    tp3 = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8,
+              tensor_parallel_size=3)
+    got = [o.outputs[0].token_ids for o in tp3.generate(PROMPTS, sp)]
+    assert got == expect
+
+
+def test_tp3_asymmetric_with_runtime_int4(tmp_path):
+    """Asymmetric head padding composes with runtime weight
+    quantization (padded columns quantize to exact zeros).
+
+    head_dim=64 so the o-projection's K axis is a multiple of the
+    128-wide quant group both padded (384) and unpadded (256): K-axis
+    padding must not change the group rounding of real rows (at the
+    default tiny head_dim=16 the group-size fallback picks different
+    groups, a tiny-shape artifact real models never hit)."""
+    from tests.utils import make_tiny_llama_checkpoint
+
+    tiny_dir = str(tmp_path / "tiny64")
+    make_tiny_llama_checkpoint(tiny_dir, head_dim=64)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    base = LLM(model=tiny_dir, dtype="float32", max_num_seqs=2,
+               num_device_blocks_override=128, block_size=8,
+               quantization="gptq")
+    expect = [o.outputs[0].token_ids for o in base.generate(PROMPTS, sp)]
+    del base
+
+    tp3 = LLM(model=tiny_dir, dtype="float32", max_num_seqs=2,
+              num_device_blocks_override=128, block_size=8,
+              quantization="gptq", tensor_parallel_size=3)
+    got = [o.outputs[0].token_ids for o in tp3.generate(PROMPTS, sp)]
+    assert got == expect

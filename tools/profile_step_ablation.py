@@ -41,33 +41,40 @@ def build_llm():
                num_scheduler_steps=32)
 
 
-def time_window(runner, flags, tensors_dev, num_steps, label):
-    S = 64
-    bs = runner.block_size
-    used = 10  # pages per seq actually filled (~160 tokens)
-    token_ids = jnp.ones((S,), jnp.int32)
-    positions = jnp.full((S,), 150, jnp.int32)
-    pi = np.zeros((S, runner.pages_per_seq), np.int32)
+def make_window_inputs(runner, S, pages_per_seq: int = 16,
+                       pos: int = 150):
+    """Host (carry, sched) bundles for the multi-step window signature:
+    carry = [token_ids | positions | step_offset], sched = [page_indices
+    | kv_capacity | num_seqs]."""
+    pps = runner.pages_per_seq
+    carry = np.zeros((2 * S + 1,), np.int32)
+    carry[:S] = 1
+    carry[S:2 * S] = pos
+    sched = np.zeros((S * pps + S + 1,), np.int32)
+    pages = sched[:S * pps].reshape(S, pps)
     for i in range(S):
-        pi[i, :16] = np.arange(i * 16, (i + 1) * 16)
-    page_indices = jnp.asarray(pi)
-    kv_capacity = jnp.full((S,), 16 * bs, jnp.int32)
-    num_seqs = jnp.asarray([S], jnp.int32)
+        pages[i, :pages_per_seq] = np.arange(i * pages_per_seq,
+                                             (i + 1) * pages_per_seq)
+    sched[S * pps:S * pps + S] = pages_per_seq * runner.block_size
+    sched[S * pps + S] = S
+    return jnp.asarray(carry), jnp.asarray(sched)
+
+
+def time_window(runner, flags, tensors_dev, num_steps, label):
+    import os
+    S = int(os.environ.get("PROF_S", "64"))
+    carry, sched = make_window_inputs(runner, S)
 
     fn = runner._get_multi_step_fn(flags, num_steps)
     kv = runner.kv_pages
-    out = fn(runner.params, kv, token_ids, positions, page_indices,
-             kv_capacity, num_seqs, tensors_dev,
-             jnp.asarray(0, jnp.int32))
+    out = fn(runner.params, kv, carry, sched, tensors_dev)
     jax.block_until_ready(out)
-    kv = out[0]
+    kv, carry = out[0], out[1]
     iters = 5
     t0 = time.monotonic()
     for _ in range(iters):
-        out = fn(runner.params, kv, token_ids, positions, page_indices,
-                 kv_capacity, num_seqs, tensors_dev,
-                 jnp.asarray(0, jnp.int32))
-        kv = out[0]
+        out = fn(runner.params, kv, carry, sched, tensors_dev)
+        kv, carry = out[0], out[1]
     jax.block_until_ready(out)
     dt = (time.monotonic() - t0) / iters / num_steps
     runner.kv_pages = kv
@@ -85,10 +92,12 @@ def main():
                                                  build_sampling_tensors)
     sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
                         detokenize=False)
+    import os
+    S = int(os.environ.get("PROF_S", "64"))
     rows = [SamplerInputRow(params=sp, token_ids=[1] * 8, prompt_len=8,
                             generated_len=0, seed=1, eos_token_id=2)
-            for _ in range(64)]
-    tensors, flags, _, _ = build_sampling_tensors(rows, 64, 32000,
+            for _ in range(S)]
+    tensors, flags, _, _ = build_sampling_tensors(rows, S, 32000,
                                                   history_pad=8)
     tensors_dev = jax.tree.map(jnp.asarray, tensors)
 

@@ -37,31 +37,23 @@ def main():
     tensors_dev = jax.tree.map(jnp.asarray, tensors)
 
     S = len(rows)
-    token_ids = jnp.ones((S,), jnp.int32)
-    positions = jnp.full((S,), 150, jnp.int32)
-    pi = np.zeros((S, runner.pages_per_seq), np.int32)
-    for i in range(S):
-        pi[i, :16] = np.arange(i * 16, (i + 1) * 16)
-    page_indices = jnp.asarray(pi)
-    kv_capacity = jnp.full((S,), 16 * runner.block_size, jnp.int32)
-    num_seqs = jnp.asarray([S], jnp.int32)
+    from tools.profile_step_ablation import make_window_inputs
+    carry, sched = make_window_inputs(runner, S)
 
     fn = runner._get_multi_step_fn(flags, 32)
 
-    def call(kv):
-        return fn(runner.params, kv, token_ids, positions, page_indices,
-                  kv_capacity, num_seqs, tensors_dev,
-                  jnp.asarray(0, jnp.int32))
+    def call(kv, carry):
+        return fn(runner.params, kv, carry, sched, tensors_dev)
 
-    out = call(runner.kv_pages)
+    out = call(runner.kv_pages, carry)
     jax.block_until_ready(out)
-    kv = out[0]
+    kv, carry = out[0], out[1]
 
     tmp = tempfile.mkdtemp()
     with jax.profiler.trace(tmp):
         for _ in range(3):
-            out = call(kv)
-            kv = out[0]
+            out = call(kv, carry)
+            kv, carry = out[0], out[1]
         jax.block_until_ready(out)
 
     paths = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"),

@@ -30,34 +30,24 @@ def main():
             for _ in range(64)]
 
     S = 64
+    from tools.profile_step_ablation import make_window_inputs
     for it in range(6):
         t0 = time.monotonic()
         tensors, flags, _, _ = build_sampling_tensors(rows, S, 32000,
                                                       history_pad=8)
         tensors_dev = jax.tree.map(jnp.asarray, tensors)
-        token_ids = np.ones((S,), np.int32)
-        positions = np.full((S,), 150, np.int32)
-        pi = np.zeros((S, runner.pages_per_seq), np.int32)
-        for i in range(S):
-            pi[i, :16] = np.arange(i * 16, (i + 1) * 16)
-        kv_capacity = np.full((S,), 16 * runner.block_size, np.int32)
-        tok_dev = jnp.asarray(token_ids)
-        pos_dev = jnp.asarray(positions)
-        pages_dev = jnp.asarray(pi)
-        cap_dev = jnp.asarray(kv_capacity)
-        num_seqs = jnp.asarray([S], np.int32)
-        jax.block_until_ready(cap_dev)
+        carry, sched = make_window_inputs(runner, S)
+        jax.block_until_ready(sched)
         t1 = time.monotonic()
 
         fn = runner._get_multi_step_fn(flags, 32)
-        out = fn(runner.params, runner.kv_pages, tok_dev, pos_dev,
-                 pages_dev, cap_dev, num_seqs, tensors_dev,
-                 jnp.asarray(0, jnp.int32))
+        out = fn(runner.params, runner.kv_pages, carry, sched,
+                 tensors_dev)
         runner.kv_pages = out[0]
         jax.block_until_ready(out[1:])
         t2 = time.monotonic()
 
-        raw = np.asarray(out[3])  # single packed window buffer
+        raw = np.asarray(out[2])  # single packed window buffer
         t3 = time.monotonic()
         from aphrodite_tpu.worker.model_runner import _unpack_step_outputs
         _ = _unpack_step_outputs(raw, 32, S, flags.max_logprobs, S)
