@@ -613,6 +613,64 @@ class LlamaForCausalLM:
         reference's in-kernel scale multiplies
         (kernels/attention/attention_kernels.cu fp8/int8 paths).
         """
+        x, layer_fn = self._embed_and_layer_fn(
+            params, batch, mesh=mesh,
+            use_attention_kernel=use_attention_kernel, lora=lora)
+        layer_params = params["layers"]
+        use_lora = lora is not None and batch.lora_sorted_idx is not None
+
+        k_scales, v_scales = kv_scales if kv_scales is not None else (None,
+                                                                      None)
+        lora_scan = lora if use_lora else None
+
+        def scan_body(x, pages, slots, pidx, sc):
+            # rope/blocksparse masks None keeps the scanned pytree
+            # unchanged (and the compiled graph identical) for models
+            # without per-layer heterogeneity.
+            return layer_fn(x, pages, slots, pidx, (*sc, None, None))
+
+        pp = self.parallel_config.pipeline_parallel_size
+        if pp > 1 and mesh is not None:
+            x, new_kv_pages = self._layers_pipeline(
+                scan_body, x, layer_params, kv_pages, k_scales, v_scales,
+                lora_scan, batch, mesh, pp)
+        elif getattr(self, "bskcn", None) is not None:
+            # Solar-style backbone skip connections: the layer stack runs
+            # as scans over segments, with snapshot/blend ops at the
+            # (static) bskcn layer indices between segments.
+            x, new_kv_pages = self._layers_bskcn(
+                scan_body, x, kv_pages,
+                (layer_params, k_scales, v_scales, lora_scan), batch)
+        elif (self.rope_layer_mask is not None
+              or self.bs_layer_mask is not None):
+            # lax.scan carries None xs channels as empty pytrees, so
+            # absent masks pass through as None per step.
+            x, new_kv_pages = scan_layers_paged(
+                layer_fn, x, kv_pages,
+                (layer_params, k_scales, v_scales, lora_scan,
+                 self.rope_layer_mask, self.bs_layer_mask), batch)
+        else:
+            x, new_kv_pages = scan_layers_paged(
+                scan_body, x, kv_pages,
+                (layer_params, k_scales, v_scales, lora_scan), batch)
+        if not getattr(self, "skip_final_norm", False):
+            x = self._norm(x, params.get("final_norm"),
+                           params.get("final_norm_b"))
+        return new_kv_pages, x
+
+    def _embed_and_layer_fn(
+        self,
+        params: Dict[str, Any],
+        batch: ForwardBatch,
+        *,
+        mesh: Optional[Mesh] = None,
+        use_attention_kernel: Optional[bool] = None,
+        lora: Optional[Dict[str, Any]] = None,
+    ):
+        """Per-batch forward preamble: token embedding (+ positional
+        machinery) and the layer-body closure. Factored out of `forward`
+        so the pipelined multi-batch path (`forward_pipelined`) can build
+        an independent layer body per in-flight sub-batch."""
         NH, NKV, D = (self.num_heads_padded, self.num_kv_heads_padded,
                       self.head_dim)
         x = params["embed"][batch.token_ids]  # [T, H]
@@ -780,44 +838,7 @@ class LlamaForCausalLM:
                 x = x + ff
             return x, pages
 
-        k_scales, v_scales = kv_scales if kv_scales is not None else (None,
-                                                                      None)
-        lora_scan = lora if use_lora else None
-
-        def scan_body(x, pages, slots, pidx, sc):
-            # rope/blocksparse masks None keeps the scanned pytree
-            # unchanged (and the compiled graph identical) for models
-            # without per-layer heterogeneity.
-            return layer_fn(x, pages, slots, pidx, (*sc, None, None))
-
-        pp = self.parallel_config.pipeline_parallel_size
-        if pp > 1 and mesh is not None:
-            x, new_kv_pages = self._layers_pipeline(
-                scan_body, x, layer_params, kv_pages, k_scales, v_scales,
-                lora_scan, batch, mesh, pp)
-        elif getattr(self, "bskcn", None) is not None:
-            # Solar-style backbone skip connections: the layer stack runs
-            # as scans over segments, with snapshot/blend ops at the
-            # (static) bskcn layer indices between segments.
-            x, new_kv_pages = self._layers_bskcn(
-                scan_body, x, kv_pages,
-                (layer_params, k_scales, v_scales, lora_scan), batch)
-        elif (self.rope_layer_mask is not None
-              or self.bs_layer_mask is not None):
-            # lax.scan carries None xs channels as empty pytrees, so
-            # absent masks pass through as None per step.
-            x, new_kv_pages = scan_layers_paged(
-                layer_fn, x, kv_pages,
-                (layer_params, k_scales, v_scales, lora_scan,
-                 self.rope_layer_mask, self.bs_layer_mask), batch)
-        else:
-            x, new_kv_pages = scan_layers_paged(
-                scan_body, x, kv_pages,
-                (layer_params, k_scales, v_scales, lora_scan), batch)
-        if not getattr(self, "skip_final_norm", False):
-            x = self._norm(x, params.get("final_norm"),
-                           params.get("final_norm_b"))
-        return new_kv_pages, x
+        return x, layer_fn
 
     def _layers_bskcn(self, layer_fn, x, kv_pages, scanned, batch):
         """Segmented layer execution for Solar bskcn skip connections
@@ -903,6 +924,123 @@ class LlamaForCausalLM:
             check_vma=False,
         )
         return fn(layer_params, kv_pages, k_scales, v_scales, lora_scan, x)
+
+    @property
+    def supports_pipelined(self) -> bool:
+        """Whether forward_pipelined covers this model's layer stack.
+        Subclasses with a custom ``forward`` (MLA, per-layer embedding
+        scaling, ...) and Solar bskcn segments (snapshot/blend ops
+        between scans) are excluded — their step semantics are not the
+        plain embed + homogeneous-layer-scan the wrap-around schedule
+        reuses."""
+        return (type(self).forward is LlamaForCausalLM.forward
+                and getattr(self, "bskcn", None) is None)
+
+    def forward_pipelined(
+        self,
+        params: Dict[str, Any],
+        kv_pages: jax.Array,
+        batches: ForwardBatch,  # leaves stacked [M, ...]
+        *,
+        mesh: Mesh,
+        kv_scales: Optional[Tuple[jax.Array, jax.Array]] = None,
+        use_attention_kernel: Optional[bool] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Microbatched pipeline-parallel forward (prefill path).
+
+        Runs M microbatches through pp stages in ONE program with the
+        classic wrap-around schedule: at step t, stage s processes
+        microbatch t-s, then hands activations to stage s+1 via
+        ppermute. After the pp-1-step fill, every stage's MXU is busy —
+        this is the throughput point of PP that the plain staged
+        execution (_layers_pipeline) lacks, and the TPU-native answer to
+        the reference's virtual-engine microbatch overlap
+        (aphrodite_engine.py:1056-1059, worker_base.py:291-330).
+
+        Microbatches are cuts of the flat token stream; a cut may fall
+        mid-sequence, which is exactly chunked-prefill semantics: the
+        schedule guarantees microbatch m-1 leaves stage s before m
+        arrives, so the later chunk's attention reads KV the earlier
+        chunk already wrote. Idle (fill/drain) stages run on zeros with
+        their KV writes routed to the trash page.
+
+        Returns (new_kv_pages, hidden[M, T_mb, H]).
+        """
+        from jax.sharding import PartitionSpec as P
+
+        pp = self.parallel_config.pipeline_parallel_size
+        M = batches.token_ids.shape[0]
+        k_scales, v_scales = kv_scales if kv_scales is not None else (None,
+                                                                      None)
+        layer_params = params["layers"]
+        other_params = {k: v for k, v in params.items() if k != "layers"}
+
+        def body(local_layers, local_kv, local_ks, local_vs, local_masks,
+                 other, bst):
+            my = jax.lax.axis_index("pipe")
+            perm = [(i, (i + 1) % pp) for i in range(pp)]
+            pages_per_layer = local_kv.shape[1]
+            page_size = local_kv.shape[2]
+            t_mb = bst.token_ids.shape[1]
+            trash = ((pages_per_layer - 1) * page_size +
+                     (jnp.arange(t_mb, dtype=jnp.int32) % page_size))
+            rope_mask, bs_mask = local_masks
+
+            def step_fn(carry, t):
+                x_cur, kv, out = carry
+                m = t - my
+                active = (m >= 0) & (m < M)
+                m_c = jnp.clip(m, 0, M - 1)
+                batch_m = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, m_c, 0, keepdims=False), bst)
+                # Idle (fill/drain) stages scatter into the trash page.
+                batch_m = batch_m._replace(slot_mapping=jnp.where(
+                    active, batch_m.slot_mapping, trash))
+                full_params = dict(other)
+                full_params["layers"] = local_layers
+                x_emb, layer_fn = self._embed_and_layer_fn(
+                    full_params, batch_m, mesh=mesh,
+                    use_attention_kernel=use_attention_kernel)
+                # Stage 0 injects the fresh microbatch; later stages
+                # continue the activations handed over by ppermute.
+                x_in = jnp.where(my == 0, x_emb, x_cur)
+                x_o, kv = scan_layers_paged(
+                    layer_fn, x_in, kv,
+                    (local_layers, local_ks, local_vs, None, rope_mask,
+                     bs_mask), batch_m)
+                take = active & (my == pp - 1)
+                out = out.at[m_c].set(jnp.where(take, x_o, out[m_c]))
+                x_nxt = jax.lax.ppermute(x_o, "pipe", perm)
+                return (x_nxt, kv, out), None
+
+            h = other["embed"].shape[-1]
+            x0 = jnp.zeros((t_mb, h), self.dtype)
+            out0 = jnp.zeros((M, t_mb, h), self.dtype)
+            (_, kv, out), _ = jax.lax.scan(
+                step_fn, (x0, local_kv, out0),
+                jnp.arange(M + pp - 1, dtype=jnp.int32))
+            # Finished microbatches live on the last stage; psum
+            # replicates them (all other stages contribute zeros).
+            out = jax.lax.psum(out, "pipe")
+            return out, kv
+
+        masks = (self.rope_layer_mask, self.bs_layer_mask)
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("pipe"), P("pipe"), P("pipe"), P("pipe"),
+                      P("pipe"), P(), P()),
+            out_specs=(P(), P("pipe")),
+            axis_names={"pipe"},
+            check_vma=False,
+        )
+        x, new_kv_pages = fn(layer_params, kv_pages, k_scales, v_scales,
+                             masks, other_params, batches)
+        if not getattr(self, "skip_final_norm", False):
+            x = self._norm(x, params.get("final_norm"),
+                           params.get("final_norm_b"))
+        return new_kv_pages, x
 
     def qk_norm(self, q: jax.Array, k: jax.Array,
                 lp: Dict[str, Any]) -> Tuple[jax.Array, jax.Array]:

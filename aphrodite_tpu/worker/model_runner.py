@@ -237,6 +237,8 @@ class ModelRunner:
         # per sequence id.
         self.hidden_proposer = None
         self._pending_props: Dict[int, np.ndarray] = {}
+        # Steps served by the microbatched PP program (stats/tests).
+        self._pp_pipelined_steps = 0
         spec_cfg = engine_config.speculative_config
         if spec_cfg is not None and spec_cfg.method in (
                 "medusa", "mlp_speculator"):
@@ -591,6 +593,32 @@ class ModelRunner:
         if fn is not None:
             return fn
         fn = jax.jit(functools.partial(sample, flags=flags))
+        self._multi_step_fns[key] = fn
+        return fn
+
+    def _get_pp_step_fn(self, flags: SamplingFlags, num_microbatches: int):
+        """Microbatched pipeline-parallel step: M microbatches overlap
+        across the pp stages in one program (model.forward_pipelined),
+        then logits/sampling run on the flattened hidden stream. The
+        TPU answer to the reference's virtual-engine microbatch overlap
+        (aphrodite_engine.py:1056-1059)."""
+        key = ("pp_pipe", flags, num_microbatches)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+
+        def step(params, kv_pages, batches, logits_idx, tensors, history,
+                 history_lens, prompt_lens, guided_mask):
+            kv_pages, hidden = self.model.forward_pipelined(
+                params, kv_pages, batches, mesh=self.mesh,
+                kv_scales=self.kv_scales)
+            hs = hidden.reshape(-1, hidden.shape[-1])[logits_idx]
+            logits = self.model.compute_logits(params, hs)
+            out = sample(logits, tensors, flags, history, history_lens,
+                         prompt_lens, guided_mask=guided_mask)
+            return kv_pages, out
+
+        fn = jax.jit(step, donate_argnums=(1,))
         self._multi_step_fns[key] = fn
         return fn
 
@@ -950,6 +978,59 @@ class ModelRunner:
                            jnp.asarray(cross_lens)),
         )
 
+    def build_pipelined_batches(
+        self,
+        scheduled: List[ScheduledSequence],
+        num_microbatches: int,
+        padded_seqs: int,
+    ) -> Tuple[ForwardBatch, jax.Array]:
+        """Cut the step's flat token stream into M microbatches for the
+        pipeline-parallel wrap-around schedule (forward_pipelined).
+
+        Cuts are near-equal token counts and may fall mid-sequence: the
+        trailing part becomes a separate segment row in the next
+        microbatch with chunked-prefill semantics (its kv_len covers the
+        earlier segment, whose KV the pipeline has already written by
+        the time the later microbatch reaches any stage). Returns the
+        [M]-stacked ForwardBatch plus, for each ORIGINAL scheduled row,
+        the index of its last token in the flattened [M*T_mb] hidden
+        stream (for logits extraction in original row order).
+        """
+        from dataclasses import replace as dc_replace
+
+        M = num_microbatches
+        total = sum(ss.num_tokens for ss in scheduled)
+        cuts = [round(total * b / M) for b in range(M + 1)]
+        bins: List[List[ScheduledSequence]] = [[] for _ in range(M)]
+        bin_off = [0] * M
+        # (bin, local index of last token) per original row.
+        last_pos = np.zeros((len(scheduled), 2), np.int64)
+        off = 0
+        for i, ss in enumerate(scheduled):
+            lo, hi = off, off + ss.num_tokens
+            for b in range(M):
+                s = max(lo, cuts[b])
+                e = min(hi, cuts[b + 1])
+                if s >= e:
+                    continue
+                bins[b].append(
+                    dc_replace(ss, num_tokens=e - s,
+                               first_token_idx=ss.first_token_idx +
+                               (s - lo),
+                               do_sample=ss.do_sample and e == hi))
+                if e == hi:
+                    last_pos[i] = (b, bin_off[b] + (e - s) - 1)
+                bin_off[b] += e - s
+            off = hi
+        t_mb = _pad_to_bucket(max(bin_off), self.token_buckets)
+        s_mb = _pad_to_bucket(max(len(b) for b in bins), self.seq_buckets)
+        batches = [self.build_forward_batch(b, t_mb, s_mb) for b in bins]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        logits_idx = np.zeros((padded_seqs,), np.int32)
+        logits_idx[:len(scheduled)] = (last_pos[:, 0] * t_mb +
+                                       last_pos[:, 1])
+        return stacked, jnp.asarray(logits_idx)
+
     # ------------------------------------------------------------------
     # Execute
     # ------------------------------------------------------------------
@@ -1221,10 +1302,6 @@ class ModelRunner:
                 self._pending_props.pop(ss.seq.seq_id, None)
 
         total_tokens = sum(ss.num_tokens for ss in scheduled)
-        T = _pad_to_bucket(total_tokens, self.token_buckets)
-        batch = self.build_forward_batch(scheduled, T, S)
-        if lora_fields:
-            batch = batch._replace(**lora_fields)
 
         # Prompt logprobs: any prefill chunk of a requesting sequence
         # upgrades the program to compute full-stream logprobs.
@@ -1233,6 +1310,52 @@ class ModelRunner:
             plp = ss.group.sampling_params.prompt_logprobs
             if plp is not None and ss.seq.is_prefill:
                 max_plp = max(max_plp, min(int(plp) or 1, 32), 1)
+
+        history_lens = prompt_lens = None
+        if flags.needs_history:
+            history = jnp.asarray(history)
+            history_lens = jnp.asarray(hl[0])
+            prompt_lens = jnp.asarray(hl[1])
+        else:
+            history = None
+
+        # Microbatched pipeline parallelism: prefill-carrying batches
+        # split into pp token-stream cuts that overlap across stages
+        # (forward_pipelined wrap-around schedule). Decode-only batches
+        # stay on the plain staged path — decode is weight-bound, so
+        # re-reading each stage's weights per microbatch would lose.
+        pp = self.parallel_config.pipeline_parallel_size
+        if (pp > 1 and self.mesh is not None
+                and outputs.num_prefill_tokens > 0
+                and max_plp == 0 and not has_procs and not has_lora
+                and self.draft_model is None and not self.is_encdec
+                and not self.model_is_mrope
+                and getattr(self.model, "supports_pipelined", False)
+                and not any(ss.seq.mm_spans for ss in scheduled)
+                and total_tokens >= pp * 4 * self.block_size):
+            batches, logits_idx = self.build_pipelined_batches(
+                scheduled, pp, S)
+            pp_fn = self._get_pp_step_fn(flags, pp)
+            self.kv_pages, out = pp_fn(
+                self.params, self.kv_pages, batches, logits_idx,
+                tensors_dev, history, history_lens, prompt_lens,
+                guided_mask)
+            self._pp_pipelined_steps += 1
+            n = len(scheduled)
+            return StepResult(
+                sampled=np.asarray(out.sampled)[None, :n],
+                sampled_logprob=np.asarray(out.sampled_logprob)[None, :n],
+                sampled_rank=np.asarray(out.sampled_rank)[None, :n],
+                topk_ids=np.asarray(out.topk_ids)[None, :n],
+                topk_logprobs=np.asarray(out.topk_logprobs)[None, :n],
+                prompt=None,
+            )
+
+        T = _pad_to_bucket(total_tokens, self.token_buckets)
+        batch = self.build_forward_batch(scheduled, T, S)
+        if lora_fields:
+            batch = batch._replace(**lora_fields)
+
         target_ids = None
         if max_plp:
             flags = flags._replace(max_prompt_logprobs=max_plp)
@@ -1245,14 +1368,6 @@ class ModelRunner:
                     tgt[off + j] = ids[p] if p < len(ids) else 0
                 off += ss.num_tokens
             target_ids = jnp.asarray(tgt)
-
-        history_lens = prompt_lens = None
-        if flags.needs_history:
-            history = jnp.asarray(history)
-            history_lens = jnp.asarray(hl[0])
-            prompt_lens = jnp.asarray(hl[1])
-        else:
-            history = None
 
         carry_keys = None
         if self.eagle:

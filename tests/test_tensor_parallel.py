@@ -78,6 +78,36 @@ def test_pp2_matches_pp1(tiny_dir):
     assert got == expect
 
 
+def test_pp2_microbatched_prefill_matches_pp1(tiny_dir):
+    """Microbatched PP: prefill batches above the size threshold run the
+    wrap-around schedule (forward_pipelined) — pp token-stream cuts
+    overlapping across stages in one program, cuts falling mid-sequence
+    handled with chunked-prefill semantics. Tokens must be unchanged,
+    and the pipelined program must actually have served the prefill
+    step (step-level overlap, VERDICT item 8)."""
+    # Long prompts so one scheduled step carries >= pp*4*block_size
+    # prefill tokens (the pipelined-path threshold).
+    long_prompts = [
+        "the quick brown fox jumps over the lazy dog " * 6,
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 3,
+        "one two three four five six seven eight nine ten " * 5,
+    ]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    base = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=256, block_size=8,
+               max_model_len=512)
+    expect = [o.outputs[0].token_ids
+              for o in base.generate(long_prompts, sp)]
+    del base
+
+    pp2 = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=256, block_size=8,
+              max_model_len=512, pipeline_parallel_size=2)
+    got = [o.outputs[0].token_ids for o in pp2.generate(long_prompts, sp)]
+    assert pp2.engine.runner._pp_pipelined_steps > 0
+    assert got == expect
+
+
 def test_pp2_tp2_matches_single(tiny_dir):
     """Combined pipeline x tensor parallelism: the pipe stage body is a
     partial-manual shard_map over {"pipe"} with the attention op's
