@@ -142,6 +142,7 @@ def paged_decode_attention(
             scratch_shapes=[
                 pltpu.VMEM((2, G, C, ps, CKV, D), kv_pages.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1,), jnp.int32),  # cross-block slot parity
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -171,6 +172,7 @@ def _decode_kernel(
     # scratch
     kv_bufs,  # [2, G, C, ps, CKV, D]
     sems,  # DMA[2]
+    start_slot_ref,  # SMEM i32[1]: this block's first wave's buffer slot
     *,
     G, C, KV, QG, ps, sm_scale, sliding_window, soft_cap, use_alibi,
     max_waves,
@@ -181,26 +183,36 @@ def _decode_kernel(
     CKV = 2 * KV
     QH = KV * QG
     Tw = C * ps
-    # Score-matrix geometry: rows m = g*QH + qh (all query heads of the
-    # group), columns n = (g*Tw + tok)*KV + h (the packed K/V buffer's
-    # natural flat row order — no strided slicing).
-    N = G * Tw * KV
-    M = G * QH
 
-    def issue_wave(wave, slot):
-        """Start validity-gated page copies for one wave (G*C pages)."""
+    def issue_wave(wave, slot, base):
+        """Start validity-gated page copies for one wave (G*C pages) of
+        the sequence group starting at `base`.
+
+        Slots whose page is past kv_len are ZERO-FILLED instead of
+        copied: the scratch otherwise holds stale bits from earlier grid
+        steps (arbitrary at program start — possibly NaN patterns),
+        which would poison the masked softmax through 0 * NaN. A 64KB
+        vector store per skipped slot is far cheaper than the full
+        [2N, D] jnp.where sanitization pass this replaces (measured
+        ~40% of kernel time at bench shapes).
+        """
         for g in range(G):
             for c in range(C):
                 pidx = wave * C + c
+                valid = pidx * ps < kv_lens_sref[base + g]
 
-                @pl.when(pidx * ps < kv_lens_sref[seq0 + g])
+                @pl.when(valid)
                 def _():
-                    page = page_idx_sref[seq0 + g, pidx]
+                    page = page_idx_sref[base + g, pidx]
                     pltpu.make_async_copy(
                         kv_hbm_ref.at[page],
                         kv_bufs.at[slot, g, c],
                         sems.at[slot],
                     ).start()
+
+                @pl.when(jnp.logical_not(valid))
+                def _():
+                    kv_bufs[slot, g, c] = jnp.zeros_like(kv_bufs[slot, g, c])
 
     def wait_wave(wave, slot):
         for g in range(G):
@@ -221,79 +233,90 @@ def _decode_kernel(
         0, G, lambda g, m: jnp.maximum(m, kv_lens_sref[seq0 + g]), 0)
     num_waves = lax.div(max_kv + Tw - 1, Tw)
 
-    issue_wave(0, 0)
+    # Cross-block wave-0 prefetch: each block issues the NEXT block's
+    # first wave during its own last wave, so the DMA engine never
+    # drains between grid steps (removed a ~20% per-call bubble at
+    # bench shapes). The double-buffer slot parity therefore carries
+    # across blocks through SMEM: block b+1 starts on the slot opposite
+    # the one block b last consumed.
+    num_blocks = pl.num_programs(0)
 
-    # K/V extraction lanes. bf16 pages pack the adjacent (K, V) rows of
-    # one head into one uint32 lane (one lane covering all N columns);
-    # 8-bit pages (int8 / fp8 KV cache) pack FOUR adjacent rows
-    # (K_a, V_a, K_b, V_b) per uint32, yielding two half-width lanes
-    # whose logical column index is n = 2*m + h for lane h. Each lane
-    # carries its own column metadata; the online softmax runs over the
-    # union of lanes, so the math is lane-count invariant.
+    @pl.when(blk == 0)
+    def _():
+        start_slot_ref[0] = 0
+        issue_wave(0, 0, seq0)
+
+    start_slot = start_slot_ref[0]
+    next_start = lax.rem(start_slot + num_waves, 2)
+    start_slot_ref[0] = next_start
+
+    @pl.when(jnp.logical_and(num_waves == 0, blk + 1 < num_blocks))
+    def _():
+        # Fully-dead group: no wave loop runs, so hand the prefetch on
+        # here (into this block's own start slot — nothing consumed it).
+        issue_wave(0, start_slot, seq0 + G)
+
+    # ----------------------------------------------------------------
+    # Per-SEQUENCE score matmuls over the wave buffer.
+    #
+    # Each sequence's pages sit in a CONTIGUOUS [C, ps, CKV, D] block of
+    # the scratch, so per-seq K/V extraction is a plain uint32
+    # deinterleave of that block (no strided sublane gathers — a
+    # per-kv-head decomposition was measured 2x SLOWER than the merged
+    # [M, N] form because slicing head h out of the CKV-interleaved
+    # buffer costs a 16-way relayout per head). Scores per seq are
+    # [QH, Tw*KV]: the cross-SEQUENCE masked waste of the merged
+    # formulation (a G-fold factor of pure -inf exp/mask work) is gone;
+    # only the cross-kv-head KV-fold waste remains, which is what keeps
+    # the matmul wide enough to stay MXU-shaped. Net: softmax/mask VPU
+    # work drops G-fold (8x at bench shapes) for identical MXU tile
+    # counts, pushing the kernel to the measured pure-DMA gather floor.
+    # ----------------------------------------------------------------
     kv_dtype = kv_bufs.dtype
     quant8 = kv_dtype != jnp.bfloat16
-    # fp8 lanes re-interleave to the natural column order at the bit
-    # level (see extract_lanes), so only int8 needs the two-lane layout.
+    # 8-bit pages pack four adjacent rows (K_a, V_a, K_b, V_b) per
+    # uint32, yielding two half-width lanes with logical column
+    # n = 2*m + lane; bf16 and fp8 extract in natural order (1 lane).
     num_lanes = 2 if kv_dtype == jnp.int8 else 1
-    NL = N // num_lanes  # columns per lane
+    Nc = Tw * KV  # columns per seq: n = tok * KV + head
+    NL = Nc // num_lanes
 
-    # Wave-invariant score-mask metadata per lane. Column n owns (seq,
-    # token, kv-head) = (n // (Tw*KV), (n // KV) % Tw, n % KV); row m
-    # owns (seq, kv-head) = (m // QH, (m % QH) // QG). Per-column kv
-    # length is assembled from the SMEM prefetch scalars with G selects.
-    row_m = lax.broadcasted_iota(jnp.int32, (M, 1), 0)
-    row_seq = row_m // QH
-    row_head = (row_m % QH) // QG
+    # Wave-invariant column metadata per lane: col n owns
+    # (token, kv-head) = (n // KV, n % KV); row qh owns head qh // QG.
+    row_qh = lax.broadcasted_iota(jnp.int32, (QH, 1), 0)
+    row_head = row_qh // QG
 
     def lane_meta(h):
         col_n = (num_lanes * lax.broadcasted_iota(jnp.int32, (1, NL), 1)
                  + h)
-        col_seq = col_n // (Tw * KV)
-        col_tok_local = (col_n // KV) % Tw
-        col_head = col_n % KV
-        same_block = jnp.logical_and(row_seq == col_seq,
-                                     row_head == col_head)
-        kv_len_cols = jnp.zeros((1, NL), jnp.int32)
-        for g in range(G):
-            kv_len_cols = jnp.where(col_seq == g, kv_lens_sref[seq0 + g],
-                                    kv_len_cols)
-        # Same metadata in [NL, 1] orientation for the K/V zeroing mask
-        # (Mosaic cannot reshape an i1 vector across dims).
-        col_n1 = (num_lanes * lax.broadcasted_iota(jnp.int32, (NL, 1), 0)
-                  + h)
-        col_tok_local_n = (col_n1 // KV) % Tw
-        col_seq_n = col_n1 // (Tw * KV)
-        kv_len_n = jnp.zeros((NL, 1), jnp.int32)
-        for g in range(G):
-            kv_len_n = jnp.where(col_seq_n == g, kv_lens_sref[seq0 + g],
-                                 kv_len_n)
-        return (same_block, kv_len_cols, col_tok_local, col_tok_local_n,
-                kv_len_n)
+        col_tok = col_n // KV
+        same_head = row_head == (col_n % KV)  # [QH, NL]
+        return same_head, col_tok
 
     lanes_meta = [lane_meta(h) for h in range(num_lanes)]
 
     if use_alibi:
-        # Per-row slope in [M, 1] orientation (Mosaic cannot shape-cast
-        # [G, QH] -> [M, 1]): QH unrolled selects on m % QH.
-        row_qh = row_m % QH
-        slope_rows = jnp.zeros((M, 1), jnp.float32)
+        # Per-row slope in [QH, 1] orientation (Mosaic cannot shape-cast
+        # the [1, QH] input): QH unrolled selects.
+        slope_rows = jnp.zeros((QH, 1), jnp.float32)
         for qh in range(QH):
             slope_rows = jnp.where(row_qh == qh, slopes_ref[0, qh],
                                    slope_rows)
 
-    # Fold sm_scale into q up front: saves one [M, N] f32 multiply per
+    # Fold sm_scale into q up front: saves one [QH, N] f32 multiply per
     # wave (one bf16 rounding of q instead; well inside kernel tolerance).
-    q_all = (q_ref[...].reshape(M, D).astype(jnp.float32)
-             * sm_scale).astype(jnp.bfloat16)  # [G, QH, D] -> [M, D]
+    q_all = (q_ref[...].astype(jnp.float32)
+             * sm_scale).astype(jnp.bfloat16)  # [G, QH, D]
 
-    def extract_lanes(slot):
-        """Unpack the wave buffer into per-lane (k, v) bf16 matrices.
+    def extract_seq(slot, g):
+        """Per-lane (k, v) bf16 matrices for sequence g's wave block.
 
-        Flat uint32 view: adjacent bf16 (K, V) rows of one head pack into
-        one uint32 lane; 8-bit rows pack four-deep (K_a, V_a, K_b, V_b) —
-        same trick as the bundled ragged kernel's strided_load_kv.
+        Flat uint32 view of the contiguous [C, ps, CKV, D] block:
+        adjacent bf16 (K, V) rows of one head pack into one uint32;
+        8-bit rows pack four-deep — same trick as the bundled ragged
+        kernel's strided_load_kv.
         """
-        flat = kv_bufs.at[slot].reshape(2 * N, D)  # K/V rows
+        flat = kv_bufs.at[slot, g].reshape(Tw * CKV, D)
         b = flat.bitcast(jnp.uint32)[...]
         if not quant8:
             k = pltpu.bitcast(b << 16, jnp.float32).astype(jnp.bfloat16)
@@ -302,7 +325,7 @@ def _decode_kernel(
             return [(k, v)]
 
         if kv_dtype == jnp.int8:
-            def to_bf16(byte):  # byte value in the low 8 bits (garbage above)
+            def to_bf16(byte):  # byte value in the low 8 bits
                 i8 = pltpu.bitcast(byte.astype(jnp.uint8), jnp.int8)
                 return i8.astype(jnp.bfloat16)
 
@@ -318,15 +341,9 @@ def _decode_kernel(
         #   e5m2   (bias 15): bits = s<<15 | (em7 << 5), scale 2^112
         # Denormal fp8 inputs come out exactly right through the same
         # multiply (the bf16 intermediate is denormal); fp8 NaN maps to a
-        # large finite value, which a KV cache never holds. (Reference
+        # large finite value, which the score mask removes. (Reference
         # folds the equivalent conversion into its CUDA kernels via
         # dtype_fp8.cuh.)
-        #
-        # Both bytes of a lane pair are converted INSIDE one uint32 (low
-        # half = row 2m, high half = row 2m+1) and bitcast to bf16 once:
-        # no 16-bit repacking relayouts, and the result lands in the
-        # natural flat column order, so fp8 uses the same single-lane
-        # score pass as bf16.
         mshift = 4 if kv_dtype == jnp.float8_e4m3fn else 5
         scale = jnp.bfloat16(2.0 ** (120 if mshift == 4 else 112))
 
@@ -341,71 +358,76 @@ def _decode_kernel(
         return [(k, v)]
 
     def wave_body(wave, carry):
-        m_prev, l_prev, acc_prev = carry
-        slot = lax.rem(wave, 2)
+        ms, ls, accs = carry
+        slot = lax.rem(start_slot + wave, 2)
 
         @pl.when(wave + 1 < num_waves)
         def _():
-            issue_wave(wave + 1, 1 - slot)
+            issue_wave(wave + 1, 1 - slot, seq0)
+
+        @pl.when(jnp.logical_and(wave + 1 == num_waves,
+                                 blk + 1 < num_blocks))
+        def _():
+            issue_wave(0, 1 - slot, seq0 + G)
 
         wait_wave(wave, slot)
 
-        kv_lanes = extract_lanes(slot)
+        new_ms, new_ls, new_accs = [], [], []
+        for g in range(G):
+            kv_lanes = extract_seq(slot, g)
+            len_g = kv_lens_sref[seq0 + g]
+            q_g = q_all[g]  # [QH, D]
 
-        # Per-lane masked scores; online softmax over the lane union.
-        scores = []
-        for (k, v), meta in zip(kv_lanes, lanes_meta):
-            (same_block, kv_len_cols, col_tok_local, col_tok_local_n,
-             kv_len_n) = meta
-            col_pos = wave * Tw + col_tok_local  # absolute kv position
-            # Tokens past kv_len were never DMA'd: zero their K/V before
-            # the matmuls so buffer garbage (possibly NaN) can't poison
-            # scores through 0 * NaN (same guard as the bundled kernel).
-            tok_valid = (wave * Tw + col_tok_local_n) < kv_len_n
-            valid = jnp.logical_and(same_block, col_pos < kv_len_cols)
-            if sliding_window is not None:
-                valid = jnp.logical_and(
-                    valid, col_pos >= kv_len_cols - sliding_window)
-            neg = jnp.where(valid, 0.0, MASK_VALUE)  # [M, NL] f32
+            # Per-lane masked scores; online softmax over the lane union.
+            scores = []
+            for (k, v), (same_head, col_tok) in zip(kv_lanes, lanes_meta):
+                col_pos = wave * Tw + col_tok  # [1, NL]
+                valid = jnp.logical_and(same_head, col_pos < len_g)
+                if sliding_window is not None:
+                    valid = jnp.logical_and(
+                        valid, col_pos >= len_g - sliding_window)
+                neg = jnp.where(valid, 0.0, MASK_VALUE)  # [QH, NL]
 
-            k = jnp.where(tok_valid, k, jnp.bfloat16(0))
-            v = jnp.where(tok_valid, v, jnp.bfloat16(0))
+                s = jax.lax.dot_general(
+                    q_g, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [QH, NL]
+                if soft_cap is not None:
+                    s = soft_cap * jnp.tanh(s / soft_cap)
+                if use_alibi:
+                    # bias = slope_h * (pos - (kv_len - 1)); masked cols
+                    # don't care (MASK_VALUE dominates).
+                    dist = (col_pos.astype(jnp.float32)
+                            - (len_g.astype(jnp.float32) - 1.0))
+                    s += slope_rows * dist
+                s += neg
+                scores.append((s, v))
 
-            s = jax.lax.dot_general(
-                q_all, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [M, NL]
-            if soft_cap is not None:
-                s = soft_cap * jnp.tanh(s / soft_cap)
-            if use_alibi:
-                # bias = slope_h * (pos - (kv_len - 1)); masked cols
-                # don't care (MASK_VALUE dominates).
-                dist = (col_pos.astype(jnp.float32)
-                        - (kv_len_cols.astype(jnp.float32) - 1.0))
-                s += slope_rows * dist
-            s += neg
-            scores.append((s, v))
+            m_prev, l_prev, acc_prev = ms[g], ls[g], accs[g]
+            m_cur = scores[0][0].max(axis=1, keepdims=True)
+            for s, _ in scores[1:]:
+                m_cur = jnp.maximum(m_cur, s.max(axis=1, keepdims=True))
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)  # [QH, 1]
+            l_new = alpha * l_prev
+            pv = jnp.zeros_like(acc_prev)
+            for s, v in scores:
+                p = jnp.exp(s - m_new)  # [QH, NL]
+                l_new = l_new + jnp.sum(p, axis=1, keepdims=True)
+                pv = pv + jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [QH, D]
+            new_ms.append(m_new)
+            new_ls.append(l_new)
+            new_accs.append(alpha * acc_prev + pv)
+        return tuple(new_ms), tuple(new_ls), tuple(new_accs)
 
-        m_cur = scores[0][0].max(axis=1, keepdims=True)
-        for s, _ in scores[1:]:
-            m_cur = jnp.maximum(m_cur, s.max(axis=1, keepdims=True))
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)  # [M, 1]
-        l_new = alpha * l_prev
-        pv = jnp.zeros_like(acc_prev)
-        for s, v in scores:
-            p = jnp.exp(s - m_new)  # [M, NL]
-            l_new = l_new + jnp.sum(p, axis=1, keepdims=True)
-            pv = pv + jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [M, D]
-        acc_new = alpha * acc_prev + pv
-        return m_new, l_new, acc_new
-
-    init = (jnp.full((M, 1), -jnp.inf, jnp.float32),
-            jnp.zeros((M, 1), jnp.float32),
-            jnp.zeros((M, D), jnp.float32))
+    init = (
+        tuple(jnp.full((QH, 1), -jnp.inf, jnp.float32) for _ in range(G)),
+        tuple(jnp.zeros((QH, 1), jnp.float32) for _ in range(G)),
+        tuple(jnp.zeros((QH, D), jnp.float32) for _ in range(G)),
+    )
     ms, ls, accs = lax.fori_loop(0, num_waves, wave_body, init)
 
-    l_safe = jnp.where(ls == 0.0, 1.0, ls)
-    out = (accs / l_safe).astype(o_ref.dtype)  # [M, D]
-    o_ref[...] = out.reshape(G, QH, D)
+    for g in range(G):
+        l_safe = jnp.where(ls[g] == 0.0, 1.0, ls[g])
+        o_ref[g] = (accs[g] / l_safe).astype(o_ref.dtype)  # [QH, D]

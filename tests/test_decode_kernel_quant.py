@@ -68,12 +68,14 @@ def test_decode_kernel_quant_kv_matches_oracle(kv_dtype):
                                                      np.float32)).max()))
 
 
+@pytest.mark.parametrize("kv_dtype", [jnp.bfloat16, jnp.int8])
 @pytest.mark.parametrize("feature", ["window", "softcap", "alibi"])
-def test_decode_kernel_int8_kv_features(feature):
+def test_decode_kernel_int8_kv_features(feature, kv_dtype):
     rng = np.random.default_rng(11)
-    # KVH=1 exercises the odd-head lane split of the packed layout.
+    # KVH=1 exercises the odd-head lane split of the packed layout (and
+    # the QG=4 per-head path for bf16).
     q, kv, kvl, pij, cu, ns = _mk_batch(rng, 8, 8, 16, 1, 4, 128)
-    kvq = _cast_pages(kv, jnp.int8)
+    kvq = _cast_pages(kv, kv_dtype)
     kw = dict(window=dict(sliding_window=30),
               softcap=dict(soft_cap=30.0),
               alibi=dict(alibi_slopes=jnp.asarray(

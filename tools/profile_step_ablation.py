@@ -36,6 +36,8 @@ def build_llm():
     import os
     S = int(os.environ.get("PROF_S", "64"))
     return LLM(model=td, dtype="bfloat16", load_format="dummy",
+               quantization=os.environ.get("PROF_QUANT") or None,
+               kv_cache_dtype=os.environ.get("PROF_KV", "auto"),
                skip_tokenizer_init=True, max_num_seqs=S,
                max_num_batched_tokens=2048, block_size=16,
                num_scheduler_steps=32)
