@@ -54,7 +54,10 @@ import os as _os
 
 GROUP = int(_os.environ.get("APHRODITE_DECODE_GROUP", "8"))
 # KV pages per sequence per DMA wave (wave token width = C * page_size).
-PAGES_PER_CHUNK = 8
+# Smaller waves waste less DMA on the ragged tail past kv_len (the last
+# wave always fetches C full pages per live seq); larger waves amortize
+# issue overhead. Swept on-chip via tools/probe_attn_device.py.
+PAGES_PER_CHUNK = int(_os.environ.get("APHRODITE_DECODE_CHUNK", "4"))
 # VMEM budget for one kv double-buffer slot.
 _SLOT_BYTES_LIMIT = 4 * 1024 * 1024
 
@@ -325,9 +328,15 @@ def _decode_kernel(
             return [(k, v)]
 
         if kv_dtype == jnp.int8:
+            # int8 -> bf16 without width-changing astypes (each costs a
+            # sublane repack): bias the byte to unsigned, drop it into
+            # the mantissa of 2^23, and subtract (2^23 + 128) — all ops
+            # stay 32-bit wide; the only repack is the final f32->bf16
+            # round (exact: |int8| < 2^8 fits bf16's 8-bit significand).
             def to_bf16(byte):  # byte value in the low 8 bits
-                i8 = pltpu.bitcast(byte.astype(jnp.uint8), jnp.int8)
-                return i8.astype(jnp.bfloat16)
+                u = (byte & 0xFF) ^ 0x80  # biased to [0, 255]
+                f = pltpu.bitcast(u | jnp.uint32(0x4B000000), jnp.float32)
+                return (f - jnp.float32(8388736.0)).astype(jnp.bfloat16)
 
             return [(to_bf16(b >> (16 * h)), to_bf16(b >> (16 * h + 8)))
                     for h in range(2)]
@@ -347,14 +356,16 @@ def _decode_kernel(
         mshift = 4 if kv_dtype == jnp.float8_e4m3fn else 5
         scale = jnp.bfloat16(2.0 ** (120 if mshift == 4 else 112))
 
-        def pair_to_bf16(lo_byte, hi_byte):
-            lo = (((lo_byte & 0x80) << 8) | ((lo_byte & 0x7F) << mshift))
-            hi = (((hi_byte & 0x80) << 24)
-                  | ((hi_byte & 0x7F) << (16 + mshift)))
-            return pltpu.bitcast(lo | hi, jnp.bfloat16) * scale  # [2r, D]
+        def pair_to_bf16(dw):
+            # Convert bytes 0 and 2 of each uint32 in one masked pass
+            # (signs and magnitudes of both bytes share an AND+shift),
+            # landing them in the u32's two bf16 halves.
+            sgn = (dw & jnp.uint32(0x00800080)) << 8
+            mag = (dw & jnp.uint32(0x007F007F)) << mshift
+            return pltpu.bitcast(sgn | mag, jnp.bfloat16) * scale
 
-        k = pair_to_bf16(b, b >> 16)
-        v = pair_to_bf16(b >> 8, b >> 24)
+        k = pair_to_bf16(b)
+        v = pair_to_bf16(b >> 8)
         return [(k, v)]
 
     def wave_body(wave, carry):

@@ -79,11 +79,14 @@ def make_inputs(kv_dtype):
     return q, kv_pages, kv_lens, page_indices, ns
 
 
-def run_grouped(group, kv_dtype):
+def run_grouped(group, kv_dtype, chunk=None):
     from aphrodite_tpu.ops import decode_attention as da
 
     old = da.GROUP
+    oldc = da.PAGES_PER_CHUNK
     da.GROUP = group
+    if chunk:
+        da.PAGES_PER_CHUNK = chunk
     try:
         q, kv_pages, kv_lens, page_indices, ns = make_inputs(kv_dtype)
 
@@ -100,9 +103,11 @@ def run_grouped(group, kv_dtype):
         fn = jax.jit(step)
         agg, cnt = trace_device_ms(
             fn, (q, kv_pages, kv_lens, page_indices, ns))
-        report(f"grouped G={group} kv={kv_dtype}", agg, cnt)
+        report(f"grouped G={group} C={chunk or oldc} kv={kv_dtype}",
+               agg, cnt)
     finally:
         da.GROUP = old
+        da.PAGES_PER_CHUNK = oldc
 
 
 def run_ragged(kv_dtype):
@@ -148,9 +153,13 @@ def report(tag, agg, cnt):
 def main():
     print(f"backend: {jax.default_backend()}  S={S} KV_LEN={KV_LEN}")
     kv_dtype = os.environ.get("PROBE_KV_DTYPE", "bf16")
-    for g in [int(x) for x in
-              os.environ.get("PROBE_GROUPS", "8,4,2").split(",") if x]:
-        run_grouped(g, kv_dtype)
+    for spec in [x for x in
+                 os.environ.get("PROBE_GROUPS", "8,4,2").split(",") if x]:
+        if ":" in spec:
+            g, c = spec.split(":")
+            run_grouped(int(g), kv_dtype, int(c))
+        else:
+            run_grouped(int(spec), kv_dtype)
     if os.environ.get("PROBE_RAGGED", "0") == "1":
         run_ragged(kv_dtype)
 

@@ -1,7 +1,6 @@
-"""Full-model-shaped quant matmul benchmark: 24-layer scan in ONE jit.
-
-Single-op microbenchmarks are floor-bound (~25-35us/dispatch through
-the device relay), so this times what the model actually runs: a
+"""Full-model-shaped quant matmul benchmark: 24-layer scan in ONE jit,
+timed from the DEVICE trace (wall clock through the relay is unusable —
+see tools/trace_util.py). Times what the model actually runs: a
 lax.scan over L=24 layers of the four linear sites (qkv, wo, gateup,
 down) with stacked [L, ...] weights, per weight format:
 
@@ -135,42 +134,45 @@ def weight_bytes(fmt, fused):
 
 
 def run(fmt, fused, rng):
+    from tools.trace_util import trace_device_ms, top_ops
+
     mm = matmul_for(fmt)
     params = build_params(fmt, rng, fused=fused)
 
-    def step(params, x):
-        def layer(x, p):
-            if fused:
-                a = mm(x, p["wqkv"])[:, :2048].astype(jnp.bfloat16)
-            else:
-                a = mm(x, p["wq"]).astype(jnp.bfloat16)
-                mm(x, p["wk"])
-                mm(x, p["wv"])
-            x = x + mm(a, p["wo"]).astype(jnp.bfloat16)
-            if fused:
-                g = mm(x, p["w13"])
-                h = jax.nn.silu(g[:, :F]) * g[:, F:]
-            else:
-                h = jax.nn.silu(mm(x, p["w1"])) * mm(x, p["w3"])
-            x = x + mm(h.astype(jnp.bfloat16), p["w2"]).astype(jnp.bfloat16)
-            return x, None
+    def step(x, p):
+        if fused:
+            a = mm(x, p["wqkv"])[:, :2048].astype(jnp.bfloat16)
+        else:
+            a = (mm(x, p["wq"]) + 0.01 * mm(x, p["wk"]).sum()
+                 + 0.01 * mm(x, p["wv"]).sum()).astype(jnp.bfloat16)
+        x = x + mm(a, p["wo"]).astype(jnp.bfloat16)
+        if fused:
+            g = mm(x, p["w13"])
+            h = jax.nn.silu(g[:, :F]) * g[:, F:]
+        else:
+            h = jax.nn.silu(mm(x, p["w1"])) * mm(x, p["w3"])
+        x = x + mm(h.astype(jnp.bfloat16), p["w2"]).astype(jnp.bfloat16)
+        # keep magnitudes bounded across layers
+        x = x / jnp.maximum(
+            1.0, jnp.max(jnp.abs(x)) / 4.0).astype(jnp.bfloat16)
+        return x, None
 
-        x, _ = jax.lax.scan(layer, x, params)
-        return x
-
-    def multi(params, x):
-        def it(x, _):
-            return step(params, x), None
-        x, _ = jax.lax.scan(it, x, None, length=4)
+    def fwd(x, params):
+        x, _ = jax.lax.scan(step, x, params)
         return x
 
     x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
-    t = timeit(jax.jit(multi), params, x) / 4
+    fn = jax.jit(fwd)
+    agg, cnt = trace_device_ms(fn, (x, params), n_calls=3)
+    total = sum(v for k, v in agg.items() if k.startswith("jit_")) / 3
     wb = weight_bytes(fmt, fused)
     tag = fmt + ("" if fused else " (split)")
-    print(f"  {tag:22s}: {t*1e3:8.3f} ms/step   "
-          f"({wb/1e6:6.0f} MB wts -> {wb/t/1e9:6.0f} GB/s)")
-    return t
+    print(f"  {tag:22s}: {total:8.3f} ms/step   "
+          f"({wb/1e6:6.0f} MB wts -> {wb/(total/1e3)/1e9:6.0f} GB/s)")
+    if os.environ.get("QMB_TOPOPS", "0") == "1":
+        for k, v, c in top_ops(agg, cnt, 6):
+            print(f"      {v/3*1e3:9.1f} us/call-set x{c:4d}  {k[:64]}")
+    return total
 
 
 def main():
