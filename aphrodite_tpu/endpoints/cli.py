@@ -19,6 +19,12 @@ def _add_serve_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=2242)
     parser.add_argument("--served-model-name", type=str, default=None)
+    parser.add_argument("--engine-subprocess", action="store_true",
+                        help="run the engine (and the TPU/XLA runtime) "
+                             "in a child process so an engine crash "
+                             "cannot kill the HTTP frontend (reference "
+                             "MQAphroditeEngine; set "
+                             "APHRODITE_ENGINE_SUBPROCESS=1 to force)")
     parser.add_argument("--api-keys", type=str, default=None,
                         help="comma-separated list of accepted API keys")
     parser.add_argument("--admin-key", type=str, default=None,
@@ -50,7 +56,9 @@ def _run(args: argparse.Namespace) -> None:
     asyncio.run(
         run_server(engine_args, host=args.host, port=args.port,
                    served_model_names=served, api_keys=api_keys,
-                   admin_key=args.admin_key))
+                   admin_key=args.admin_key,
+                   engine_in_subprocess=getattr(
+                       args, "engine_subprocess", False)))
 
 
 def _complete(args: argparse.Namespace) -> None:

@@ -36,6 +36,18 @@ logger = init_logger(__name__)
 DEFAULT_PORT = 2242
 
 
+def _request_error(e: BaseException) -> web.Response:
+    """Map an add_request failure: a dead engine is a 503 (the server
+    stays up — reference server/launch.py:17 keep-alive semantics), any
+    other admission failure a 400."""
+    from aphrodite_tpu.engine.async_engine import AsyncEngineDeadError
+
+    if isinstance(e, AsyncEngineDeadError):
+        return _error(f"engine is dead: {e}", status=503,
+                      err_type="internal_error")
+    return _error(str(e))
+
+
 def _error(message: str, status: int = 400,
            err_type: str = "invalid_request_error") -> web.Response:
     body = ErrorResponse(message=message, type=err_type,
@@ -54,6 +66,10 @@ class OpenAIServer:
         self.engine = async_engine.engine
         self.tokenizer = self.engine.tokenizer
         self.model_config = self.engine.model_config
+        # True when the engine lives in a child process (MPAsyncEngine):
+        # engine methods then return awaitables (see _eng).
+        self._mp_engine = hasattr(async_engine, "utility")
+        self._engine_cls = type(async_engine)
         names = served_model_names or [self.model_config.model]
         self.served_model_names = names
         self.api_keys = api_keys
@@ -135,6 +151,17 @@ class OpenAIServer:
     # Simple routes
     # ------------------------------------------------------------------
 
+    async def _eng(self, name, *args, **kwargs):
+        """Call an engine method in either mode: directly in-process, or
+        as a utility RPC against the child-process engine (whose proxy
+        methods return awaitables — engine/multiproc.py)."""
+        import inspect
+
+        res = getattr(self.engine, name)(*args, **kwargs)
+        if inspect.isawaitable(res):
+            res = await res
+        return res
+
     async def health(self, request: web.Request) -> web.Response:
         if self.async_engine is None:
             return web.json_response({"status": "no model loaded"},
@@ -188,8 +215,11 @@ class OpenAIServer:
                 self.tokenizer.encode(p) if isinstance(p, str) else list(p)
                 for p in inputs
             ]
-            embeddings = await loop.run_in_executor(
-                None, lambda: self.engine.encode(token_lists))
+            if self._mp_engine:
+                embeddings = await self._eng("encode", token_lists)
+            else:
+                embeddings = await loop.run_in_executor(
+                    None, lambda: self.engine.encode(token_lists))
         except Exception as e:
             return _error(str(e), status=500, err_type="internal_error")
         data = [{
@@ -254,12 +284,15 @@ class OpenAIServer:
                 setattr(new_args, k, v)
         loop = asyncio.get_event_loop()
         # Free the old engine's device arrays first.
+        if self.async_engine is not None and hasattr(self.async_engine,
+                                                     "shutdown"):
+            self.async_engine.shutdown()
         self.async_engine = None
         self.engine = None
         gc.collect()
         try:
             new_engine = await loop.run_in_executor(
-                None, lambda: AsyncAphrodite.from_engine_args(new_args))
+                None, lambda: self._engine_cls.from_engine_args(new_args))
         except Exception as e:
             return _error(f"model load failed: {e}", status=500,
                           err_type="internal_error")
@@ -279,6 +312,9 @@ class OpenAIServer:
             return denied
         import gc
 
+        if self.async_engine is not None and hasattr(self.async_engine,
+                                                     "shutdown"):
+            self.async_engine.shutdown()
         self.async_engine = None
         self.engine = None
         gc.collect()
@@ -294,8 +330,6 @@ class OpenAIServer:
             return denied
         import tempfile
 
-        import jax
-
         try:
             body = await request.json()
         except Exception:
@@ -303,7 +337,7 @@ class OpenAIServer:
         trace_dir = body.get("dir") or tempfile.mkdtemp(
             prefix="aphrodite_trace_")
         try:
-            jax.profiler.start_trace(trace_dir)
+            await self._eng("profile_start", trace_dir)
         except Exception as e:
             return _error(f"trace start failed: {e}", status=409)
         self._trace_dir = trace_dir
@@ -313,10 +347,8 @@ class OpenAIServer:
         denied = self._check_admin(request)
         if denied is not None:
             return denied
-        import jax
-
         try:
-            jax.profiler.stop_trace()
+            await self._eng("profile_stop")
         except Exception as e:
             return _error(f"trace stop failed: {e}", status=409)
         return web.json_response({
@@ -329,7 +361,7 @@ class OpenAIServer:
         route is the zero-dependency JSON view."""
         if self.engine is None:
             return _error("no engine loaded", status=409)
-        pt = dict(self.engine.phase_timings)
+        pt = dict(await self._eng("get_phase_timings"))
         it = max(pt["iterations"], 1)
         pt["avg_schedule_ms"] = pt["schedule_s"] / it * 1e3
         pt["avg_execute_ms"] = pt["execute_s"] / it * 1e3
@@ -371,20 +403,10 @@ class OpenAIServer:
             assert name and path
         except Exception as e:
             return _error(str(e))
-        pam = self.engine.runner.prompt_adapter_manager
-        if pam is None:
-            return _error("prompt adapters are not enabled (start with "
-                          "enable_prompt_adapter)", status=500,
-                          err_type="internal_error")
         try:
-            from aphrodite_tpu.prompt_adapter.request import (
-                PromptAdapterRequest)
-
-            req = PromptAdapterRequest(name,
-                                       len(pam._name_to_slot) + 1, path)
-            runner = self.engine.runner
-            runner.params = pam.load(req, runner.params,
-                                     runner.model.dtype)
+            await self._eng("load_soft_prompt", name, path)
+        except ValueError as e:
+            return _error(str(e), status=500, err_type="internal_error")
         except Exception as e:
             return _error(str(e), status=500, err_type="internal_error")
         return web.json_response({"status": "ok", "loaded": name})
@@ -401,7 +423,7 @@ class OpenAIServer:
         except Exception as e:
             return _error(str(e))
         try:
-            self.engine.add_lora(name, path)
+            await self._eng("add_lora", name, path)
         except Exception as e:
             return _error(str(e), status=500, err_type="internal_error")
         return web.json_response({"status": "ok", "loaded": name})
@@ -415,29 +437,29 @@ class OpenAIServer:
             name = body["lora_name"]
         except Exception as e:
             return _error(str(e))
-        removed = self.engine.remove_lora(name)
+        removed = await self._eng("remove_lora", name)
         return web.json_response({"status": "ok", "removed": removed})
 
-    def _soft_prompt_for_model_name(self, model_name: Optional[str]):
+    async def _soft_prompt_for_model_name(self, model_name):
         """Requests naming a loaded soft prompt route through it
         (reference serves prompt adapters as additional model names)."""
         if not model_name or self.engine is None:
             return None
-        pam = self.engine.runner.prompt_adapter_manager
-        if pam is None or model_name not in pam._name_to_slot:
+        slots = await self._eng("soft_prompt_slots")
+        if model_name not in slots:
             return None
         from aphrodite_tpu.prompt_adapter.request import (
             PromptAdapterRequest)
 
         return PromptAdapterRequest(
-            model_name, pam._name_to_slot[model_name] + 1, model_name)
+            model_name, slots[model_name] + 1, model_name)
 
-    def _lora_for_model_name(self, model_name: Optional[str]):
+    async def _lora_for_model_name(self, model_name: Optional[str]):
         """Requests naming a loaded adapter route through it (reference
         serves adapters as additional model names)."""
         if not model_name:
             return None
-        loras = self.engine.list_loras()
+        loras = await self._eng("list_loras")
         if model_name in loras:
             from aphrodite_tpu.lora import LoRARequest
 
@@ -516,12 +538,12 @@ class OpenAIServer:
                 stream = await self.async_engine.add_request(
                     f"{request_id}-{i}", prompt=prompt_text,
                     sampling_params=sp, prompt_token_ids=prompt_ids,
-                    lora_request=self._lora_for_model_name(req.model),
-                    prompt_adapter_request=self._soft_prompt_for_model_name(
+                    lora_request=await self._lora_for_model_name(req.model),
+                    prompt_adapter_request=await self._soft_prompt_for_model_name(
                         req.model))
                 streams.append((f"{request_id}-{i}", stream, prompt_ids, sp))
         except Exception as e:
-            return _error(str(e))
+            return _request_error(e)
 
         if req.stream:
             return await self._stream_completion(request, req, request_id,
@@ -812,12 +834,12 @@ class OpenAIServer:
             stream = await self.async_engine.add_request(
                 request_id, prompt=prompt_text, sampling_params=sp,
                 prompt_token_ids=prompt_ids,
-                lora_request=self._lora_for_model_name(req.model),
+                lora_request=await self._lora_for_model_name(req.model),
                 multi_modal_data=mm_data,
-                prompt_adapter_request=self._soft_prompt_for_model_name(
+                prompt_adapter_request=await self._soft_prompt_for_model_name(
                     req.model))
         except Exception as e:
-            return _error(str(e))
+            return _request_error(e)
 
         if req.stream:
             return await self._stream_chat(request, request_id, model_name,
@@ -902,12 +924,22 @@ async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
                      port: int = DEFAULT_PORT,
                      served_model_names: Optional[List[str]] = None,
                      api_keys: Optional[List[str]] = None,
-                     admin_key: Optional[str] = None) -> None:
+                     admin_key: Optional[str] = None,
+                     engine_in_subprocess: bool = False) -> None:
     import os
 
     if admin_key is None:
         admin_key = os.environ.get("APHRODITE_ADMIN_KEY") or None
-    async_engine = AsyncAphrodite.from_engine_args(engine_args)
+    if engine_in_subprocess or os.environ.get(
+            "APHRODITE_ENGINE_SUBPROCESS") == "1":
+        # Fault isolation (reference MQAphroditeEngine + server/launch.py
+        # keep-alive): the engine/XLA runtime lives in a child process;
+        # if it dies the HTTP server stays up serving errors.
+        from aphrodite_tpu.engine.multiproc import MPAsyncEngine
+
+        async_engine = MPAsyncEngine.from_engine_args(engine_args)
+    else:
+        async_engine = AsyncAphrodite.from_engine_args(engine_args)
     server = OpenAIServer(async_engine, served_model_names, api_keys,
                           engine_args=engine_args, admin_key=admin_key)
     app = server.build_app()

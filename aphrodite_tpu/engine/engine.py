@@ -423,6 +423,40 @@ class AphroditeEngine:
                 sub.metrics = group.metrics
                 self.scheduler.add_seq_group(sub)
 
+    # ---- frontend-callable utilities (in-process or over the MP
+    # socket protocol — engine/multiproc.py) -----------------------------
+
+    def get_phase_timings(self) -> Dict[str, Any]:
+        return dict(self.phase_timings)
+
+    def load_soft_prompt(self, name: str, path: str) -> None:
+        """Register a prompt-tuning adapter (reference
+        /v1/soft_prompt/load, api_server.py:733)."""
+        pam = self.runner.prompt_adapter_manager
+        if pam is None:
+            raise ValueError("prompt adapters are not enabled (start "
+                             "with enable_prompt_adapter)")
+        from aphrodite_tpu.prompt_adapter.request import (
+            PromptAdapterRequest)
+
+        req = PromptAdapterRequest(name, len(pam._name_to_slot) + 1, path)
+        self.runner.params = pam.load(req, self.runner.params,
+                                      self.runner.model.dtype)
+
+    def soft_prompt_slots(self) -> Dict[str, int]:
+        pam = self.runner.prompt_adapter_manager
+        return {} if pam is None else dict(pam._name_to_slot)
+
+    def profile_start(self, trace_dir: str) -> None:
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
+
+    def profile_stop(self) -> None:
+        import jax
+
+        jax.profiler.stop_trace()
+
     # ---- LoRA management (reference /v1/lora endpoints) ---------------
 
     def add_lora(self, name: str, path: str) -> None:

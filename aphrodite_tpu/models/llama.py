@@ -619,6 +619,29 @@ class LlamaForCausalLM:
         layer_params = params["layers"]
         use_lora = lora is not None and batch.lora_sorted_idx is not None
 
+        # Packed-int4 weights bypass the scan's xs slicing: a sliced
+        # operand to the pallas matmul would be materialized by XLA
+        # (full extra read+write of the quantized bytes per layer).
+        # Instead the stacked [L, ...] arrays are closed over and the
+        # per-layer index rides the scan; qmatmul dispatches on "_idx"
+        # (quantization/qlinear.py).
+        quant_stacked = {k: v for k, v in layer_params.items()
+                         if isinstance(v, dict) and "q4p" in v}
+        if quant_stacked:
+            layer_params = {k: v for k, v in layer_params.items()
+                            if k not in quant_stacked}
+            layer_params["_lidx"] = jnp.arange(self.num_layers,
+                                               dtype=jnp.int32)
+            inner_layer_fn = layer_fn
+
+            def layer_fn(x, pages, slots, pidx, scanned):
+                lp = dict(scanned[0])
+                lidx = lp.pop("_lidx")
+                for name, w in quant_stacked.items():
+                    lp[name] = {**w, "_idx": lidx}
+                return inner_layer_fn(x, pages, slots, pidx,
+                                      (lp, *scanned[1:]))
+
         k_scales, v_scales = kv_scales if kv_scales is not None else (None,
                                                                       None)
         lora_scan = lora if use_lora else None

@@ -257,9 +257,9 @@ def int4p_matmul_ref(x, q4p, scale, zero, group: int):
     return int4_matmul_ref(x, unpack_int4_rows(q4p), scale, zero, group)
 
 
-def _kernel_packed_groupwise(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
-                             acc_ref, *, group: int, block_kp: int,
-                             half_groups: int):
+def _kernel_packed_groupwise(idx_sref, xl_ref, xh_ref, q_ref, s_ref,
+                             z_ref, o_ref, acc_ref, *, group: int,
+                             block_kp: int, half_groups: int):
     """Packed-weight decode tile: raw-nibble MXU matmuls with group
     scales applied to the [bt, bn] partials (see _kernel_groupwise), two
     matmuls per packed group (low-half rows + high-half rows).
@@ -269,7 +269,11 @@ def _kernel_packed_groupwise(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
     HBM weight traffic is K*N/2 bytes — the true int4 byte count (the
     reference's Marlin W4A16 GEMM property,
     kernels/quantization/marlin/dense/marlin_cuda_kernel.cu).
+
+    Weight blocks carry a leading layer dim selected by the prefetched
+    layer index (see int4p_matmul_pallas).
     """
+    del idx_sref
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -280,7 +284,7 @@ def _kernel_packed_groupwise(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
     row0 = k_idx * rpb
     xl = xl_ref[:]  # [bt, bkp] columns K[k-tile] (low half)
     xh = xh_ref[:]  # [bt, bkp] columns K/2 + k-tile (high half)
-    p = q_ref[:].astype(jnp.int32) & 255  # [bkp, bn] unsigned bytes
+    p = q_ref[0].astype(jnp.int32) & 255  # [bkp, bn] unsigned bytes
     acc = acc_ref[:]
     for g in range(rpb):
         sl = slice(g * group, (g + 1) * group)
@@ -291,10 +295,10 @@ def _kernel_packed_groupwise(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
         xhg = xh[:, sl]
         part_lo = jnp.dot(xlg, qlo, preferred_element_type=jnp.float32)
         part_hi = jnp.dot(xhg, qhi, preferred_element_type=jnp.float32)
-        s_lo = s_ref[row0 + g, :][None, :]
-        z_lo = z_ref[row0 + g, :][None, :]
-        s_hi = s_ref[half_groups + row0 + g, :][None, :]
-        z_hi = z_ref[half_groups + row0 + g, :][None, :]
+        s_lo = s_ref[0, row0 + g, :][None, :]
+        z_lo = z_ref[0, row0 + g, :][None, :]
+        s_hi = s_ref[0, half_groups + row0 + g, :][None, :]
+        z_hi = z_ref[0, half_groups + row0 + g, :][None, :]
         xsum_lo = jnp.sum(xlg.astype(jnp.float32), axis=1, keepdims=True)
         xsum_hi = jnp.sum(xhg.astype(jnp.float32), axis=1, keepdims=True)
         acc = (acc + s_lo * part_lo - (s_lo * z_lo) * xsum_lo
@@ -306,12 +310,13 @@ def _kernel_packed_groupwise(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
         o_ref[:] = acc_ref[:]
 
 
-def _kernel_packed_dense(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
-                         acc_ref, *, group: int, block_kp: int,
+def _kernel_packed_dense(idx_sref, xl_ref, xh_ref, q_ref, s_ref, z_ref,
+                         o_ref, acc_ref, *, group: int, block_kp: int,
                          half_groups: int):
     """Packed-weight prefill tile: dequantize both nibble planes in VMEM
     and run two [bt, bkp] x [bkp, bn] matmuls (VPU dequant cost amortizes
     over large bt)."""
+    del idx_sref
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -320,14 +325,14 @@ def _kernel_packed_dense(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
 
     rpb = block_kp // group
     row0 = k_idx * rpb
-    p = q_ref[:].astype(jnp.int32) & 255
+    p = q_ref[0].astype(jnp.int32) & 255
     qlo = (p & 15).astype(jnp.float32)  # [bkp, bn]
     qhi = (p >> 4).astype(jnp.float32)
 
     def gather_rows(ref, base):
         if rpb == 1:
-            return ref[base, :][None, :]
-        return jnp.stack([ref[base + g, :] for g in range(rpb)])
+            return ref[0, base, :][None, :]
+        return jnp.stack([ref[0, base + g, :] for g in range(rpb)])
 
     s_lo = jnp.repeat(gather_rows(s_ref, row0), group, axis=0)
     z_lo = jnp.repeat(gather_rows(z_ref, row0), group, axis=0)
@@ -345,20 +350,35 @@ def _kernel_packed_dense(xl_ref, xh_ref, q_ref, s_ref, z_ref, o_ref,
 
 
 def int4p_matmul_pallas(x, q4p, scale, zero, group: int,
+                        layer_idx=None,
                         block_t: Optional[int] = None,
                         block_n: Optional[int] = None,
                         block_kp: Optional[int] = None,
-                        interpret: bool = False):
-    """Fused packed-int4 matmul. x[T, K] bf16/f32, q4p int8[K/2, N].
+                        interpret: bool = False,
+                        body: Optional[str] = None):
+    """Fused packed-int4 matmul. x[T, K] bf16/f32, q4p int8[K/2, N] or
+    LAYER-STACKED int8[L, K/2, N] with `layer_idx` selecting the layer.
+
+    The stacked form exists for lax.scan'd model layers: passing the
+    scan's per-layer slice to a pallas custom-call forces XLA to
+    materialize the slice (a full extra read+write of the quantized
+    bytes per layer, measured ~20% of the int4 decode step). With the
+    stacked array + a scalar-prefetched layer index, the kernel's block
+    pipeline reads HBM directly at the right layer offset.
 
     Dispatches the group-wise (decode, small T) or dense-dequant
     (prefill, large T) tile body; both read the packed bytes once.
     """
     T, K = x.shape
+    if q4p.ndim == 2:
+        q4p, scale, zero = q4p[None], scale[None], zero[None]
+        layer_idx = 0
     Kh, N = q4p.shape[-2], q4p.shape[-1]
     assert Kh * 2 == K and Kh % group == 0, (K, Kh, group)
     half_groups = Kh // group
-    decode = T <= 128
+    import os as _os
+    body = body or _os.environ.get("APHRODITE_INT4_BODY") or None
+    decode = (T <= 128) if body is None else (body == "groupwise")
     if block_t is None:
         block_t = 128 if decode else 256
     if block_n is None:
@@ -377,26 +397,36 @@ def int4p_matmul_pallas(x, q4p, scale, zero, group: int,
     body = _kernel_packed_groupwise if decode else _kernel_packed_dense
     xl = x[:, :Kh]
     xh = x[:, Kh:]
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape((1,))
     return pl.pallas_call(
         functools.partial(body, group=group, block_kp=block_kp,
                           half_groups=half_groups),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_t, block_kp), lambda t, n, k: (t, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, block_kp), lambda t, n, k: (t, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_kp, block_n), lambda t, n, k: (k, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // group, block_n), lambda t, n, k: (0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // group, block_n), lambda t, n, k: (0, n),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_t, block_n), lambda t, n, k: (t, n),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # layer index
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_t, block_kp),
+                             lambda t, n, k, i: (t, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_t, block_kp),
+                             lambda t, n, k, i: (t, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_kp, block_n),
+                             lambda t, n, k, i: (i[0], k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K // group, block_n),
+                             lambda t, n, k, i: (i[0], 0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K // group, block_n),
+                             lambda t, n, k, i: (i[0], 0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_t, block_n),
+                                   lambda t, n, k, i: (t, n),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((T, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -407,7 +437,36 @@ def int4p_matmul_pallas(x, q4p, scale, zero, group: int,
         ),
         name="int4p_matmul",
         interpret=interpret,
-    )(xl, xh, q4p, scale, zero)
+    )(idx, xl, xh, q4p, scale, zero)
+
+
+def int4p_matmul_stacked_dispatch(x, q4p, scale, zero, group: int,
+                                  layer_idx):
+    """Layer-stacked packed-int4 matmul: q4p [L, K/2, N] plus a traced
+    layer index. Exists so lax.scan'd models can hand the kernel the
+    WHOLE weight stack — passing the scan's per-layer slice to a pallas
+    custom-call makes XLA materialize the slice (an extra read+write of
+    the quantized bytes every layer); with the stacked array + scalar-
+    prefetched index the kernel block pipeline reads HBM in place."""
+    if x.ndim > 2:
+        lead = x.shape[:-1]
+        out = int4p_matmul_stacked_dispatch(
+            x.reshape(-1, x.shape[-1]), q4p, scale, zero, group,
+            layer_idx)
+        return out.reshape(*lead, -1)
+    import os
+
+    impl = os.environ.get("APHRODITE_TPU_INT4_IMPL", "pallas")
+    use_kernel = (jax.default_backend() in ("tpu", "axon")
+                  and impl == "pallas")
+    T, K = x.shape
+    Kh, N = q4p.shape[-2], q4p.shape[-1]
+    if (use_kernel and N % 128 == 0 and group > 1 and Kh % group == 0
+            and T >= 16):
+        return int4p_matmul_pallas(x, q4p, scale, zero, group,
+                                   layer_idx=layer_idx)
+    return int4p_matmul_ref(x, q4p[layer_idx], scale[layer_idx],
+                            zero[layer_idx], group)
 
 
 def int4p_matmul_dispatch(x, q4p, scale, zero, group: int):

@@ -103,11 +103,20 @@ def _int4_matmul(x: jax.Array, w: Dict[str, Any]) -> jax.Array:
 def _int4p_matmul(x: jax.Array, w: Dict[str, Any]) -> jax.Array:
     """Packed (2 nibbles/byte, half-split rows) int4 weight-only — the
     HBM-optimal storage the Marlin W4A16 GEMM achieves in the reference
-    (kernels/quantization/marlin/dense/)."""
-    from aphrodite_tpu.ops.quant_matmul import int4p_matmul_dispatch
+    (kernels/quantization/marlin/dense/).
+
+    A container holding "_idx" is a LAYER-STACKED VIEW (q4p [L, K/2, N]
+    + traced layer index), produced by the scan plumbing in model
+    forwards so the pallas kernel reads the stacked weights in place
+    instead of through a materialized per-layer slice."""
+    from aphrodite_tpu.ops.quant_matmul import (
+        int4p_matmul_dispatch, int4p_matmul_stacked_dispatch)
 
     K = 2 * w["q4p"].shape[-2]
     group = K // w["scale"].shape[-2]
+    if "_idx" in w:
+        return int4p_matmul_stacked_dispatch(
+            x, w["q4p"], w["scale"], w["zero"], group, w["_idx"])
     return int4p_matmul_dispatch(x, w["q4p"], w["scale"], w["zero"], group)
 
 
