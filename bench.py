@@ -63,36 +63,17 @@ def _backend_responds(timeout_s: int = 110) -> bool:
         return False
 
 
-def main() -> None:
+def run_once(quant, kv_dtype, on_tpu: bool) -> float:
+    """Build an engine for one (quant, kv) config and measure
+    steady-state decode tok/s."""
+    import gc
     import tempfile
 
     import numpy as np
 
-    for attempt in range(4):
-        if _backend_responds():
-            break
-        print(f"bench: backend probe {attempt + 1}/4 failed; retrying",
-              file=sys.stderr)
-        time.sleep(60)
-    else:
-        print(json.dumps({
-            "metric": "decode_throughput_1p4b_tpu", "value": 0.0,
-            "unit": "tok/s", "vs_baseline": 0.0,
-            "error": "device backend unavailable (TPU relay down); "
-                     "no measurement taken"}))
-        return
-
     from aphrodite_tpu import LLM, SamplingParams
 
-    import jax
-
-    on_tpu = jax.default_backend() in ("tpu", "axon")
     num_steps = int(os.environ.get("APHRODITE_BENCH_STEPS", "32"))
-    # APHRODITE_BENCH_QUANT=gptq runs the int4 fused-kernel path and
-    # APHRODITE_BENCH_KV=fp8 the quantized cache (north-star config;
-    # the default metric stays bf16 for round-over-round comparability).
-    quant = os.environ.get("APHRODITE_BENCH_QUANT") or None
-    kv_dtype = os.environ.get("APHRODITE_BENCH_KV", "auto")
     if on_tpu:
         batch = int(os.environ.get("APHRODITE_BENCH_BATCH", "128"))
         prompt_len, decode_len = 128, 128
@@ -147,6 +128,79 @@ def main() -> None:
         prefill_time = time.monotonic() - t1
         decode_time = max(elapsed - prefill_time, 1e-6)
         toks_per_s = total_decode_tokens / decode_time
+    # Free this engine's device arrays before the next variant builds.
+    del llm
+    gc.collect()
+    return toks_per_s
+
+
+VARIANTS = [
+    ("bf16", None, "auto"),
+    ("gptq", "gptq", "auto"),
+    ("gptq_fp8kv", "gptq", "fp8"),
+    ("int8kv", None, "int8"),
+]
+
+
+def run_variants(on_tpu: bool) -> None:
+    """Measure every quant/KV variant in ONE session and commit the
+    numbers to benchmarks/results/variants.json (VERDICT r2 weak-2: perf
+    claims must live in a tracked artifact, not commit messages)."""
+    results = {}
+    for name, quant, kv in VARIANTS:
+        try:
+            toks = run_once(quant, kv, on_tpu)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"variant {name}: FAILED {e}", file=sys.stderr)
+            continue
+        results[name] = {"tok_per_s": round(toks, 1)}
+        print(f"variant {name}: {toks:.1f} tok/s", file=sys.stderr)
+    out = {
+        "config": ("1.4B llama-shaped, batch 128, prompt 128, decode 128,"
+                   " 1 chip" if on_tpu else "cpu smoke shape"),
+        "unit": "tok/s/chip",
+        "on_tpu": on_tpu,
+        "results": results,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "results", "variants.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+def main() -> None:
+    for attempt in range(4):
+        if _backend_responds():
+            break
+        print(f"bench: backend probe {attempt + 1}/4 failed; retrying",
+              file=sys.stderr)
+        time.sleep(60)
+    else:
+        print(json.dumps({
+            "metric": "decode_throughput_1p4b_tpu", "value": 0.0,
+            "unit": "tok/s", "vs_baseline": 0.0,
+            "error": "device backend unavailable (TPU relay down); "
+                     "no measurement taken"}))
+        return
+
+    import jax
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    if "--variants" in sys.argv:
+        run_variants(on_tpu)
+        return
+
+    # APHRODITE_BENCH_QUANT=gptq runs the int4 fused-kernel path and
+    # APHRODITE_BENCH_KV=fp8 the quantized cache (north-star config;
+    # the default metric stays bf16 for round-over-round comparability).
+    quant = os.environ.get("APHRODITE_BENCH_QUANT") or None
+    kv_dtype = os.environ.get("APHRODITE_BENCH_KV", "auto")
+    toks_per_s = run_once(quant, kv_dtype, on_tpu)
 
     suffix = f"_{quant}" if quant else ""
     if kv_dtype != "auto":

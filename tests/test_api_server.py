@@ -15,6 +15,10 @@ from aphrodite_tpu.engine.args import EngineArgs
 from aphrodite_tpu.engine.async_engine import AsyncAphrodite
 from aphrodite_tpu.endpoints.openai.api_server import OpenAIServer
 
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def tiny_dir(tmp_path_factory):

@@ -7,6 +7,10 @@ import pytest
 from aphrodite_tpu.common.sequence import Sequence
 from aphrodite_tpu.processing.block_manager import BlockManager
 
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.smoke
+
 
 def make_seq(seq_id, tokens, block_size=4):
     return Sequence(seq_id=seq_id, prompt_token_ids=tokens,

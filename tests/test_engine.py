@@ -13,6 +13,10 @@ import pytest
 from aphrodite_tpu import LLM, SamplingParams
 from tests.utils import hf_greedy_generate
 
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.smoke
+
 PROMPTS = [
     "the quick brown fox",
     "hello world, this is",

@@ -16,6 +16,10 @@ from aphrodite_tpu.models.llama import LlamaForCausalLM
 
 from tests.utils import hf_full_logits
 
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.smoke
+
 PAGE_SIZE = 4
 NUM_PAGES = 64
 PAGES_PER_SEQ = 32  # 128 tokens max

@@ -16,6 +16,10 @@ from aphrodite_tpu.sampling.metadata import (SamplerInputRow,
                                              build_sampling_tensors)
 from aphrodite_tpu.sampling.sampler import sample
 
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.smoke
+
 VOCAB = 64
 RNG = np.random.default_rng(0)
 

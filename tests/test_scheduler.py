@@ -9,6 +9,10 @@ from aphrodite_tpu.common.sequence import (Sequence, SequenceGroup,
                                            SequenceStatus)
 from aphrodite_tpu.processing.scheduler import Scheduler
 
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.smoke
+
 BLOCK = 4
 
 
