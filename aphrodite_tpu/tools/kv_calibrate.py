@@ -55,7 +55,7 @@ def observe_kv_absmax(llm) -> Dict[str, np.ndarray]:
     Unwritten slots are zero and cannot raise an absmax.
     """
     pages = llm.engine.runner.kv_pages
-    if pages.dtype != np.dtype("bfloat16"):
+    if str(pages.dtype) not in ("bfloat16", "float32"):
         raise ValueError(
             f"calibration needs a full-precision cache, got {pages.dtype}"
             " — run with kv_cache_dtype='auto'")

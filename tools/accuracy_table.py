@@ -1,0 +1,162 @@
+"""Quantization accuracy-delta table (synthetic tier).
+
+Measures teacher-forced perplexity of one synthetic Llama checkpoint
+under every quantization/KV-cache config the BASELINE ppl criterion
+names — fp32 base, runtime GPTQ-int4 weights, int8 weights, calibrated
+fp8-E4M3 KV, calibrated int8 KV, and the north-star combination
+(int4 weights + fp8 KV) — and writes the table to
+docs/accuracy_synthetic.md + benchmarks/results/accuracy.json.
+
+This is the committed, falsifiable form of the BASELINE "ppl delta vs
+FP16" criterion at the synthetic tier (real-checkpoint ppl needs real
+weights, which this environment cannot download).
+tests/test_accuracy_table.py regenerates a smaller instance and asserts
+the same tolerances hold.
+
+Usage:
+    env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
+        python tools/accuracy_table.py [--size small|medium]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog. " * 6,
+    "In a shocking finding, scientists discovered a herd of unicorns "
+    "living in a remote valley. " * 3,
+    "def fibonacci(n):\n    if n < 2:\n        return n\n"
+    "    return fibonacci(n - 1) + fibonacci(n - 2)\n" * 3,
+    "hello world, this is a tiny tokenizer stress test 1 2 3 4 5 " * 4,
+]
+
+SIZES = {
+    # Largest CPU-runnable synthetic geometry: wide enough for the
+    # grouped int4 container (K multiple of group 128).
+    "medium": dict(vocab_size=512, hidden_size=256, intermediate_size=512,
+                   num_hidden_layers=4, num_attention_heads=4,
+                   num_key_value_heads=2, head_dim=64,
+                   max_position_embeddings=512),
+    "small": dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=2, head_dim=32,
+                  max_position_embeddings=256),
+}
+
+
+def build_rows(model_dir: str, block_size: int = 8):
+    from aphrodite_tpu import LLM
+    from aphrodite_tpu.tools.kv_calibrate import (calibrate_kv_scales,
+                                                  export_kv_params)
+    from aphrodite_tpu.tools.perplexity import evaluate_perplexity
+
+    common = dict(model=model_dir, dtype="float32", max_num_seqs=4,
+                  num_device_blocks_override=256, block_size=block_size)
+
+    def ppl(**kw):
+        return evaluate_perplexity(LLM(**common, **kw), TEXTS)
+
+    # Calibrated KV scales from the fp32 model.
+    calib = LLM(**common)
+    scales_dir = tempfile.mkdtemp()
+    fp8_path = os.path.join(scales_dir, "kv_fp8.json")
+    int8_path = os.path.join(scales_dir, "kv_int8.json")
+    export_kv_params(calibrate_kv_scales(calib, TEXTS, fmt="e4m3"),
+                     fp8_path)
+    export_kv_params(calibrate_kv_scales(calib, TEXTS, fmt="int8"),
+                     int8_path)
+    del calib
+
+    rows = {}
+    rows["fp32"] = ppl()
+    rows["int4_gptq_runtime"] = ppl(quantization="gptq")
+    rows["int8_weights"] = ppl(quantization="int8")
+    rows["fp8_e4m3_kv_calibrated"] = ppl(kv_cache_dtype="fp8",
+                                         quantization_param_path=fp8_path)
+    rows["int8_kv_calibrated"] = ppl(kv_cache_dtype="int8",
+                                     quantization_param_path=int8_path)
+    rows["int4_plus_fp8_kv"] = ppl(quantization="gptq",
+                                   kv_cache_dtype="fp8",
+                                   quantization_param_path=fp8_path)
+    return rows
+
+
+# Relative ppl-delta tolerance per config (vs fp32), asserted by
+# tests/test_accuracy_table.py on the regenerated small instance.
+TOLERANCES = {
+    "int8_weights": 0.05,
+    "fp8_e4m3_kv_calibrated": 0.05,
+    "int8_kv_calibrated": 0.05,
+    "int4_gptq_runtime": 0.35,
+    "int4_plus_fp8_kv": 0.40,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", choices=list(SIZES), default="medium")
+    args = ap.parse_args()
+
+    from tests.utils import make_tiny_llama_checkpoint
+
+    td = tempfile.mkdtemp()
+    make_tiny_llama_checkpoint(td, **SIZES[args.size])
+    rows = build_rows(td)
+
+    base = rows["fp32"]
+    table = {
+        "size": args.size,
+        "geometry": SIZES[args.size],
+        "texts": len(TEXTS),
+        "perplexity": {k: round(v, 4) for k, v in rows.items()},
+        "rel_delta_vs_fp32": {
+            k: round((v - base) / base, 4)
+            for k, v in rows.items() if k != "fp32"
+        },
+        "tolerances": TOLERANCES,
+    }
+    out_json = os.path.join(REPO, "benchmarks", "results",
+                            "accuracy.json")
+    os.makedirs(os.path.dirname(out_json), exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(table, f, indent=2)
+        f.write("\n")
+
+    lines = [
+        "# Quantization accuracy deltas (synthetic tier)",
+        "",
+        "Teacher-forced perplexity of a synthetic random-weight Llama",
+        f"({args.size} geometry: {SIZES[args.size]}) under each",
+        "quantization/KV config. Regenerate with",
+        "`python tools/accuracy_table.py`; asserted within the listed",
+        "tolerance by tests/test_accuracy_table.py. Real-checkpoint ppl",
+        "requires real weights (not downloadable in this environment);",
+        "the harness (`aphrodite_tpu/tools/perplexity.py`) is",
+        "checkpoint-agnostic.",
+        "",
+        "| config | perplexity | rel. delta vs fp32 | tolerance |",
+        "|---|---|---|---|",
+        f"| fp32 | {base:.4f} | — | — |",
+    ]
+    for k, v in rows.items():
+        if k == "fp32":
+            continue
+        d = (v - base) / base
+        lines.append(f"| {k} | {v:.4f} | {d:+.4f} | "
+                     f"{TOLERANCES.get(k, '—')} |")
+    md = os.path.join(REPO, "docs", "accuracy_synthetic.md")
+    with open(md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(table["rel_delta_vs_fp32"], indent=1))
+    print(f"wrote {out_json} and {md}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
