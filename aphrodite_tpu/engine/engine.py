@@ -146,8 +146,7 @@ class AphroditeEngine:
         decoder_prompt_token_ids: Optional[List[int]] = None,
     ) -> None:
         if self.runner._multihost and (
-                lora_request is not None
-                or prompt_adapter_request is not None
+                prompt_adapter_request is not None
                 or multi_modal_data is not None
                 or (sampling_params is not None
                     and (sampling_params.logits_processors
@@ -156,12 +155,13 @@ class AphroditeEngine:
                          or sampling_params.guided_choice
                          or getattr(sampling_params, "guided_grammar",
                                     None)))):
-            # These carry host-side state (adapter tensors, image
-            # features, FSMs, callables) that lives only on the primary;
-            # followers could not replay the step (parallel/multihost.py
-            # feature gates).
+            # These carry host-side state (image features, FSMs,
+            # callables) that lives only on the primary; followers
+            # could not replay the step (parallel/multihost.py feature
+            # gates). LoRA is fine: adapters are static weights every
+            # host lazy-loads from shared storage.
             raise ValueError(
-                "LoRA / prompt-adapter / multimodal / guided-decoding / "
+                "prompt-adapter / multimodal / guided-decoding / "
                 "logits_processors requests are not supported on "
                 "multi-host deployments")
         if lora_request is not None and self.runner.lora_manager is None:
@@ -462,11 +462,19 @@ class AphroditeEngine:
     def add_lora(self, name: str, path: str) -> None:
         if self.runner.lora_manager is None:
             raise ValueError("engine started without enable_lora")
+        if self.runner._multihost:
+            from aphrodite_tpu.parallel import multihost
+
+            multihost.primary_broadcast_lora("add", name, path)
         self.runner.lora_manager.add_adapter(name, path)
 
     def remove_lora(self, name: str) -> bool:
         if self.runner.lora_manager is None:
             return False
+        if self.runner._multihost:
+            from aphrodite_tpu.parallel import multihost
+
+            multihost.primary_broadcast_lora("remove", name)
         return self.runner.lora_manager.remove_adapter(name)
 
     def list_loras(self) -> List[str]:

@@ -43,12 +43,15 @@ collectives over the gloo cross-process backend) and compared
 token-exactly against a single-process run. Real DCN latency behavior
 and >2-host scaling are NOT measurable in this environment.
 
-Feature gates: requests using guided decoding, LoRA adapters, prompt
-adapters, multimodal inputs or host logits processors are rejected on
-multi-host deployments (their host-side state lives only on the
-primary); encoder-decoder models are likewise primary-only for now. The
-core text serving paths — dense/MoE prefill+decode, multi-step decode,
-speculative decode, beam search — replay deterministically.
+Feature gates: requests using guided decoding, prompt adapters,
+multimodal inputs or host logits processors are rejected on multi-host
+deployments (their host-side state lives only on the primary);
+encoder-decoder models are likewise primary-only for now. LoRA IS
+served multi-host: adapters are static weights on shared storage, so
+followers lazy-load them from the broadcast (name, path) and slot/LRU
+state evolves in lockstep; admin add/remove ops broadcast as OP_LORA.
+The core text serving paths — dense/MoE prefill+decode, multi-step
+decode, speculative decode, beam search — replay deterministically.
 """
 
 import os
@@ -72,6 +75,7 @@ OP_EXECUTE = 0
 OP_POOLING = 1
 OP_STOP = 2
 OP_COPIES = 3
+OP_LORA = 4  # ("add", name, path) / ("remove", name, None)
 
 
 def maybe_initialize() -> None:
@@ -182,12 +186,12 @@ def freeze_outputs(outputs) -> dict:
                 "host logits processors are not supported on multi-host "
                 "deployments (primary-only state)")
         if seq.fsm is not None or seq.mm_spans is not None \
-                or seq.encoder_token_ids is not None \
-                or ss.group.lora_request is not None:
+                or seq.encoder_token_ids is not None:
             raise ValueError(
-                "guided decoding / multimodal / encoder-decoder / LoRA "
+                "guided decoding / multimodal / encoder-decoder "
                 "requests are primary-only; reject them at admission on "
                 "multi-host deployments")
+        lr = ss.group.lora_request
         rows.append(dict(
             request_id=ss.group.request_id,
             seq_id=seq.seq_id,
@@ -202,6 +206,13 @@ def freeze_outputs(outputs) -> dict:
             first_token_idx=ss.first_token_idx,
             block_ids=ss.block_ids,
             do_sample=ss.do_sample,
+            # LoRA adapters are static weights loadable from the same
+            # path on every host (followers already read model weights
+            # from shared storage); the follower's manager lazy-loads on
+            # first use and evolves slot/LRU state identically because
+            # it sees the identical scheduled order.
+            lora=(None if lr is None else
+                  (lr.lora_name, lr.lora_int_id, lr.lora_path)),
         ))
     return dict(
         rows=rows,
@@ -234,6 +245,11 @@ def thaw_outputs(payload: dict):
             seqs=[seq],
             sampling_params=r["sampling_params"],
         )
+        if r.get("lora") is not None:
+            from aphrodite_tpu.lora import LoRARequest
+
+            name, int_id, path = r["lora"]
+            group.lora_request = LoRARequest(name, int_id, path)
         scheduled.append(ScheduledSequence(
             seq=seq,
             group=group,
@@ -267,6 +283,15 @@ def primary_broadcast_stop() -> None:
     broadcast_obj((OP_STOP, None, None))
 
 
+def primary_broadcast_lora(action: str, name: str,
+                           path: Optional[str] = None) -> None:
+    """Mirror an admin add/remove-LoRA onto every follower so slot and
+    LRU state stays in lockstep (the reference serves LoRA across Ray
+    workers by loading on each; adapters are static weights on shared
+    storage)."""
+    broadcast_obj((OP_LORA, (action, name, path), None))
+
+
 def run_follower(engine_config) -> None:
     """Hosts 1..N-1: build the identical runner, replay the primary's
     steps until OP_STOP (reference follower loop:
@@ -284,6 +309,15 @@ def run_follower(engine_config) -> None:
         if op == OP_STOP:
             logger.info("follower %d: stop received", _process_index())
             return
+        if op == OP_LORA:
+            action, name, path = payload
+            if runner.lora_manager is None:
+                raise ValueError("follower built without enable_lora")
+            if action == "add":
+                runner.lora_manager.add_adapter(name, path)
+            else:
+                runner.lora_manager.remove_adapter(name)
+            continue
         outputs = thaw_outputs(payload)
         if op == OP_EXECUTE:
             runner.execute(outputs, num_steps=extra)

@@ -127,3 +127,114 @@ def test_two_process_tp4_matches_single_process(tiny_dir):
     assert tok_line, p_out
     got = json.loads(tok_line[0][len("TOKENS="):])
     assert got == expect
+
+
+_PRIMARY_LORA = """
+import json, sys
+from aphrodite_tpu import LLM, SamplingParams
+from aphrodite_tpu.lora import LoRARequest
+
+llm = LLM(model=sys.argv[1], dtype="float32", max_num_seqs=4,
+          num_device_blocks_override=96, block_size=8,
+          tensor_parallel_size=4, enable_lora=True, max_loras=2,
+          max_lora_rank=8)
+sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+req = LoRARequest("alpha", 1, sys.argv[2])
+toks = []
+# mixed wave: one adapter request + one base request
+outs = llm.generate(["the quick brown fox"], sp, lora_request=req)
+toks.append(outs[0].outputs[0].token_ids)
+outs = llm.generate(["hello world, this is"], sp)
+toks.append(outs[0].outputs[0].token_ids)
+print("TOKENS=" + json.dumps(toks), flush=True)
+"""
+
+_FOLLOWER_LORA = """
+import sys
+from aphrodite_tpu.engine.args import EngineArgs
+from aphrodite_tpu.parallel import multihost
+
+multihost.maybe_initialize()
+args = EngineArgs(model=sys.argv[1], dtype="float32", max_num_seqs=4,
+                  num_device_blocks_override=96, block_size=8,
+                  tensor_parallel_size=4, skip_tokenizer_init=True,
+                  enable_lora=True, max_loras=2, max_lora_rank=8)
+multihost.run_follower(args.create_engine_config())
+print("FOLLOWER_DONE", flush=True)
+"""
+
+
+@pytest.fixture(scope="module")
+def lora_setup(tmp_path_factory):
+    """Base whose kv heads divide tp=4 (LoRA B matrices follow the
+    unpadded checkpoint dims) + one PEFT adapter."""
+    import torch
+    from transformers import AutoModelForCausalLM
+    from peft import LoraConfig, get_peft_model
+
+    from tests.utils import make_tiny_llama_checkpoint
+
+    base = str(tmp_path_factory.mktemp("lora_mh_base"))
+    make_tiny_llama_checkpoint(base, num_key_value_heads=4)
+
+    torch.manual_seed(100)
+    model = AutoModelForCausalLM.from_pretrained(
+        base, torch_dtype=torch.float32)
+    cfg = LoraConfig(
+        r=8, lora_alpha=16,
+        target_modules=["q_proj", "v_proj", "gate_proj", "down_proj"],
+        init_lora_weights=False,
+    )
+    peft_model = get_peft_model(model, cfg)
+    adir = str(tmp_path_factory.mktemp("adapter_mh"))
+    peft_model.save_pretrained(adir)
+    return base, adir
+
+
+def test_two_process_lora_matches_single_process(lora_setup):
+    tiny_dir, lora_adapter = lora_setup
+    """VERDICT r2 item 7: LoRA served across hosts — adapters are static
+    weights followers lazy-load from shared storage; token-exact vs a
+    single-process run."""
+    from aphrodite_tpu import LLM, SamplingParams
+    from aphrodite_tpu.lora import LoRARequest
+
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    base = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=96, block_size=8,
+               tensor_parallel_size=4, enable_lora=True, max_loras=2,
+               max_lora_rank=8)
+    req = LoRARequest("alpha", 1, lora_adapter)
+    expect = [base.generate(["the quick brown fox"], sp,
+                            lora_request=req)[0].outputs[0].token_ids,
+              base.generate(["hello world, this is"],
+                            sp)[0].outputs[0].token_ids]
+    del base
+
+    port = _free_port()
+    primary = subprocess.Popen(
+        [sys.executable, "-c", _PRIMARY_LORA, tiny_dir, lora_adapter],
+        env=_env(0, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    follower = subprocess.Popen(
+        [sys.executable, "-c", _FOLLOWER_LORA, tiny_dir],
+        env=_env(1, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        p_out, _ = primary.communicate(timeout=600)
+        f_out, _ = follower.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        primary.kill()
+        follower.kill()
+        p_out = primary.communicate()[0]
+        f_out = follower.communicate()[0]
+        pytest.fail(f"multi-host LoRA run timed out.\nPRIMARY:\n{p_out}\n"
+                    f"FOLLOWER:\n{f_out}")
+
+    assert primary.returncode == 0, f"primary failed:\n{p_out}"
+    assert follower.returncode == 0, f"follower failed:\n{f_out}"
+    tok_line = [ln for ln in p_out.splitlines()
+                if ln.startswith("TOKENS=")]
+    assert tok_line, p_out
+    got = json.loads(tok_line[0][len("TOKENS="):])
+    assert got == expect
