@@ -189,12 +189,6 @@ def ragged_paged_attention(
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() in ("tpu", "axon")
-    if blocksparse is not None:
-        # Neither the bundled ragged kernel nor the grouped decode
-        # kernel takes a blocksparse mask; Phi-3-Small runs the jnp
-        # path. TODO(round 2): vert-stride page skipping in the decode
-        # kernel (the sparsity aligns with KV pages — a real win).
-        use_kernel = False
 
     # cu_q_lens=None marks a pure-decode batch (q_len == 1 per row, set
     # by the fused multi-step runner): route to the grouped decode
@@ -204,10 +198,24 @@ def ragged_paged_attention(
     if decode_mode:
         cu_q_lens = jnp.arange(q.shape[0] + 1, dtype=jnp.int32)
     import os
+    # Blocksparse (Phi-3-Small): the grouped decode kernel takes the
+    # local+vertical mask natively and SKIPS the DMA of dead pages
+    # (page-aligned sparsity -> ~vert_stride-fold less KV traffic past
+    # the local window). Needs bf16 pages (the 8-bit lane body has no
+    # blocksparse mask yet) and block_size % page_size == 0. Prefill
+    # blocksparse stays on the jnp path (the vendored ragged kernel has
+    # no mask input).
+    bs_decode_ok = (blocksparse is None or (
+        decode_mode and kv_pages.dtype == jnp.bfloat16
+        and bs_head_offsets is not None
+        and blocksparse[0] % kv_pages.shape[1] == 0))
     use_decode_kernel = (
         use_kernel and decode_mode and k_scale is None and v_scale is None
+        and bs_decode_ok
         and decode_supports(q, kv_pages, page_indices)
         and os.environ.get("APHRODITE_DECODE_KERNEL", "1") != "0")
+    if blocksparse is not None and not use_decode_kernel:
+        use_kernel = False
 
     if use_kernel and not use_decode_kernel and alibi_slopes is not None \
             and os.environ.get("APHRODITE_ALIBI_KERNEL", "1") == "0":
@@ -221,12 +229,14 @@ def ragged_paged_attention(
 
     if use_decode_kernel:
         def impl(q_, kv_, kl_, pi_, cq_, ns_, *, sm_scale, sliding_window,
-                 soft_cap, k_scale, v_scale, alibi_slopes=None):
+                 soft_cap, k_scale, v_scale, alibi_slopes=None,
+                 blocksparse=None, bs_head_offsets=None, bs_on=None):
             del cq_, k_scale, v_scale
             return paged_decode_attention(
                 q_, kv_, kl_, pi_, ns_, sm_scale=sm_scale,
                 sliding_window=sliding_window, soft_cap=soft_cap,
-                alibi_slopes=alibi_slopes)
+                alibi_slopes=alibi_slopes, blocksparse=blocksparse,
+                bs_head_offsets=bs_head_offsets, bs_on=bs_on)
     else:
         impl = (_kernel_attention if use_kernel
                 else ref_ragged_paged_attention)
@@ -252,9 +262,10 @@ def ragged_paged_attention(
         base_kwargs = {k: v for k, v in kwargs.items() if k != "bs_on"}
         if bs_on is None:
             bs_on = jnp.asarray(True)
+        bs_impl = impl if use_decode_kernel else ref_ragged_paged_attention
         fn = jax.shard_map(
             lambda q_, kv_, kl_, pi_, cq_, ns_, off_, on_:
-            ref_ragged_paged_attention(
+            bs_impl(
                 q_, kv_, kl_, pi_, cq_, ns_,
                 **{**base_kwargs, "bs_head_offsets": off_, "bs_on": on_}),
             mesh=_smap_mesh(mesh),

@@ -102,6 +102,9 @@ def paged_decode_attention(
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,  # f32[QH]
+    blocksparse: Optional[tuple] = None,  # (block_size, local, vert)
+    bs_head_offsets: Optional[jax.Array] = None,  # i32[QH]
+    bs_on: Optional[jax.Array] = None,  # scalar bool (per-layer gate)
     interpret: bool = False,
 ) -> jax.Array:
     del num_seqs
@@ -123,6 +126,17 @@ def paged_decode_attention(
     slopes_in = (jnp.zeros((1, QH), jnp.float32) if alibi_slopes is None
                  else alibi_slopes.astype(jnp.float32).reshape(1, QH))
 
+    # Blocksparse scalars ride the prefetch stream so the DMA gates can
+    # read them (per-head vertical phases + the per-layer on/off gate).
+    if blocksparse is not None:
+        assert bs_head_offsets is not None
+        bs_off_in = bs_head_offsets.astype(jnp.int32).reshape(QH)
+        bs_on_in = (jnp.ones((1,), jnp.int32) if bs_on is None else
+                    bs_on.astype(jnp.int32).reshape(1))
+    else:
+        bs_off_in = jnp.zeros((QH,), jnp.int32)
+        bs_on_in = jnp.zeros((1,), jnp.int32)
+
     kernel = pl.pallas_call(
         functools.partial(
             _decode_kernel,
@@ -131,10 +145,11 @@ def paged_decode_attention(
             sliding_window=sliding_window,
             soft_cap=soft_cap,
             use_alibi=alibi_slopes is not None,
+            blocksparse=blocksparse,
             max_waves=max_waves,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # kv_lens, page_indices
+            num_scalar_prefetch=4,  # kv_lens, page_indices, bs_off, bs_on
             in_specs=[
                 pl.BlockSpec((G, QH, D), lambda i, *_: (i, 0, 0)),  # q
                 pl.BlockSpec((1, QH), lambda i, *_: (0, 0)),  # slopes
@@ -159,13 +174,16 @@ def paged_decode_attention(
         name="paged_decode_attention",
         interpret=interpret,
     )
-    return kernel(kv_lens, page_indices, q, slopes_in, kv_pages)
+    return kernel(kv_lens, page_indices, bs_off_in, bs_on_in, q,
+                  slopes_in, kv_pages)
 
 
 def _decode_kernel(
     # scalar prefetch
     kv_lens_sref,  # i32[S]
     page_idx_sref,  # i32[S, pages_per_seq]
+    bs_off_sref,  # i32[QH] per-q-head vertical phase (blocksparse)
+    bs_on_sref,  # i32[1] per-layer blocksparse gate
     # inputs
     q_ref,  # [G, QH, D]
     slopes_ref,  # f32[1, QH]
@@ -178,7 +196,7 @@ def _decode_kernel(
     start_slot_ref,  # SMEM i32[1]: this block's first wave's buffer slot
     *,
     G, C, KV, QG, ps, sm_scale, sliding_window, soft_cap, use_alibi,
-    max_waves,
+    blocksparse, max_waves,
 ):
     blk = pl.program_id(0)
     seq0 = blk * G
@@ -186,6 +204,41 @@ def _decode_kernel(
     CKV = 2 * KV
     QH = KV * QG
     Tw = C * ps
+
+    # Blocksparse page-skip (Phi-3-Small; reference
+    # attention/ops/blocksparse_attention/): token kv_pos is attendable
+    # by head qh iff  bq - bk < local_blocks  OR
+    # (bk + off[qh] + 1) % vert_stride == 0, with b* = pos // bsz. The
+    # sparsity is block-aligned, so when bsz is a multiple of the page
+    # size a page whose block no head's phase hits AND that is outside
+    # the local window is DEAD for the whole kernel — its DMA is
+    # skipped entirely (the reference's Triton kernel gets the same
+    # bandwidth saving from its block-sparse loop structure). A static
+    # residue bitmask over bk % vert covers "any head hits":
+    # (bk + off + 1) % vert == 0  <=>  bk % vert == (vert-1-off) % vert.
+    bs_skip_pages = (blocksparse is not None
+                     and blocksparse[0] % ps == 0)
+    if bs_skip_pages:
+        bs_bsz, bs_local, bs_vert = blocksparse
+        vert_bits = lax.fori_loop(
+            0, QH,
+            lambda h, m: m | (1 << lax.rem(
+                bs_vert - 1 - lax.rem(bs_off_sref[h], bs_vert) + bs_vert,
+                bs_vert)),
+            jnp.int32(0))
+        bs_gate_on = bs_on_sref[0] != 0
+
+        def page_live(pidx, kv_len):
+            bk = (pidx * ps) // bs_bsz
+            bq = (kv_len - 1) // bs_bsz
+            local = (bq - bk) < bs_local
+            vert = ((vert_bits >> lax.rem(bk, bs_vert)) & 1) != 0
+            return jnp.logical_or(
+                jnp.logical_not(bs_gate_on),
+                jnp.logical_or(local, vert))
+    else:
+        def page_live(pidx, kv_len):
+            return True
 
     def issue_wave(wave, slot, base):
         """Start validity-gated page copies for one wave (G*C pages) of
@@ -202,7 +255,9 @@ def _decode_kernel(
         for g in range(G):
             for c in range(C):
                 pidx = wave * C + c
-                valid = pidx * ps < kv_lens_sref[base + g]
+                kvl = kv_lens_sref[base + g]
+                valid = jnp.logical_and(pidx * ps < kvl,
+                                        page_live(pidx, kvl))
 
                 @pl.when(valid)
                 def _():
@@ -221,8 +276,10 @@ def _decode_kernel(
         for g in range(G):
             for c in range(C):
                 pidx = wave * C + c
+                kvl = kv_lens_sref[seq0 + g]
 
-                @pl.when(pidx * ps < kv_lens_sref[seq0 + g])
+                @pl.when(jnp.logical_and(pidx * ps < kvl,
+                                         page_live(pidx, kvl)))
                 def _():
                     page = page_idx_sref[seq0 + g, pidx]
                     pltpu.make_async_copy(
@@ -305,6 +362,13 @@ def _decode_kernel(
         for qh in range(QH):
             slope_rows = jnp.where(row_qh == qh, slopes_ref[0, qh],
                                    slope_rows)
+
+    if blocksparse is not None:
+        bsp_bsz, bsp_local, bsp_vert = blocksparse
+        bs_rows = jnp.zeros((QH, 1), jnp.int32)
+        for qh in range(QH):
+            bs_rows = jnp.where(row_qh == qh, bs_off_sref[qh], bs_rows)
+        bs_enabled = bs_on_sref[0] != 0
 
     # Fold sm_scale into q up front: saves one [QH, N] f32 multiply per
     # wave (one bf16 rounding of q instead; well inside kernel tolerance).
@@ -397,6 +461,16 @@ def _decode_kernel(
                 if sliding_window is not None:
                     valid = jnp.logical_and(
                         valid, col_pos >= len_g - sliding_window)
+                if blocksparse is not None:
+                    bk = col_pos // bsp_bsz  # [1, NL]
+                    bq = (len_g - 1) // bsp_bsz
+                    bs_ok = jnp.logical_or(
+                        (bq - bk) < bsp_local,
+                        lax.rem(bk + bs_rows + 1, bsp_vert) == 0)
+                    valid = jnp.logical_and(
+                        valid,
+                        jnp.logical_or(bs_ok,
+                                       jnp.logical_not(bs_enabled)))
                 neg = jnp.where(valid, 0.0, MASK_VALUE)  # [QH, NL]
 
                 s = jax.lax.dot_general(

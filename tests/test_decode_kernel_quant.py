@@ -89,3 +89,44 @@ def test_decode_kernel_int8_kv_features(feature, kv_dtype):
                                rtol=0, atol=0.01 * float(
                                    np.abs(np.asarray(want,
                                                      np.float32)).max()))
+
+
+@pytest.mark.parametrize("homo", [True, False])
+def test_decode_kernel_blocksparse_matches_oracle(homo):
+    """Blocksparse (Phi-3-Small local+vertical) in the grouped decode
+    kernel: the mask must match the jnp oracle exactly, and the skipped
+    pages (dead blocks) must not poison anything (their DMAs never
+    happen; slots are zero-filled)."""
+    rng = np.random.default_rng(13)
+    # page 16, sparse block 32 (page-aligned), 1 local block, stride 4.
+    q, kv, kvl, pij, cu, ns = _mk_batch(rng, 8, 16, 16, 2, 8, 128)
+    # long-ish seqs so the vertical pattern actually skips pages
+    kvl = jnp.asarray(np.full(8, 200, np.int32))
+    bs = (32, 1, 4)
+    offs = (np.zeros(8, np.int64) if homo else
+            rng.integers(0, 4, size=8))
+    offs = jnp.asarray(offs, jnp.int32)
+    got = paged_decode_attention(q, kv, kvl, pij, ns, sm_scale=0.125,
+                                 blocksparse=bs, bs_head_offsets=offs,
+                                 bs_on=jnp.asarray(True),
+                                 interpret=True)
+    want = ref_ragged_paged_attention(q, kv, kvl, pij, cu, ns,
+                                      sm_scale=0.125, blocksparse=bs,
+                                      bs_head_offsets=offs,
+                                      bs_on=jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0, atol=0.01 * float(
+                                   np.abs(np.asarray(want,
+                                                     np.float32)).max()))
+
+    # Gate off: must equal the dense kernel result.
+    got_off = paged_decode_attention(q, kv, kvl, pij, ns, sm_scale=0.125,
+                                     blocksparse=bs, bs_head_offsets=offs,
+                                     bs_on=jnp.asarray(False),
+                                     interpret=True)
+    want_dense = paged_decode_attention(q, kv, kvl, pij, ns,
+                                        sm_scale=0.125, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_off, np.float32),
+                               np.asarray(want_dense, np.float32),
+                               rtol=0, atol=1e-5)
