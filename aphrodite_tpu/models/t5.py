@@ -353,21 +353,44 @@ class T5ForConditionalGeneration:
         enc_lens_t = batch.cross_kv_lens[seq_of]
         kv_lens_t = batch.kv_lens[seq_of]
 
-        # Decoder self-attn: dense gather over own pages with the causal
-        # relative bias (paged kernel has no bias input yet).
         Np = batch.page_indices.shape[1]
         page_size = kv_pages.shape[2]
         Nk = Np * page_size
-        k_pos = jnp.arange(Nk, dtype=jnp.int32)
-        # k valid: k_pos <= q_pos AND k_pos < kv_len of the row.
-        q_pos = batch.positions
-        ok = (k_pos[None, :] <= q_pos[:, None]) & \
-            (k_pos[None, :] < kv_lens_t[:, None])  # [T, Nk]
-        rel = k_pos[None, :] - q_pos[:, None]
-        bucket = _rel_bucket(rel, False, self.num_buckets,
-                             self.max_distance)
-        bias = params["dec_rel_bias"].astype(f32)[bucket]  # [T, Nk, H]
-        bias = jnp.transpose(bias, (0, 2, 1))  # [T, H, Nk]
+
+        # Pure-decode batches route self-attention through the grouped
+        # decode kernel with its T5 relative-bucket bias input
+        # (ops/decode_attention.py): flat in kv_len instead of the
+        # dense O(T * Nk) page gather + bias expansion per layer per
+        # step that the fallback below pays.
+        import jax as _jax
+        from aphrodite_tpu.ops.decode_attention import (
+            paged_decode_attention, supports as _decode_supports)
+
+        _q_probe = jnp.zeros((T, H, Dh), jnp.bfloat16)
+        decode_fast = (
+            batch.cu_q_lens is None
+            and kv_pages.dtype == jnp.bfloat16
+            and _jax.default_backend() in ("tpu", "axon")
+            and _decode_supports(_q_probe, kv_pages[0],
+                                 batch.page_indices))
+
+        if not decode_fast:
+            # Dense fallback (prefill always; decode on unsupported
+            # shapes/backends): gather own pages with the causal
+            # relative bias.
+            k_pos = jnp.arange(Nk, dtype=jnp.int32)
+            # k valid: k_pos <= q_pos AND k_pos < kv_len of the row.
+            q_pos = batch.positions
+            ok = (k_pos[None, :] <= q_pos[:, None]) & \
+                (k_pos[None, :] < kv_lens_t[:, None])  # [T, Nk]
+            rel = k_pos[None, :] - q_pos[:, None]
+            bucket = _rel_bucket(rel, False, self.num_buckets,
+                                 self.max_distance)
+            bias = params["dec_rel_bias"].astype(f32)[bucket]
+            bias = jnp.transpose(bias, (0, 2, 1))  # [T, H, Nk]
+        else:
+            bias_table = jnp.transpose(
+                params["dec_rel_bias"].astype(f32))  # [H, NB]
 
         flat, L, Pg = flatten_kv_pages(kv_pages)
 
@@ -384,15 +407,23 @@ class T5ForConditionalGeneration:
             flat = write_kv(flat, k.astype(kv_pages.dtype),
                             v.astype(kv_pages.dtype), slots)
             pidx = batch.page_indices + lidx * Pg
-            kv = flat[pidx]  # [S, Np, page, 2H, Dh]
-            kv = kv.reshape(S, Nk, 2 * H, Dh).astype(f32)
-            # write_kv interleaves K/V per head on the combined axis.
-            kt = kv[:, :, 0::2][seq_of]  # [T, Nk, H, Dh]
-            vt = kv[:, :, 1::2][seq_of]
-            scores = jnp.einsum("thd,tnhd->thn", q, kt) + bias
-            scores = jnp.where(ok[:, None, :], scores, _NEG)
-            attn = jax.nn.softmax(scores, axis=-1)
-            o = jnp.einsum("thn,tnhd->thd", attn, vt).reshape(T, -1)
+            if decode_fast:
+                o = paged_decode_attention(
+                    q.astype(jnp.bfloat16), flat, batch.kv_lens, pidx,
+                    None, sm_scale=1.0,  # T5 attention is unscaled
+                    rel_bias=bias_table,
+                    rel_bias_meta=(self.num_buckets, self.max_distance),
+                ).astype(f32).reshape(T, -1)
+            else:
+                kv = flat[pidx]  # [S, Np, page, 2H, Dh]
+                kv = kv.reshape(S, Nk, 2 * H, Dh).astype(f32)
+                # write_kv interleaves K/V per head on the combined axis.
+                kt = kv[:, :, 0::2][seq_of]  # [T, Nk, H, Dh]
+                vt = kv[:, :, 1::2][seq_of]
+                scores = jnp.einsum("thd,tnhd->thn", q, kt) + bias
+                scores = jnp.where(ok[:, None, :], scores, _NEG)
+                attn = jax.nn.softmax(scores, axis=-1)
+                o = jnp.einsum("thn,tnhd->thd", attn, vt).reshape(T, -1)
             x = x + o @ lp["wo"]
             # cross-attention (no bias)
             h = _rms(x, lp["cln"], self.rms_eps)

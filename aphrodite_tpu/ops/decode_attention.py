@@ -35,6 +35,7 @@ decode attention) and paged_attention v1/v2 kernels (csrc/attention/).
 """
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -81,7 +82,7 @@ def supports(q, kv_pages, page_indices) -> bool:
         (kv_pages.dtype == jnp.bfloat16
          or kv_pages.dtype in _QUANT_KV_DTYPES)
         and q.dtype == jnp.bfloat16
-        and head_dim == 128
+        and head_dim in (64, 128)
         and hd2 == head_dim
         and page_size % 8 == 0
         and num_combined % 2 == 0
@@ -105,6 +106,8 @@ def paged_decode_attention(
     blocksparse: Optional[tuple] = None,  # (block_size, local, vert)
     bs_head_offsets: Optional[jax.Array] = None,  # i32[QH]
     bs_on: Optional[jax.Array] = None,  # scalar bool (per-layer gate)
+    rel_bias: Optional[jax.Array] = None,  # f32[QH, NB] bucket bias (T5)
+    rel_bias_meta: Optional[tuple] = None,  # (num_buckets, max_distance)
     interpret: bool = False,
 ) -> jax.Array:
     del num_seqs
@@ -126,6 +129,17 @@ def paged_decode_attention(
     slopes_in = (jnp.zeros((1, QH), jnp.float32) if alibi_slopes is None
                  else alibi_slopes.astype(jnp.float32).reshape(1, QH))
 
+    # T5-style relative-position bias: a per-(head, bucket) table; the
+    # kernel computes each column's bucket from its distance and adds
+    # table[qh, bucket] to the scores (reference T5 decode adds the same
+    # bias through its dense attention path; the jnp fallback gathered
+    # every page per layer per step to do it).
+    if rel_bias is not None:
+        assert rel_bias_meta is not None
+        bias_in = rel_bias.astype(jnp.float32).reshape(QH, -1)
+    else:
+        bias_in = jnp.zeros((QH, 8), jnp.float32)
+
     # Blocksparse scalars ride the prefetch stream so the DMA gates can
     # read them (per-head vertical phases + the per-layer on/off gate).
     if blocksparse is not None:
@@ -146,6 +160,7 @@ def paged_decode_attention(
             soft_cap=soft_cap,
             use_alibi=alibi_slopes is not None,
             blocksparse=blocksparse,
+            rel_bias_meta=rel_bias_meta if rel_bias is not None else None,
             max_waves=max_waves,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -153,6 +168,8 @@ def paged_decode_attention(
             in_specs=[
                 pl.BlockSpec((G, QH, D), lambda i, *_: (i, 0, 0)),  # q
                 pl.BlockSpec((1, QH), lambda i, *_: (0, 0)),  # slopes
+                pl.BlockSpec(bias_in.shape,
+                             lambda i, *_: (0, 0)),  # rel-bias table
                 pl.BlockSpec(memory_space=pltpu.ANY),  # kv_pages (HBM)
             ],
             out_specs=pl.BlockSpec((G, QH, D), lambda i, *_: (i, 0, 0)),
@@ -175,7 +192,7 @@ def paged_decode_attention(
         interpret=interpret,
     )
     return kernel(kv_lens, page_indices, bs_off_in, bs_on_in, q,
-                  slopes_in, kv_pages)
+                  slopes_in, bias_in, kv_pages)
 
 
 def _decode_kernel(
@@ -187,6 +204,7 @@ def _decode_kernel(
     # inputs
     q_ref,  # [G, QH, D]
     slopes_ref,  # f32[1, QH]
+    bias_ref,  # f32[QH, NB] relative-bucket bias table (zeros if unused)
     kv_hbm_ref,  # [P, ps, CKV, D]
     # output
     o_ref,  # [G, QH, D]
@@ -196,7 +214,7 @@ def _decode_kernel(
     start_slot_ref,  # SMEM i32[1]: this block's first wave's buffer slot
     *,
     G, C, KV, QG, ps, sm_scale, sliding_window, soft_cap, use_alibi,
-    blocksparse, max_waves,
+    blocksparse, rel_bias_meta, max_waves,
 ):
     blk = pl.program_id(0)
     seq0 = blk * G
@@ -370,6 +388,29 @@ def _decode_kernel(
             bs_rows = jnp.where(row_qh == qh, bs_off_sref[qh], bs_rows)
         bs_enabled = bs_on_sref[0] != 0
 
+    if rel_bias_meta is not None:
+        rb_nb, rb_maxdist = rel_bias_meta
+        rb_max_exact = rb_nb // 2
+        rb_log_denom = math.log(rb_maxdist / rb_max_exact)
+
+        def rel_bias_cols(col_pos, len_g):
+            """T5 causal relative-position bucket bias per column
+            (HF T5Attention._relative_position_bucket, causal branch),
+            expanded against the [QH, NB] table with NB unrolled
+            selects — no gathers."""
+            n = jnp.maximum(len_g - 1 - col_pos, 0)  # [1, NL]
+            logv = jnp.log(jnp.maximum(n, 1).astype(jnp.float32)
+                           / rb_max_exact)
+            val_large = rb_max_exact + (
+                logv / rb_log_denom
+                * (rb_nb - rb_max_exact)).astype(jnp.int32)
+            val_large = jnp.minimum(val_large, rb_nb - 1)
+            bucket = jnp.where(n < rb_max_exact, n, val_large)
+            out = jnp.zeros((QH, bucket.shape[1]), jnp.float32)
+            for b in range(rb_nb):
+                out = jnp.where(bucket == b, bias_ref[:, b][:, None], out)
+            return out
+
     # Fold sm_scale into q up front: saves one [QH, N] f32 multiply per
     # wave (one bf16 rounding of q instead; well inside kernel tolerance).
     q_all = (q_ref[...].astype(jnp.float32)
@@ -484,6 +525,8 @@ def _decode_kernel(
                     dist = (col_pos.astype(jnp.float32)
                             - (len_g.astype(jnp.float32) - 1.0))
                     s += slope_rows * dist
+                if rel_bias_meta is not None:
+                    s += rel_bias_cols(col_pos, len_g)
                 s += neg
                 scores.append((s, v))
 

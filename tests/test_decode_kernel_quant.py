@@ -130,3 +130,53 @@ def test_decode_kernel_blocksparse_matches_oracle(homo):
     np.testing.assert_allclose(np.asarray(got_off, np.float32),
                                np.asarray(want_dense, np.float32),
                                rtol=0, atol=1e-5)
+
+
+def test_decode_kernel_t5_rel_bias_matches_oracle():
+    """T5 relative-bucket bias input (models/t5.py decode fast path):
+    kernel scores must equal dense attention + table[bucket] bias."""
+    import math as _math
+
+    rng = np.random.default_rng(17)
+    S, KVH, QH, D, page, pps = 8, 2, 4, 64, 16, 8
+    NB, MAXD = 32, 128
+    q, kv, kvl, pij, cu, ns = _mk_batch(rng, S, pps, page, KVH, QH, D)
+    bias_table = jnp.asarray(rng.standard_normal((QH, NB)) * 0.5,
+                             jnp.float32)
+
+    got = paged_decode_attention(q, kv, kvl, pij, ns, sm_scale=1.0,
+                                 rel_bias=bias_table,
+                                 rel_bias_meta=(NB, MAXD),
+                                 interpret=True)
+
+    # jnp oracle: dense per-seq attention with the same bucket bias.
+    def bucket_of(n):
+        max_exact = NB // 2
+        val = max_exact + (np.log(np.maximum(n, 1) / max_exact)
+                           / _math.log(MAXD / max_exact)
+                           * (NB - max_exact)).astype(np.int64)
+        val = np.minimum(val, NB - 1)
+        return np.where(n < max_exact, n, val)
+
+    kvn = np.asarray(kv, np.float32)
+    qn = np.asarray(q, np.float32)
+    out = np.zeros((S, QH, D), np.float32)
+    for i in range(S):
+        L = int(kvl[i])
+        toks = []
+        for t in range(L):
+            pg, off = divmod(t, page)
+            toks.append(kvn[int(pij[i, pg]), off])
+        toks = np.stack(toks)  # [L, 2*KVH, D]
+        for h in range(QH):
+            kvh = h // (QH // KVH)
+            k = toks[:, 2 * kvh]
+            v = toks[:, 2 * kvh + 1]
+            n = (L - 1) - np.arange(L)
+            b = bucket_of(n)
+            scores = qn[i, h] @ k.T + np.asarray(bias_table)[h][b]
+            p = np.exp(scores - scores.max())
+            p /= p.sum()
+            out[i, h] = p @ v
+    np.testing.assert_allclose(np.asarray(got, np.float32), out,
+                               rtol=0, atol=0.02 * np.abs(out).max())
