@@ -393,6 +393,14 @@ class SpeculativeConfig:
     ngram_prompt_lookup_min: int = 1
     # method == "draft": the draft model's config (built by EngineArgs).
     draft_model_config: Optional["ModelConfig"] = None
+    # Draft tensor parallelism (reference
+    # spec_decode/smaller_tp_proposer_worker.py:16, which likewise
+    # supports 1 or the target's tp): 1 runs the draft REPLICATED on
+    # every device (no head sharding, no collectives — the right call
+    # for tiny drafts and the only option when the draft's head count
+    # doesn't divide the target's tp); None auto-picks: target tp when
+    # it divides the draft's heads, else 1.
+    draft_tensor_parallel_size: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.method not in ("ngram", "draft", "eagle", "medusa",
@@ -406,6 +414,12 @@ class SpeculativeConfig:
             raise ValueError("num_speculative_tokens must be >= 1")
         if self.ngram_prompt_lookup_min > self.ngram_prompt_lookup_max:
             raise ValueError("ngram_prompt_lookup_min > max")
+        if self.draft_tensor_parallel_size not in (None, 1):
+            raise ValueError(
+                "draft_tensor_parallel_size supports 1 (replicated) or "
+                "None (auto: target tp when divisible, else 1) — the "
+                "same surface as the reference's "
+                "smaller_tp_proposer_worker")
 
 
 @dataclass

@@ -268,8 +268,17 @@ class ModelRunner:
         self.eagle_carry: Optional[jax.Array] = None
         if spec_cfg is not None and spec_cfg.method in ("draft", "eagle"):
             self.draft_model_config = spec_cfg.draft_model_config
+            # Draft tensor parallelism (reference
+            # spec_decode/smaller_tp_proposer_worker.py:16): a draft
+            # whose head count can't shard to the target's tp — or one
+            # explicitly pinned to draft_tp=1 — builds REPLICATED: its
+            # param shardings carry no model axis and its forward runs
+            # without the attention shard_map, so GSPMD replicates the
+            # (tiny) draft computation on every device, no collectives.
+            self.draft_parallel_config = self._draft_parallel_config(
+                spec_cfg)
             self.draft_model = get_model_class(self.draft_model_config)(
-                self.draft_model_config, self.parallel_config)
+                self.draft_model_config, self.draft_parallel_config)
             if (self.attention_free
                     or getattr(self.draft_model, "is_attention_free",
                                False)):
@@ -326,6 +335,8 @@ class ModelRunner:
             self.params["embed"] = jnp.concatenate(
                 [self.params["embed"], extra], axis=0)
         if self.draft_model is not None:
+            # Replicated drafts still get placed THROUGH the mesh (their
+            # shardings are model-axis-free, i.e. fully replicated).
             self.draft_params = load_model_params(
                 self.draft_model, self.draft_model_config,
                 self.config.load_config, self.mesh)
@@ -335,6 +346,35 @@ class ModelRunner:
                 self.config.load_config, self.mesh)
         jax.block_until_ready(self.params)
         logger.info("model loaded in %.1fs", time.monotonic() - t0)
+
+    @property
+    def draft_mesh(self):
+        """The mesh the draft forward shards over: None (replicated,
+        no shard_map) when the draft runs at draft_tp=1 under a tp>1
+        target."""
+        dpc = getattr(self, "draft_parallel_config", None)
+        if dpc is not None and dpc is not self.parallel_config:
+            return None
+        return self.mesh
+
+    def _draft_parallel_config(self, spec_cfg):
+        import dataclasses
+
+        tp = self.parallel_config.tensor_parallel_size
+        hf = spec_cfg.draft_model_config.hf_config
+        heads = hf.get("num_attention_heads", 1) or 1
+        kv = hf.get("num_key_value_heads") or heads
+        divisible = heads % tp == 0 and kv % tp == 0
+        if tp == 1 or (spec_cfg.draft_tensor_parallel_size is None
+                       and divisible):
+            return self.parallel_config
+        if spec_cfg.draft_tensor_parallel_size is None and not divisible:
+            logger.info(
+                "draft heads (%d q / %d kv) don't divide target tp=%d; "
+                "running the draft replicated (draft_tp=1)", heads, kv,
+                tp)
+        return dataclasses.replace(self.parallel_config,
+                                   tensor_parallel_size=1)
 
     def _kv_page_bytes_per_device(self) -> int:
         ckv, d = self.model.kv_cache_shape_suffix
@@ -490,7 +530,7 @@ class ModelRunner:
                                 lora_group_sizes=None)
         if not self.eagle:
             draft_kv, _ = self.draft_model.forward(
-                dparams, draft_kv, dbatch, mesh=self.mesh)
+                dparams, draft_kv, dbatch, mesh=self.draft_mesh)
             return draft_kv, carry
         H = hidden.shape[-1]
         prev = jnp.concatenate(
@@ -500,7 +540,7 @@ class ModelRunner:
         # one padding-token index whose KV write goes to the trash page.
         prev = prev.at[row_start].set(carry[carry_keys].astype(hidden.dtype))
         draft_kv, _ = self.draft_model.forward_with_hidden(
-            dparams, draft_kv, dbatch, prev, mesh=self.mesh)
+            dparams, draft_kv, dbatch, prev, mesh=self.draft_mesh)
         last_idx = dbatch.cu_q_lens[1:] - 1
         carry = carry.at[carry_keys].set(
             hidden[last_idx].astype(carry.dtype))
@@ -1886,7 +1926,7 @@ class ModelRunner:
             prev = prev.at[row_start].set(
                 carry[carry_keys].astype(hidden.dtype))
             draft_kv, _ = self.draft_model.forward_with_hidden(
-                dparams, draft_kv, batch, prev, mesh=self.mesh)
+                dparams, draft_kv, batch, prev, mesh=self.draft_mesh)
 
             # ---- feature/token/position at the accept boundary.
             vl1 = jnp.maximum(out.valid_len - 1, 0)  # [S]
@@ -1908,7 +1948,7 @@ class ModelRunner:
                 b = decode_batch(tok, pos, batch.page_indices,
                                  kv_capacity, batch.num_seqs)
                 draft_kv, dh = self.draft_model.forward_with_hidden(
-                    dparams, draft_kv, b, feat, mesh=self.mesh)
+                    dparams, draft_kv, b, feat, mesh=self.draft_mesh)
                 dlogits = self.draft_model.compute_logits(dparams, dh)
                 step_t = tensors._replace(key_data=_fold_key_data(
                     _fold_key_data(tensors.key_data, step_idx),
@@ -2044,7 +2084,7 @@ class ModelRunner:
                 batch = decode_batch(tok, pos, page_indices, kv_capacity,
                                      num_seqs)
                 draft_kv, hidden = self.draft_model.forward(
-                    dparams, draft_kv, batch, mesh=self.mesh)
+                    dparams, draft_kv, batch, mesh=self.draft_mesh)
                 logits = self.draft_model.compute_logits(dparams, hidden)
                 # Draft randomness: decorrelated from the verifier's
                 # accept/resample streams by the 0xD4A7 fold.

@@ -134,3 +134,26 @@ def test_rejection_sampling_with_draft_q_preserves_distribution():
     np.testing.assert_allclose(freq, target, atol=0.04)
     # Acceptance should be substantial (q overlaps p).
     assert np.asarray(out.valid_len).mean() > 1.05
+
+
+def test_draft_smaller_tp_replicated(target_dir, draft_dir):
+    """VERDICT r2 item 10 (reference smaller_tp_proposer_worker): the
+    draft's 2 heads can't shard to the target's tp=4, so it must build
+    replicated (draft_tp=1) — and stay lossless for greedy."""
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    prompts = ["one two three one two three one two",
+               "the quick brown fox jumps over"]
+    base = LLM(model=target_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8)
+    expect = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    del base
+
+    spec = LLM(model=target_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8,
+               tensor_parallel_size=4,
+               speculative_model=draft_dir, num_speculative_tokens=3)
+    runner = spec.engine.runner
+    assert runner.draft_parallel_config.tensor_parallel_size == 1
+    assert runner.draft_mesh is None and runner.mesh is not None
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    assert got == expect
