@@ -357,6 +357,40 @@ class ModelRunner:
             return None
         return self.mesh
 
+    def _can_chain_window(self, scheduled, flags, done: int,
+                          W: int) -> bool:
+        """True when the next engine step is guaranteed to schedule this
+        exact batch again (no finish possible, capacity already covers
+        another window) and its sampling is history-free (the
+        speculative window reuses this step's device tensors)."""
+        import os
+
+        if os.environ.get("APHRODITE_CHAIN_WINDOWS", "1") == "0":
+            return False
+        if (flags.do_penalties or flags.do_dry or flags.do_no_repeat_ngram
+                or flags.do_min_tokens or flags.do_banned_tokens
+                or flags.do_beam or flags.do_guided or self._multihost):
+            return False
+        for ss in scheduled:
+            sp = ss.group.sampling_params
+            seq = ss.seq
+            if (not sp.ignore_eos or sp.stop or sp.stop_token_ids
+                    or sp.logprobs is not None or sp.logits_processors
+                    or sp.use_beam_search or seq.fsm is not None):
+                return False
+            # Will it still be decoding after this step AND the
+            # speculative window?
+            if (sp.max_tokens is not None
+                    and len(seq.output_token_ids) + done + W
+                    >= sp.max_tokens):
+                return False
+            # Enough allocated KV capacity for the extra window (the
+            # scheduler has not been asked for the extra pages yet).
+            capacity = len(ss.block_ids) * self.block_size
+            if seq.num_computed_tokens + done + W > capacity:
+                return False
+        return True
+
     def _draft_parallel_config(self, spec_cfg):
         import dataclasses
 
@@ -2208,17 +2242,52 @@ class ModelRunner:
         num_windows = cdiv(num_steps, W)
         fn = self._get_multi_step_fn(flags, W)
         window_outs = []
-        for _ in range(num_windows):
+
+        # Cross-iteration pipelining: if the PREVIOUS engine step left a
+        # speculatively dispatched window whose predicted composition
+        # matches this schedule exactly, it IS this step's first window —
+        # the device computed it while the host was busy fetching/
+        # appending/scheduling, so the chip never idled between steps.
+        pending = getattr(self, "_pending_window", None)
+        self._pending_window = None
+        if (pending is not None and pending["fp"] == fp
+                and pending["flags"] == flags and pending["W"] == W):
+            window_outs.append(pending["packed"])
+            carry = pending["carry"]
+            self.chained_window_hits = getattr(
+                self, "chained_window_hits", 0) + 1
+        # A missed prediction is dropped unfetched: its KV writes are
+        # either identical to what the real windows recompute (same
+        # seeds, same positions — every decode step rewrites its own
+        # slot before attending) or land past kv_len / in non-hashed
+        # partial pages, so they are invisible.
+
+        for _ in range(num_windows - len(window_outs)):
             self.kv_pages, carry, packed = fn(
                 self.params, self.kv_pages, carry, sched_dev,
                 tensors_dev, rope_delta)
             window_outs.append(packed)
         done = num_windows * W
-        self._decode_carry = (
-            (S, tuple((ss.seq.seq_id, ss.seq.num_computed_tokens + done)
-                      for ss in scheduled)),
-            carry,
-        )
+        fp_done = (S, tuple(
+            (ss.seq.seq_id, ss.seq.num_computed_tokens + done)
+            for ss in scheduled))
+        self._decode_carry = (fp_done, carry)
+
+        if self._can_chain_window(scheduled, flags, done, W):
+            # Dispatch the NEXT engine step's first window now, before
+            # this step's outputs are even fetched (VERDICT r2 item 3 —
+            # the reference's async multi-step output processing,
+            # engine/aphrodite_engine.py:95-114, hides the same host
+            # latency). Composition is predicted to be unchanged; the
+            # fingerprint check above validates it next call.
+            self.kv_pages, spec_carry, spec_packed = fn(
+                self.params, self.kv_pages, carry, sched_dev,
+                tensors_dev, rope_delta)
+            self._pending_window = dict(
+                fp=(S, tuple(
+                    (ss.seq.seq_id, ss.seq.num_computed_tokens + done)
+                    for ss in scheduled)),
+                flags=flags, W=W, packed=spec_packed, carry=spec_carry)
 
         n = len(scheduled)
         K = flags.max_logprobs
