@@ -53,9 +53,14 @@ def qmatmul(x: jax.Array, w: WeightLike) -> jax.Array:
 
 def _int8_matmul(x: jax.Array, w: Dict[str, Any]) -> jax.Array:
     """Weight-only int8 per-channel (reference tpu_int8.py:115
-    quantized_matmul): dequant folded into the output scale, so the MXU
-    runs a bf16 x int8 matmul and one vector multiply."""
-    q = w["q"]
+    quantized_matmul): dequant folded into the output scale.
+
+    The int8 operand is converted to the activation dtype IN the dot
+    (int8 -> bf16 is exact; XLA fuses the convert into the operand read
+    so HBM traffic stays the int8 bytes). A mixed bf16 x s8 dot_general
+    lowers to a catastrophically slow emulation on TPU (measured ~1000x
+    at bench shapes), so never hand XLA the raw s8 operand."""
+    q = w["q"].astype(x.dtype)
     out = jax.lax.dot_general(
         x, q,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
