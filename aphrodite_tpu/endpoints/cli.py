@@ -19,6 +19,10 @@ def _add_serve_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=2242)
     parser.add_argument("--served-model-name", type=str, default=None)
+    parser.add_argument("--engine-replicas", type=int, default=1,
+                        help="data-parallel engine replicas: N engine "
+                             "processes (own devices/KV each) behind a "
+                             "least-loaded router")
     parser.add_argument("--engine-subprocess", action="store_true",
                         help="run the engine (and the TPU/XLA runtime) "
                              "in a child process so an engine crash "
@@ -58,7 +62,8 @@ def _run(args: argparse.Namespace) -> None:
                    served_model_names=served, api_keys=api_keys,
                    admin_key=args.admin_key,
                    engine_in_subprocess=getattr(
-                       args, "engine_subprocess", False)))
+                       args, "engine_subprocess", False),
+                   engine_replicas=getattr(args, "engine_replicas", 1)))
 
 
 def _complete(args: argparse.Namespace) -> None:

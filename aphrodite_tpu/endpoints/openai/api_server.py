@@ -925,12 +925,22 @@ async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
                      served_model_names: Optional[List[str]] = None,
                      api_keys: Optional[List[str]] = None,
                      admin_key: Optional[str] = None,
-                     engine_in_subprocess: bool = False) -> None:
+                     engine_in_subprocess: bool = False,
+                     engine_replicas: int = 1) -> None:
     import os
 
     if admin_key is None:
         admin_key = os.environ.get("APHRODITE_ADMIN_KEY") or None
-    if engine_in_subprocess or os.environ.get(
+    engine_replicas = int(os.environ.get("APHRODITE_ENGINE_REPLICAS",
+                                         engine_replicas))
+    if engine_replicas > 1:
+        # Data-parallel engine replicas: N independent engine processes
+        # (own devices/KV/scheduler each) behind a least-loaded router;
+        # a dead replica degrades capacity instead of killing serving.
+        from aphrodite_tpu.engine.multiproc import DPAsyncEngine
+
+        async_engine = DPAsyncEngine(engine_args, engine_replicas)
+    elif engine_in_subprocess or os.environ.get(
             "APHRODITE_ENGINE_SUBPROCESS") == "1":
         # Fault isolation (reference MQAphroditeEngine + server/launch.py
         # keep-alive): the engine/XLA runtime lives in a child process;

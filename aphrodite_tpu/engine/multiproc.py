@@ -86,13 +86,20 @@ def _recv_frame(sock: socket.socket) -> Optional[Any]:
 # ---------------------------------------------------------------------------
 
 
-def engine_proc_main(socket_path: str, engine_args: EngineArgs) -> None:
+def engine_proc_main(socket_path: str, engine_args: EngineArgs,
+                     extra_env: Optional[Dict[str, str]] = None) -> None:
     """Child entry: build the engine, serve the socket protocol.
 
     Mirrors AsyncAphrodite._run_loop's structure synchronously: drain
     inbound commands (non-blocking while work is queued, blocking when
     idle), step, push outputs.
+
+    extra_env: applied before any device use — the hook data-parallel
+    replicas use to pin each engine process to its own chips (e.g.
+    TPU_VISIBLE_CHIPS / JAX device selection vars).
     """
+    if extra_env:
+        os.environ.update(extra_env)
     # Honor JAX_PLATFORMS even where a sitecustomize hook pre-registers
     # a hardware backend at interpreter boot (same workaround as
     # tests/conftest.py): the spawned child re-runs sitecustomize, so
@@ -235,7 +242,8 @@ class MPAsyncEngine:
     """AsyncAphrodite-compatible client for a child-process engine."""
 
     def __init__(self, engine_args: EngineArgs,
-                 start_timeout_s: float = 600.0) -> None:
+                 start_timeout_s: float = 600.0,
+                 extra_env: Optional[Dict[str, str]] = None) -> None:
         self.engine_args = engine_args
         self._streams: Dict[str, AsyncStream] = {}
         self._pending: Dict[int, asyncio.Future] = {}
@@ -256,7 +264,8 @@ class MPAsyncEngine:
 
         ctx = mp.get_context("spawn")
         self.proc = ctx.Process(target=engine_proc_main,
-                                args=(path, engine_args), daemon=True)
+                                args=(path, engine_args, extra_env),
+                                daemon=True)
         self.proc.start()
         listener.settimeout(start_timeout_s)
         self._sock, _ = listener.accept()
@@ -460,3 +469,132 @@ class MPAsyncEngine:
             self._sock.close()
         except OSError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel engine replicas
+# ---------------------------------------------------------------------------
+
+
+class _DPEngineProxy:
+    """Engine facade for the DP router: local tokenizer/config from
+    replica 0, utility methods fanned out to every live replica (an
+    adapter load must land on all of them)."""
+
+    def __init__(self, dp: "DPAsyncEngine", base: _EngineProxy) -> None:
+        self._dp = dp
+        self.model_config = base.model_config
+        self.tokenizer = base.tokenizer
+        self.eos_token_id = base.eos_token_id
+        self._base = base
+
+    def has_unfinished_requests(self) -> bool:
+        return any(r._streams for r in self._dp.replicas)
+
+    @property
+    def runner(self):
+        return self._base.runner
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def call(*args, **kwargs):
+            return self._dp.utility(name, *args, **kwargs)
+
+        return call
+
+
+class DPAsyncEngine:
+    """Least-loaded router over N independent engine-process replicas.
+
+    Each replica owns its own device(s), KV cache, and scheduler — the
+    scale-out shape for single-host multi-chip or multi-process serving
+    when one mesh is not wanted. Requests route to the replica with the
+    fewest open streams; a dead replica is skipped (partial fault
+    tolerance: serving degrades instead of dying). The frontend surface
+    matches AsyncAphrodite/MPAsyncEngine, so OpenAIServer runs
+    unmodified.
+
+    Per-replica device pinning goes through `env_for_replica` (e.g.
+    lambda i: {"TPU_VISIBLE_CHIPS": str(i)}).
+    """
+
+    def __init__(self, engine_args: EngineArgs, replicas: int,
+                 env_for_replica=None,
+                 start_timeout_s: float = 600.0) -> None:
+        assert replicas >= 1
+        self.engine_args = engine_args
+        self.replicas: List[MPAsyncEngine] = []
+        for i in range(replicas):
+            env = env_for_replica(i) if env_for_replica else None
+            self.replicas.append(
+                MPAsyncEngine(engine_args, start_timeout_s=start_timeout_s,
+                              extra_env=env))
+        self.engine = _DPEngineProxy(self, self.replicas[0].engine)
+        self._owner: Dict[str, MPAsyncEngine] = {}
+
+    @classmethod
+    def from_engine_args(cls, engine_args: EngineArgs,
+                         replicas: int = 1) -> "DPAsyncEngine":
+        return cls(engine_args, replicas)
+
+    # -- routing ----------------------------------------------------------
+
+    def _live(self) -> List[MPAsyncEngine]:
+        return [r for r in self.replicas if not r.errored]
+
+    def _pick(self) -> MPAsyncEngine:
+        live = self._live()
+        if not live:
+            raise AsyncEngineDeadError("all engine replicas have died")
+        return min(live, key=lambda r: len(r._streams))
+
+    @property
+    def errored(self) -> bool:
+        return not self._live()
+
+    async def check_health(self) -> None:
+        if self.errored:
+            raise AsyncEngineDeadError("all engine replicas have died")
+
+    async def add_request(self, request_id: str, *args, **kwargs):
+        replica = self._pick()
+        stream = await replica.add_request(request_id, *args, **kwargs)
+        self._owner[request_id] = replica
+        return stream
+
+    async def generate(self, request_id: str, prompt=None,
+                       sampling_params=None, prompt_token_ids=None,
+                       multi_modal_data=None):
+        stream = await self.add_request(
+            request_id, prompt, sampling_params, prompt_token_ids,
+            multi_modal_data=multi_modal_data)
+        try:
+            async for output in stream:
+                yield output
+        finally:
+            if not stream.finished:
+                await self.abort(request_id)
+
+    async def abort(self, request_id: str) -> None:
+        replica = self._owner.pop(request_id, None)
+        if replica is not None:
+            await replica.abort(request_id)
+
+    # -- utilities --------------------------------------------------------
+
+    def utility(self, name: str, *args, **kwargs):
+        """Fan out to every live replica (adapter loads must land on
+        all); resolves to the first replica's result."""
+        futs = [r.utility(name, *args, **kwargs) for r in self._live()]
+
+        async def gather():
+            results = await asyncio.gather(*futs)
+            return results[0] if results else None
+
+        return gather()
+
+    def shutdown(self) -> None:
+        for r in self.replicas:
+            r.shutdown()

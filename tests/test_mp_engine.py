@@ -125,3 +125,50 @@ async def test_mp_engine_death_fails_streams_not_server(
 
     with pytest.raises(AsyncEngineDeadError):
         await mp_client.check_health()
+
+
+@pytest.fixture(scope="module")
+def dp_client(tiny_dir):
+    from aphrodite_tpu.engine.multiproc import DPAsyncEngine
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    client = DPAsyncEngine(_engine_args(tiny_dir), replicas=2)
+    yield client
+    client.shutdown()
+
+
+async def test_dp_router_spreads_and_survives_replica_death(
+        dp_client, aiohttp_client):
+    # Warm both replicas with concurrent requests (least-loaded routing
+    # must use both).
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    streams = [await dp_client.add_request(
+        f"dp{i}", prompt_token_ids=[1, 2, 3, 4], sampling_params=sp)
+        for i in range(4)]
+    owners = {id(dp_client._owner[f"dp{i}"]) for i in range(4)}
+    assert len(owners) == 2, "least-loaded routing must use both replicas"
+    for st in streams:
+        final = None
+        async for out in st:
+            final = out
+        assert final is not None and final.finished
+
+    # LoRA-less utility fan-out resolves.
+    assert await dp_client.utility("list_loras") == []
+
+    # Kill replica 0: serving continues on replica 1.
+    server = OpenAIServer(dp_client, served_model_names=["tiny"])
+    http = await aiohttp_client(server.build_app())
+    os.kill(dp_client.replicas[0].proc.pid, signal.SIGKILL)
+    deadline = asyncio.get_event_loop().time() + 10
+    while not dp_client.replicas[0].errored:
+        assert asyncio.get_event_loop().time() < deadline
+        await asyncio.sleep(0.05)
+
+    resp = await http.post("/v1/completions", json={
+        "model": "tiny", "prompt": "hello", "max_tokens": 4,
+        "temperature": 0, "ignore_eos": True,
+    })
+    assert resp.status == 200, await resp.text()
+    resp = await http.get("/health")
+    assert resp.status == 200  # one live replica = healthy
