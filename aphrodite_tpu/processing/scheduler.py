@@ -75,9 +75,17 @@ class Scheduler:
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: Deque[SequenceGroup] = deque()
         # Extra KV slots reserved per decode for multi-step execution
-        # (reference lookahead slots, SchedulerOutputs:115).
-        self.num_lookahead_slots = max(
-            0, scheduler_config.num_scheduler_steps - 1)
+        # (reference lookahead slots, SchedulerOutputs:115). With
+        # cross-step window chaining (worker/model_runner.py
+        # _can_chain_window) the runner dispatches ONE window beyond
+        # this step speculatively, so reserve a second window's worth —
+        # the chain gate requires the capacity to already exist.
+        import os as _os
+
+        nss = scheduler_config.num_scheduler_steps
+        chain = (_os.environ.get("APHRODITE_CHAIN_WINDOWS", "1") != "0"
+                 and nss > 1)
+        self.num_lookahead_slots = max(0, nss - 1 + (nss if chain else 0))
         self.num_cumulative_preemption = 0
         self._artificial_preempt_cnt = (ARTIFICIAL_PREEMPTION_PROB
                                         if ENABLE_ARTIFICIAL_PREEMPT else 0)

@@ -2266,6 +2266,13 @@ class ModelRunner:
             self.kv_pages, carry, packed = fn(
                 self.params, self.kv_pages, carry, sched_dev,
                 tensors_dev, rope_delta)
+            # Start the D2H copy immediately: by the time np.asarray
+            # fetches below, the bytes are already on the host (the
+            # device->host hop through the remote relay is multiple ms).
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
             window_outs.append(packed)
         done = num_windows * W
         fp_done = (S, tuple(
@@ -2283,6 +2290,12 @@ class ModelRunner:
             self.kv_pages, spec_carry, spec_packed = fn(
                 self.params, self.kv_pages, carry, sched_dev,
                 tensors_dev, rope_delta)
+            try:
+                # Overlap the speculative window's D2H with the next
+                # host phase: its np.asarray lands next engine step.
+                spec_packed.copy_to_host_async()
+            except AttributeError:
+                pass
             self._pending_window = dict(
                 fp=(S, tuple(
                     (ss.seq.seq_id, ss.seq.num_computed_tokens + done)
