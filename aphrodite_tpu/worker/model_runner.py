@@ -378,10 +378,13 @@ class ModelRunner:
                     or sp.logprobs is not None or sp.logits_processors
                     or sp.use_beam_search or seq.fsm is not None):
                 return False
-            # Will it still be decoding after this step AND the
-            # speculative window?
+            # Must still be decoding NEXT step (the speculative window
+            # may overshoot max_tokens: a seq finishing mid-window is
+            # the same already-handled case as a regular window, and if
+            # it finishes before the window is consumed the composition
+            # fingerprint misses and the window is dropped).
             if (sp.max_tokens is not None
-                    and len(seq.output_token_ids) + done + W
+                    and len(seq.output_token_ids) + done
                     >= sp.max_tokens):
                 return False
             # Enough allocated KV capacity for the extra window (the

@@ -113,6 +113,9 @@ def run_once(quant, kv_dtype, on_tpu: bool) -> float:
         # variant) — a short warmup leaves multi-second XLA-cache
         # deserializations inside the timed region.
         llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        # Clean phase stats for the timed region only.
+        for k in llm.engine.phase_timings:
+            llm.engine.phase_timings[k] = 0 if k == "iterations" else 0.0
 
         t0 = time.monotonic()
         outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
@@ -128,6 +131,14 @@ def run_once(quant, kv_dtype, on_tpu: bool) -> float:
         prefill_time = time.monotonic() - t1
         decode_time = max(elapsed - prefill_time, 1e-6)
         toks_per_s = total_decode_tokens / decode_time
+        pt = llm.engine.get_phase_timings()
+        it = max(pt["iterations"], 1)
+        print(f"phases: sched {pt['schedule_s']/it*1e3:.2f}ms "
+              f"exec {pt['execute_s']/it*1e3:.2f}ms "
+              f"post {pt['postprocess_s']/it*1e3:.2f}ms over "
+              f"{it} iterations; chained_hits="
+              f"{getattr(llm.engine.runner, 'chained_window_hits', 0)}",
+              file=sys.stderr)
     # Free this engine's device arrays before the next variant builds.
     del llm
     gc.collect()
