@@ -462,20 +462,25 @@ class AphroditeEngine:
     def add_lora(self, name: str, path: str) -> None:
         if self.runner.lora_manager is None:
             raise ValueError("engine started without enable_lora")
+        # Load locally FIRST: if the adapter is bad (missing path, shape
+        # mismatch) the error stays on the primary. Broadcasting before
+        # validating would kill followers on an exception the primary
+        # survives, wedging the next step broadcast.
+        self.runner.lora_manager.add_adapter(name, path)
         if self.runner._multihost:
             from aphrodite_tpu.parallel import multihost
 
             multihost.primary_broadcast_lora("add", name, path)
-        self.runner.lora_manager.add_adapter(name, path)
 
     def remove_lora(self, name: str) -> bool:
         if self.runner.lora_manager is None:
             return False
-        if self.runner._multihost:
+        removed = self.runner.lora_manager.remove_adapter(name)
+        if removed and self.runner._multihost:
             from aphrodite_tpu.parallel import multihost
 
             multihost.primary_broadcast_lora("remove", name)
-        return self.runner.lora_manager.remove_adapter(name)
+        return removed
 
     def list_loras(self) -> List[str]:
         if self.runner.lora_manager is None:

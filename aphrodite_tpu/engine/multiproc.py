@@ -130,18 +130,28 @@ def engine_proc_main(socket_path: str, engine_args: EngineArgs,
         _send_frame(sock, ("fatal", traceback.format_exc()))
         return
 
+    import select as _select
+
     def drain(block: bool) -> bool:
-        """Process pending commands; returns False on shutdown/EOF."""
+        """Process pending commands; returns False on shutdown/EOF.
+
+        Readability is tested with select(); the frame itself is ALWAYS
+        read in blocking mode. A non-blocking read could hit EAGAIN
+        mid-frame (any pickle larger than the socket buffer arriving
+        while the engine steps), and abandoning a half-read frame
+        desyncs the length-prefixed protocol permanently. Blocking on
+        the remainder is safe: the parent writes whole frames with
+        sendall, so once the header bytes exist the body follows.
+        """
         while True:
-            sock.setblocking(block)
+            if not block:
+                readable, _, _ = _select.select([sock], [], [], 0)
+                if not readable:
+                    return True
             try:
                 msg = _recv_frame(sock)
-            except BlockingIOError:
-                return True
             except OSError:
                 return False
-            finally:
-                sock.setblocking(True)
             if msg is None:
                 return False
             op = msg[0]
@@ -525,6 +535,8 @@ class DPAsyncEngine:
                  start_timeout_s: float = 600.0) -> None:
         assert replicas >= 1
         self.engine_args = engine_args
+        if env_for_replica is None:
+            env_for_replica = self._default_pinning(replicas)
         self.replicas: List[MPAsyncEngine] = []
         for i in range(replicas):
             env = env_for_replica(i) if env_for_replica else None
@@ -533,6 +545,41 @@ class DPAsyncEngine:
                               extra_env=env))
         self.engine = _DPEngineProxy(self, self.replicas[0].engine)
         self._owner: Dict[str, MPAsyncEngine] = {}
+
+    @staticmethod
+    def _default_pinning(replicas: int):
+        """Per-replica TPU chip pinning: two engine processes on the same
+        chip deadlock/contend (one libtpu owner per chip), so each child
+        gets TPU_VISIBLE_CHIPS=<i> unless the caller pins explicitly or
+        APHRODITE_DP_PIN=0 (CPU runs, tests). Fails fast when the host's
+        visible chip count (/dev/accel* when present) is below the
+        replica count instead of letting children crash at device init.
+        """
+        if replicas == 1 or os.environ.get("APHRODITE_DP_PIN") == "0":
+            return None
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            return None
+        import glob
+
+        accels = glob.glob("/dev/accel*")
+        if accels and len(accels) < replicas:
+            raise ValueError(
+                f"--engine-replicas {replicas} but only {len(accels)} "
+                f"TPU chips visible on this host ({sorted(accels)}); "
+                "data-parallel replicas need one chip (set) each. Use "
+                "env_for_replica for custom multi-chip-per-replica "
+                "pinning or APHRODITE_DP_PIN=0 to disable pinning.")
+
+        def env(i: int) -> Dict[str, str]:
+            return {
+                "TPU_VISIBLE_CHIPS": str(i),
+                # One-process-per-chip topology: each child is its own
+                # single-process TPU world.
+                "TPU_PROCESS_BOUNDS": "1,1,1",
+                "TPU_CHIPS_PER_PROCESS_BOUNDS": "1,1,1",
+            }
+
+        return env
 
     @classmethod
     def from_engine_args(cls, engine_args: EngineArgs,
@@ -576,6 +623,10 @@ class DPAsyncEngine:
         finally:
             if not stream.finished:
                 await self.abort(request_id)
+            else:
+                # Normal completion never hits abort(): prune ownership
+                # or the dict grows without bound in a long server.
+                self._owner.pop(request_id, None)
 
     async def abort(self, request_id: str) -> None:
         replica = self._owner.pop(request_id, None)

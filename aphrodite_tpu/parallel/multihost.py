@@ -311,12 +311,24 @@ def run_follower(engine_config) -> None:
             return
         if op == OP_LORA:
             action, name, path = payload
-            if runner.lora_manager is None:
-                raise ValueError("follower built without enable_lora")
-            if action == "add":
-                runner.lora_manager.add_adapter(name, path)
-            else:
-                runner.lora_manager.remove_adapter(name)
+            # Never let an adapter error kill the follower loop: the
+            # primary validated the adapter before broadcasting, but the
+            # path may still be unreadable from THIS host (non-shared
+            # storage). A dead follower wedges every later step
+            # broadcast; log loudly and keep replaying instead.
+            try:
+                if runner.lora_manager is None:
+                    raise ValueError("follower built without enable_lora")
+                if action == "add":
+                    runner.lora_manager.add_adapter(name, path)
+                else:
+                    runner.lora_manager.remove_adapter(name)
+            except Exception:
+                logger.exception(
+                    "follower %d: LoRA %s '%s' failed; adapter state has "
+                    "DIVERGED from the primary — requests using it will "
+                    "misroute on this host", _process_index(), action,
+                    name)
             continue
         outputs = thaw_outputs(payload)
         if op == OP_EXECUTE:

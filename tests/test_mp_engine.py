@@ -88,6 +88,32 @@ async def test_mp_utility_calls(mp_client):
     assert await mp_client.utility("list_loras") == []
 
 
+async def test_mp_big_frame_while_busy_keeps_protocol_synced(mp_client):
+    """A frame larger than the unix-socket buffer arriving while the
+    engine is mid-step must not desync the length-prefixed protocol
+    (regression: non-blocking drain abandoned half-read frames)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    # Keep the child busy stepping so its drain() runs non-blocking.
+    busy = await mp_client.add_request("busy", prompt_token_ids=[1, 2, 3],
+                                       sampling_params=sp)
+    # ~1.6MB pickle: far beyond the ~208KB socket buffer, so the child
+    # sees a split frame. Admission rejects it (longer than
+    # max_model_len) — the request_failed reply proves the frame was
+    # decoded intact rather than desyncing the stream.
+    big = list(range(200_000))
+    try:
+        async for _ in mp_client.generate(
+                "big", prompt_token_ids=big, sampling_params=sp):
+            pass  # over-long prompts finish ignored (reference semantics)
+    except Exception:
+        pass  # an admission error round-trip is equally fine
+    async for _ in busy:
+        pass
+    # Protocol still synced: a normal request round-trips fine.
+    final = await _generate(mp_client, "after_big")
+    assert final.finished and len(final.outputs[0].token_ids) == 6
+
+
 async def test_mp_engine_death_fails_streams_not_server(
         mp_client, tiny_dir, aiohttp_client):
     server = OpenAIServer(mp_client, served_model_names=["tiny"])
