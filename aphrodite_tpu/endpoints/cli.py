@@ -24,11 +24,19 @@ def _add_serve_args(parser: argparse.ArgumentParser) -> None:
                              "processes (own devices/KV each) behind a "
                              "least-loaded router")
     parser.add_argument("--engine-subprocess", action="store_true",
+                        default=None,
                         help="run the engine (and the TPU/XLA runtime) "
                              "in a child process so an engine crash "
                              "cannot kill the HTTP frontend (reference "
-                             "MQAphroditeEngine; set "
-                             "APHRODITE_ENGINE_SUBPROCESS=1 to force)")
+                             "MQAphroditeEngine). THE DEFAULT for "
+                             "online serving, matching the reference's "
+                             "frontend/engine split "
+                             "(endpoints/openai/api_server.py:127-190)")
+    parser.add_argument("--no-engine-subprocess", dest="engine_subprocess",
+                        action="store_false",
+                        help="run the engine in-process with the HTTP "
+                             "server (single process; an engine crash "
+                             "kills serving)")
     parser.add_argument("--api-keys", type=str, default=None,
                         help="comma-separated list of accepted API keys")
     parser.add_argument("--admin-key", type=str, default=None,
@@ -62,7 +70,7 @@ def _run(args: argparse.Namespace) -> None:
                    served_model_names=served, api_keys=api_keys,
                    admin_key=args.admin_key,
                    engine_in_subprocess=getattr(
-                       args, "engine_subprocess", False),
+                       args, "engine_subprocess", None),
                    engine_replicas=getattr(args, "engine_replicas", 1)))
 
 

@@ -925,7 +925,7 @@ async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
                      served_model_names: Optional[List[str]] = None,
                      api_keys: Optional[List[str]] = None,
                      admin_key: Optional[str] = None,
-                     engine_in_subprocess: bool = False,
+                     engine_in_subprocess: Optional[bool] = None,
                      engine_replicas: int = 1) -> None:
     import os
 
@@ -933,6 +933,18 @@ async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
         admin_key = os.environ.get("APHRODITE_ADMIN_KEY") or None
     engine_replicas = int(os.environ.get("APHRODITE_ENGINE_REPLICAS",
                                          engine_replicas))
+    env_sub = os.environ.get("APHRODITE_ENGINE_SUBPROCESS")
+    if env_sub is not None:
+        engine_in_subprocess = env_sub == "1"
+    if engine_in_subprocess is None:
+        # DEFAULT: online serving isolates the engine in a child process
+        # like the reference's spawned MQ engine (endpoints/openai/
+        # api_server.py:127-190). Multi-host keeps the engine in-process:
+        # the primary's step broadcasts ride the jax.distributed world
+        # initialized in THIS process.
+        from aphrodite_tpu.parallel import multihost
+
+        engine_in_subprocess = not multihost.is_active()
     if engine_replicas > 1:
         # Data-parallel engine replicas: N independent engine processes
         # (own devices/KV/scheduler each) behind a least-loaded router;
@@ -940,8 +952,7 @@ async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
         from aphrodite_tpu.engine.multiproc import DPAsyncEngine
 
         async_engine = DPAsyncEngine(engine_args, engine_replicas)
-    elif engine_in_subprocess or os.environ.get(
-            "APHRODITE_ENGINE_SUBPROCESS") == "1":
+    elif engine_in_subprocess:
         # Fault isolation (reference MQAphroditeEngine + server/launch.py
         # keep-alive): the engine/XLA runtime lives in a child process;
         # if it dies the HTTP server stays up serving errors.

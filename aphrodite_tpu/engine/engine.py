@@ -108,6 +108,14 @@ class AphroditeEngine:
             "last_schedule_ms": 0.0,
             "last_execute_ms": 0.0,
             "last_postprocess_ms": 0.0,
+            # Pure-decode accounting: iterations with zero prefill
+            # tokens, their full step wall time, and the tokens they
+            # appended. decode_tokens/decode_s IS steady-state decode
+            # throughput — measured, not inferred by subtracting a
+            # separate prefill run (bench.py uses exactly this).
+            "decode_iterations": 0,
+            "decode_s": 0.0,
+            "decode_tokens": 0,
         }
 
     @classmethod
@@ -593,6 +601,11 @@ class AphroditeEngine:
         pt["last_schedule_ms"] = (t_sched - t0) * 1e3
         pt["last_execute_ms"] = (t_exec - t_sched) * 1e3
         pt["last_postprocess_ms"] = (t_post - t_exec) * 1e3
+        if (scheduler_outputs.num_prefill_tokens == 0
+                and scheduler_outputs.scheduled):
+            pt["decode_iterations"] += 1
+            pt["decode_s"] += t_post - t0
+            pt["decode_tokens"] += self._tokens_appended_iter
         if trace:
             logger.info("step timing: process=%.1fms (%d tokens appended)",
                         (t_post - t_exec) * 1e3,

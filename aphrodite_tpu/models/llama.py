@@ -381,6 +381,107 @@ class LlamaForCausalLM:
             }
         return specs
 
+    def fuse_projections(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Load-time projection fusion: concatenate wq|wk|wv -> wqkv and
+        gate|up -> w13 along the output axis (all share the same input
+        activation), halving the per-layer matmul count from 7 to 4.
+
+        For the packed-int4 path this is the per-layer megakernel the
+        roadmap names (docs/roadmap.md): each pallas_call pays a pipeline
+        fill/drain, and at decode shapes the drains were ~40% of matmul
+        time (tools/quant_microbench.py fused-vs-split). Dense bf16 and
+        int8 containers fuse the same way — one MXU pass reads the
+        activation once.
+
+        Single-shard only (tp == pp == 1): under TP the fused output
+        axis would need Megatron-style per-rank interleaving to keep
+        shard boundaries aligned with head groups (reference
+        QKVParallelLinear does this implicitly; our GSPMD slices would
+        reshard). The runner gates the call accordingly.
+        """
+        if not type(self).supports_pipelined:
+            return params  # custom forward: unknown layer structure
+        lp = params.get("layers")
+        if lp is None or "wqkv" in lp or "w13" in lp:
+            return params
+
+        def fusable(names):
+            kinds = []
+            for n in names:
+                w = lp.get(n)
+                if w is None:
+                    return False
+                if isinstance(w, dict):
+                    if "q4p" in w:
+                        g = 2 * w["q4p"].shape[-2] // w["scale"].shape[-2]
+                        kinds.append(("q4p", w["q4p"].shape[-2], g))
+                    elif "q4" in w:
+                        g = w["q4"].shape[-2] // w["scale"].shape[-2]
+                        kinds.append(("q4", w["q4"].shape[-2], g))
+                    elif "act" in w:
+                        return False  # fp8 w8a8: act-scale plumbing
+                    else:
+                        kinds.append(("q", w["q"].shape[-2], 0))
+                else:
+                    kinds.append(("dense", w.shape[-2], 0))
+            return all(k == kinds[0] for k in kinds)
+
+        def cat(names, out):
+            ws = [lp[n] for n in names]
+            if isinstance(ws[0], dict):
+                lp[out] = {k: jnp.concatenate([w[k] for w in ws], axis=-1)
+                           for k in ws[0]}
+            else:
+                lp[out] = jnp.concatenate(ws, axis=-1)
+            for n in names:
+                del lp[n]
+
+        if fusable(("wq", "wk", "wv")):
+            cat(("wq", "wk", "wv"), "wqkv")
+            if "bq" in lp:
+                lp["bqkv"] = jnp.concatenate(
+                    [lp.pop("bq"), lp.pop("bk"), lp.pop("bv")], axis=-1)
+        if self.gated_mlp and fusable(("gate", "up")):
+            cat(("gate", "up"), "w13")
+            if "gate_b" in lp:
+                lp["b13"] = jnp.concatenate(
+                    [lp.pop("gate_b"), lp.pop("up_b")], axis=-1)
+        return params
+
+    def unfuse_projections(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Inverse of fuse_projections: split wqkv / w13 back into the
+        canonical per-projection keys. Used when persisting params
+        (save_sharded_state) so checkpoints keep the loadable layout."""
+        lp = params.get("layers")
+        if lp is None:
+            return params
+        NH, NKV, D = (self.num_heads_padded, self.num_kv_heads_padded,
+                      self.head_dim)
+
+        def split(name, bounds, outs):
+            w = lp.pop(name, None)
+            if w is None:
+                return
+            for (lo, hi), out in zip(bounds, outs):
+                if isinstance(w, dict):
+                    lp[out] = {k: v[..., lo:hi] for k, v in w.items()}
+                else:
+                    lp[out] = w[..., lo:hi]
+
+        qb = ((0, NH * D), (NH * D, (NH + NKV) * D),
+              ((NH + NKV) * D, (NH + 2 * NKV) * D))
+        split("wqkv", qb, ("wq", "wk", "wv"))
+        if "bqkv" in lp:
+            b = lp.pop("bqkv")
+            lp["bq"], lp["bk"], lp["bv"] = (b[..., lo:hi] for lo, hi in qb)
+        F = getattr(self, "intermediate_padded", self.intermediate_size)
+        fb = ((0, F), (F, 2 * F))
+        split("w13", fb, ("gate", "up"))
+        if "b13" in lp:
+            b = lp.pop("b13")
+            lp["gate_b"], lp["up_b"] = (b[..., lo:hi] for lo, hi in fb)
+        return params
+
     def quantizable_weights(self) -> List[str]:
         """Param paths eligible for weight quantization (the Linear-layer
         set; embeddings/norms/lm_head stay full precision, matching the
@@ -768,13 +869,28 @@ class LlamaForCausalLM:
             h = x if (self.norm_after or self.postnorm_residual) \
                 else self._norm(x, lp.get("input_norm"),
                                 lp.get("input_norm_b"))
-            q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
-            k = lora_add(qmatmul(h, lp["wk"]), h, la, "wk")
-            v = lora_add(qmatmul(h, lp["wv"]), h, la, "wv")
-            if has_bias:
-                q = q + lp["bq"]
-                k = k + lp["bk"]
-                v = v + lp["bv"]
+            if "wqkv" in lp:
+                # Load-time fused projection (fuse_projections): one
+                # matmul, split at the (padded) head boundaries.
+                qkv = qmatmul(h, lp["wqkv"])
+                if "bqkv" in lp:
+                    qkv = qkv + lp["bqkv"]
+                q, k, v = (qkv[:, :NH * D],
+                           qkv[:, NH * D:(NH + NKV) * D],
+                           qkv[:, (NH + NKV) * D:])
+                # LoRA deltas add per-projection, matching the split
+                # path (adapters store wq/wk/wv separately).
+                q = lora_add(q, h, la, "wq")
+                k = lora_add(k, h, la, "wk")
+                v = lora_add(v, h, la, "wv")
+            else:
+                q = lora_add(qmatmul(h, lp["wq"]), h, la, "wq")
+                k = lora_add(qmatmul(h, lp["wk"]), h, la, "wk")
+                v = lora_add(qmatmul(h, lp["wv"]), h, la, "wv")
+                if has_bias:
+                    q = q + lp["bq"]
+                    k = k + lp["bk"]
+                    v = v + lp["bv"]
             if self.qkv_clip:
                 c = self.qkv_clip
                 q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
@@ -1113,12 +1229,21 @@ class LlamaForCausalLM:
                 out = out + lp["fc2_b"]
             return out
 
-        gate = maybe_lora(qmatmul(h, lp["gate"]), h, "gate")
-        up = maybe_lora(qmatmul(h, lp["up"]), h, "up")
-        if "gate_b" in lp:
-            gate = gate + lp["gate_b"]
-        if "up_b" in lp:
-            up = up + lp["up_b"]
+        if "w13" in lp:
+            # Load-time fused gate|up (fuse_projections): one matmul.
+            g13 = qmatmul(h, lp["w13"])
+            if "b13" in lp:
+                g13 = g13 + lp["b13"]
+            F = g13.shape[-1] // 2
+            gate = maybe_lora(g13[:, :F], h, "gate")
+            up = maybe_lora(g13[:, F:], h, "up")
+        else:
+            gate = maybe_lora(qmatmul(h, lp["gate"]), h, "gate")
+            up = maybe_lora(qmatmul(h, lp["up"]), h, "up")
+            if "gate_b" in lp:
+                gate = gate + lp["gate_b"]
+            if "up_b" in lp:
+                up = up + lp["up_b"]
         if self.hidden_act == "gelu_tanh":
             act = gelu_and_mul(gate.astype(self.dtype),
                                up.astype(self.dtype))

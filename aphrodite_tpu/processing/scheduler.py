@@ -78,14 +78,19 @@ class Scheduler:
         # (reference lookahead slots, SchedulerOutputs:115). With
         # cross-step window chaining (worker/model_runner.py
         # _can_chain_window) the runner dispatches ONE window beyond
-        # this step speculatively, so reserve a second window's worth —
-        # the chain gate requires the capacity to already exist.
+        # this step speculatively, so chain-ELIGIBLE requests reserve a
+        # second window's worth (the chain gate requires the capacity to
+        # already exist). Requests whose sampling can never chain
+        # (SamplingParams.chain_speculation_eligible False) only pay the
+        # plain multi-step reservation — no 2x KV tax for a window that
+        # cannot be speculated.
         import os as _os
 
         nss = scheduler_config.num_scheduler_steps
         chain = (_os.environ.get("APHRODITE_CHAIN_WINDOWS", "1") != "0"
                  and nss > 1)
-        self.num_lookahead_slots = max(0, nss - 1 + (nss if chain else 0))
+        self.num_lookahead_slots = max(0, nss - 1)
+        self.num_chain_lookahead_slots = nss if chain else 0
         self.num_cumulative_preemption = 0
         self._artificial_preempt_cnt = (ARTIFICIAL_PREEMPTION_PROB
                                         if ENABLE_ARTIFICIAL_PREEMPT else 0)
@@ -281,7 +286,15 @@ class Scheduler:
                 num_new = 1
                 if not budget.can_schedule(1, 1):
                     return scheds, preempted
-            lookahead = 0 if seq.is_prefill else self.num_lookahead_slots
+            if seq.is_prefill:
+                lookahead = 0
+            else:
+                lookahead = self.num_lookahead_slots
+                if (self.num_chain_lookahead_slots
+                        and group.sampling_params is not None
+                        and group.sampling_params.
+                        chain_speculation_eligible):
+                    lookahead += self.num_chain_lookahead_slots
             # Never reserve beyond the model-length ceiling: the block
             # table must stay within pages_per_seq.
             lookahead = min(

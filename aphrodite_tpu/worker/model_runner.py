@@ -22,6 +22,7 @@ ever leave the device (reference transfers hidden states on TPU).
 """
 
 import functools
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
@@ -315,6 +316,17 @@ class ModelRunner:
         t0 = time.monotonic()
         self.params = load_model_params(self.model, self.model_config,
                                         self.config.load_config, self.mesh)
+        if (self.parallel_config.tensor_parallel_size == 1
+                and self.parallel_config.pipeline_parallel_size == 1
+                and not self._multihost
+                and os.environ.get("APHRODITE_FUSE_PROJ", "1") != "0"
+                and hasattr(self.model, "fuse_projections")):
+            # qkv / gate|up load-time fusion: 7 -> 4 matmuls per layer
+            # (the per-layer megakernel for packed-int4; also one MXU
+            # pass per fused site for dense). Single-shard only — under
+            # TP the fused axis needs Megatron interleaving to keep
+            # shard boundaries on head groups.
+            self.params = self.model.fuse_projections(self.params)
         self.prompt_adapter_manager = None
         pa_cfg = self.config.prompt_adapter_config
         if pa_cfg is not None:
@@ -359,10 +371,18 @@ class ModelRunner:
 
     def _can_chain_window(self, scheduled, flags, done: int,
                           W: int) -> bool:
-        """True when the next engine step is guaranteed to schedule this
-        exact batch again (no finish possible, capacity already covers
-        another window) and its sampling is history-free (the
-        speculative window reuses this step's device tensors)."""
+        """True when the next engine step will PROBABLY schedule this
+        exact batch again (capacity already covers another window) and
+        its sampling is history-free + chain-invariant (the speculative
+        window reuses this step's device tensors).
+
+        EOS / stop strings / stop tokens do NOT gate chaining: a seq
+        finishing changes the next step's composition, the pending
+        window's fingerprint misses, and it is dropped unfetched — one
+        wasted window on the rare step where something stops, in
+        exchange for chaining on every other step of real (EOS-able)
+        traffic. Only a CERTAIN finish (the max_tokens boundary) makes
+        the speculation pointless, so that stays a gate."""
         import os
 
         if os.environ.get("APHRODITE_CHAIN_WINDOWS", "1") == "0":
@@ -374,15 +394,9 @@ class ModelRunner:
         for ss in scheduled:
             sp = ss.group.sampling_params
             seq = ss.seq
-            if (not sp.ignore_eos or sp.stop or sp.stop_token_ids
-                    or sp.logprobs is not None or sp.logits_processors
-                    or sp.use_beam_search or seq.fsm is not None):
+            if not sp.chain_speculation_eligible or seq.fsm is not None:
                 return False
-            # Must still be decoding NEXT step (the speculative window
-            # may overshoot max_tokens: a seq finishing mid-window is
-            # the same already-handled case as a regular window, and if
-            # it finishes before the window is consumed the composition
-            # fingerprint misses and the window is dropped).
+            # Certain finish: every seq hits max_tokens at a known step.
             if (sp.max_tokens is not None
                     and len(seq.output_token_ids) + done
                     >= sp.max_tokens):
@@ -861,7 +875,14 @@ class ModelRunner:
         ShardedStateLoader / LLM save_sharded_state)."""
         from aphrodite_tpu.loader.weights import save_sharded_state
 
-        save_sharded_state(self.params, out_dir,
+        params = self.params
+        if hasattr(self.model, "unfuse_projections"):
+            # Persist the CANONICAL per-projection layout: fused wqkv/w13
+            # are a runtime form; checkpoints must reload anywhere
+            # (including tp>1 where fusion is disabled).
+            params = self.model.unfuse_projections(
+                jax.tree.map(lambda x: x, params))
+        save_sharded_state(params, out_dir,
                            source_model_dir=self.model_config.model)
         logger.info("sharded state saved to %s", out_dir)
 

@@ -114,31 +114,39 @@ def run_once(quant, kv_dtype, on_tpu: bool) -> float:
         # deserializations inside the timed region.
         llm.generate(prompt_token_ids=prompts, sampling_params=sp)
         # Clean phase stats for the timed region only.
-        for k in llm.engine.phase_timings:
-            llm.engine.phase_timings[k] = 0 if k == "iterations" else 0.0
+        for k, v in llm.engine.phase_timings.items():
+            llm.engine.phase_timings[k] = 0 if isinstance(v, int) else 0.0
+        hits0 = getattr(llm.engine.runner, "chained_window_hits", 0)
 
         t0 = time.monotonic()
         outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
         elapsed = time.monotonic() - t0
         total_decode_tokens = sum(
             len(o.outputs[0].token_ids) for o in outs)
-        # Subtract an estimated prefill share by timing a prefill-only run.
-        t1 = time.monotonic()
-        llm.generate(prompt_token_ids=prompts,
-                     sampling_params=SamplingParams(
-                         temperature=0.0, max_tokens=1, ignore_eos=True,
-                         detokenize=False))
-        prefill_time = time.monotonic() - t1
-        decode_time = max(elapsed - prefill_time, 1e-6)
-        toks_per_s = total_decode_tokens / decode_time
+        # Steady-state decode throughput from the engine's own pure-
+        # decode iteration accounting (tokens appended / full step wall
+        # time over iterations with zero prefill tokens). Directly
+        # measured — no noisy second prefill-only run to subtract.
         pt = llm.engine.get_phase_timings()
+        decode_time = pt["decode_s"]
+        decode_tokens = pt["decode_tokens"]
+        if decode_time <= 0 or decode_tokens <= 0:
+            # Degenerate config (every iteration mixed): fall back to
+            # whole-run wall time, which UNDERSTATES decode throughput.
+            decode_time, decode_tokens = elapsed, total_decode_tokens
+        toks_per_s = decode_tokens / decode_time
         it = max(pt["iterations"], 1)
+        hits = getattr(llm.engine.runner, "chained_window_hits", 0) - hits0
         print(f"phases: sched {pt['schedule_s']/it*1e3:.2f}ms "
               f"exec {pt['execute_s']/it*1e3:.2f}ms "
               f"post {pt['postprocess_s']/it*1e3:.2f}ms over "
-              f"{it} iterations; chained_hits="
-              f"{getattr(llm.engine.runner, 'chained_window_hits', 0)}",
+              f"{it} iterations ({pt['decode_iterations']} pure-decode, "
+              f"{decode_tokens} decode tokens); chained_hits={hits}",
               file=sys.stderr)
+        run_once.last_stats = {
+            "decode_iterations": int(pt["decode_iterations"]),
+            "chained_hits": int(hits),
+        }
     # Free this engine's device arrays before the next variant builds.
     del llm
     gc.collect()
@@ -216,12 +224,14 @@ def main() -> None:
     suffix = f"_{quant}" if quant else ""
     if kv_dtype != "auto":
         suffix += f"_kv{kv_dtype}"
+    stats = getattr(run_once, "last_stats", {})
     print(json.dumps({
         "metric": (f"decode_throughput_1p4b_bf16{suffix}" if on_tpu else
                    f"decode_throughput_1p4b_cpu_smoke{suffix}"),
         "value": round(toks_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(toks_per_s / NORTH_STAR_TOKS_PER_S, 3),
+        **stats,
     }))
 
 

@@ -118,3 +118,75 @@ async def test_model_unload_and_load(tiny_dir, aiohttp_client):
         "prompt": "hello", "max_tokens": 4, "temperature": 0,
         "ignore_eos": True})
     assert resp.status == 200, await resp.text()
+
+
+def test_default_cli_serve_isolates_engine(tiny_dir, tmp_path):
+    """`aphrodite run` with DEFAULT flags must put the engine in a child
+    process (reference spawned-MQ-engine default, endpoints/openai/
+    api_server.py:127-190): killing that child turns /health into 5xx
+    while the HTTP frontend keeps serving /v1/models."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+    import urllib.error
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "aphrodite_tpu", "run", tiny_dir,
+         "--port", str(port), "--dtype", "float32",
+         "--num-device-blocks-override", "64", "--block-size", "8"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.monotonic() + 120
+        while True:
+            try:
+                assert urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health",
+                    timeout=2).status == 200
+                break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                assert time.monotonic() < deadline, "server never came up"
+                assert proc.poll() is None, "server process died"
+                time.sleep(1)
+
+        # Default flags => an engine CHILD process exists under the
+        # frontend. Find and kill it.
+        out = subprocess.run(
+            ["ps", "-o", "pid=", "--ppid", str(proc.pid)],
+            capture_output=True, text=True)
+        children = [int(p) for p in out.stdout.split()]
+        assert children, "no engine subprocess under default flags"
+        for pid in children:
+            os.kill(pid, signal.SIGKILL)
+
+        deadline = time.monotonic() + 15
+        while True:
+            try:
+                status = urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health",
+                    timeout=2).status
+            except urllib.error.HTTPError as e:
+                status = e.code
+            if status >= 500:
+                break
+            assert time.monotonic() < deadline, \
+                "health never reported engine death"
+            time.sleep(0.5)
+        # The frontend itself is alive and serving.
+        assert urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/models", timeout=2).status == 200
+        assert proc.poll() is None
+    finally:
+        proc.kill()
+        proc.wait(timeout=10)

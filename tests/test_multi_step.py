@@ -160,3 +160,64 @@ def test_chained_windows_exact_and_engaged(tiny_dir):
         assert getattr(plain.engine.runner, "chained_window_hits", 0) == 0
     finally:
         os.environ.pop("APHRODITE_CHAIN_WINDOWS", None)
+
+
+def test_chaining_engages_on_eosable_traffic(tiny_dir):
+    """Real chat traffic stops on EOS / stop strings and asks for
+    logprobs; none of that may disable cross-step chaining (VERDICT r3
+    item 3). A finish mid-chain is a fingerprint miss — the window is
+    dropped unfetched — so outputs stay token-exact."""
+    sp = SamplingParams(temperature=0.0, max_tokens=24,
+                        stop=["<never-appears-zzqq>"], logprobs=2)
+    prompts = ["the quick brown fox", "hello world this is"]
+
+    base = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8,
+               num_scheduler_steps=1)
+    base_outs = base.generate(prompts, sp)
+    expect = [o.outputs[0].token_ids for o in base_outs]
+    del base
+
+    chained = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+                  num_device_blocks_override=128, block_size=8,
+                  num_scheduler_steps=4)
+    outs = chained.generate(prompts, sp)
+    got = [o.outputs[0].token_ids for o in outs]
+    assert got == expect
+    for o in outs:
+        assert len(o.outputs[0].logprobs) == len(o.outputs[0].token_ids)
+    eos = chained.get_tokenizer().eos_token_id
+    if not any(eos in ids for ids in expect):
+        # No early finish in this greedy rollout: the chain must have
+        # engaged every step boundary after the first.
+        assert getattr(chained.engine.runner, "chained_window_hits",
+                       0) > 0
+
+
+def test_seeded_stochastic_blocks_chaining_and_reproduces(tiny_dir):
+    """An explicit seed promises reproducible tokens; the chained
+    window samples with the previous schedule's key tensors, so seeded
+    stochastic rows make the batch chain-ineligible — and therefore
+    seeded outputs are identical with chaining on or off."""
+    import os
+
+    sp = SamplingParams(temperature=1.0, seed=1234, max_tokens=16,
+                        ignore_eos=True)
+    chained = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+                  num_device_blocks_override=128, block_size=8,
+                  num_scheduler_steps=4)
+    got = [o.outputs[0].token_ids
+           for o in chained.generate(["hello world"], sp)]
+    assert getattr(chained.engine.runner, "chained_window_hits", 0) == 0
+    del chained
+
+    os.environ["APHRODITE_CHAIN_WINDOWS"] = "0"
+    try:
+        plain = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+                    num_device_blocks_override=128, block_size=8,
+                    num_scheduler_steps=4)
+        got2 = [o.outputs[0].token_ids
+                for o in plain.generate(["hello world"], sp)]
+    finally:
+        os.environ.pop("APHRODITE_CHAIN_WINDOWS", None)
+    assert got == got2

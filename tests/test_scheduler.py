@@ -192,3 +192,56 @@ def test_decode_priority_over_new_prefill():
     # Budget 8: decode (1) + 7 of g2's prefill chunk.
     assert out.num_decode_tokens == 1
     assert out.num_prefill_tokens == 7
+
+
+def _decode_table_len(nss, sp_kwargs, chain_env="1", monkey=None):
+    import os
+
+    old = os.environ.get("APHRODITE_CHAIN_WINDOWS")
+    os.environ["APHRODITE_CHAIN_WINDOWS"] = chain_env
+    try:
+        sched_cfg = SchedulerConfig(
+            max_num_batched_tokens=64, max_num_seqs=8, max_model_len=128,
+            enable_chunked_prefill=True, num_scheduler_steps=nss)
+        cache_cfg = CacheConfig(block_size=BLOCK)
+        cache_cfg.num_device_blocks = 64
+        s = Scheduler(sched_cfg, cache_cfg)
+        g = make_group("r0", prompt_len=8, **sp_kwargs)
+        s.add_seq_group(g)
+        run_step(s)   # prefill
+        run_step(s)   # decode: reserves lookahead
+        seq = g.seqs[0]
+        return len(s.block_manager.get_block_table(seq))
+    finally:
+        if old is None:
+            os.environ.pop("APHRODITE_CHAIN_WINDOWS", None)
+        else:
+            os.environ["APHRODITE_CHAIN_WINDOWS"] = old
+
+
+def test_chain_lookahead_reserved_only_for_eligible_sampling():
+    """The 2x chain-window KV reservation is paid ONLY by requests whose
+    sampling can actually be speculated (VERDICT r3 item 3): seeded
+    stochastic / history-dependent sampling reserves just the plain
+    multi-step lookahead, and chaining off reserves the same."""
+    nss = 8  # window 8 => plain lookahead 7, chain lookahead +8
+    greedy = _decode_table_len(nss, dict(temperature=0.0))
+    seeded = _decode_table_len(nss, dict(temperature=1.0, seed=3))
+    penal = _decode_table_len(nss, dict(temperature=0.0,
+                                        repetition_penalty=1.2))
+    off = _decode_table_len(nss, dict(temperature=0.0), chain_env="0")
+    # Chain-eligible sampling reserves exactly one extra window
+    # (nss=8 tokens = 2 BLOCK=4 pages) beyond the plain lookahead.
+    assert seeded == penal == off
+    assert greedy == seeded + nss // BLOCK
+
+
+def test_unseeded_stochastic_is_chain_eligible():
+    sp = SamplingParams(temperature=0.8, max_tokens=8)
+    assert sp.chain_speculation_eligible
+    assert not SamplingParams(temperature=0.8, seed=1,
+                              max_tokens=8).chain_speculation_eligible
+    assert SamplingParams(temperature=0.0, seed=1,
+                          max_tokens=8).chain_speculation_eligible
+    assert not SamplingParams(temperature=0.0, dry_multiplier=0.5,
+                              max_tokens=8).chain_speculation_eligible

@@ -113,6 +113,11 @@ def matmul_for(fmt):
         if fmt == "int4p-ker":
             return qm.int4p_matmul_dispatch(x, w["q4p"], w["scale"],
                                             w["zero"], g)
+        if fmt == "int4p-stk":
+            # THE MODEL PATH: stacked [L, ...] weights closed over, layer
+            # index rides the scan (quantization/qlinear.py "_idx").
+            return qm.int4p_matmul_stacked_dispatch(
+                x, w["q4p"], w["scale"], w["zero"], g, w["_idx"])
         if fmt == "int4-ker":
             return qm.int4_matmul_dispatch(x, w["q4"], w["scale"],
                                            w["zero"], g)
@@ -157,9 +162,22 @@ def run(fmt, fused, rng):
             1.0, jnp.max(jnp.abs(x)) / 4.0).astype(jnp.bfloat16)
         return x, None
 
-    def fwd(x, params):
-        x, _ = jax.lax.scan(step, x, params)
-        return x
+    if fmt == "int4p-stk":
+        # Close the stacked weights over the scan; xs is just the layer
+        # index — exactly models/llama.py's quant_stacked bypass.
+        def fwd(x, params):
+            def step_idx(x, lidx):
+                p = {name: {**w, "_idx": lidx}
+                     for name, w in params.items()}
+                return step(x, p)
+
+            x, _ = jax.lax.scan(step_idx, x,
+                                jnp.arange(L, dtype=jnp.int32))
+            return x
+    else:
+        def fwd(x, params):
+            x, _ = jax.lax.scan(step, x, params)
+            return x
 
     x = jnp.asarray(rng.standard_normal((T, H)), jnp.bfloat16)
     fn = jax.jit(fwd)
@@ -176,6 +194,11 @@ def run(fmt, fused, rng):
 
 
 def main():
+    # Persistent XLA cache: re-runs while iterating on ONE kernel body
+    # shouldn't pay every other variant's compile again.
+    from aphrodite_tpu.worker.model_runner import _enable_compilation_cache
+
+    _enable_compilation_cache()
     print(f"backend: {jax.default_backend()}  T={T}  L={L}")
     rng = np.random.default_rng(0)
     formats = os.environ.get(
