@@ -116,6 +116,15 @@ class AphroditeEngine:
             "decode_iterations": 0,
             "decode_s": 0.0,
             "decode_tokens": 0,
+            # Speculative-decode acceptance accounting (reference
+            # spec_decode/metrics.py:51 AsyncMetricsCollector): draft
+            # tokens proposed, drafts accepted by the verifier, and
+            # tokens emitted (accepted + bonus). acceptance rate =
+            # accepted/proposed; system efficiency = emitted/(k+1 per
+            # scheduled row). Production k-tuning reads these.
+            "spec_proposed_tokens": 0,
+            "spec_accepted_tokens": 0,
+            "spec_emitted_tokens": 0,
         }
 
     @classmethod
@@ -544,6 +553,20 @@ class AphroditeEngine:
         # multi-step, was already computed in-graph).
         self.scheduler.mark_step_computed(scheduler_outputs)
 
+        self._spec_iter = None
+        if result.valid_lens is not None and num_steps_done > 1:
+            import numpy as _np
+
+            k = num_steps_done - 1
+            vl = _np.clip(_np.asarray(result.valid_lens), 1,
+                          num_steps_done)
+            self._spec_iter = (k * vl.shape[0], int((vl - 1).sum()),
+                              int(vl.sum()))
+            pt0 = self.phase_timings
+            pt0["spec_proposed_tokens"] += self._spec_iter[0]
+            pt0["spec_accepted_tokens"] += self._spec_iter[1]
+            pt0["spec_emitted_tokens"] += self._spec_iter[2]
+
         if result.prompt is not None:
             self._process_prompt_logprobs(scheduler_outputs, result)
 
@@ -749,6 +772,9 @@ class AphroditeEngine:
             execute_ms_iter=self.phase_timings["last_execute_ms"],
             postprocess_ms_iter=self.phase_timings["last_postprocess_ms"],
         )
+        if getattr(self, "_spec_iter", None) is not None:
+            (stats.spec_proposed_iter, stats.spec_accepted_iter,
+             stats.spec_emitted_iter) = self._spec_iter
         for ss in scheduler_outputs.scheduled:
             m = ss.group.metrics
             if not ss.do_sample:

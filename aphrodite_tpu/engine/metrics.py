@@ -41,6 +41,11 @@ class Stats:
     schedule_ms_iter: float = 0.0
     execute_ms_iter: float = 0.0
     postprocess_ms_iter: float = 0.0
+    # Speculative decode (reference spec_decode/metrics.py:51): draft
+    # tokens proposed / accepted, tokens emitted this iteration.
+    spec_proposed_iter: int = 0
+    spec_accepted_iter: int = 0
+    spec_emitted_iter: int = 0
 
 
 class PrometheusMetrics:
@@ -102,6 +107,26 @@ class PrometheusMetrics:
             prom, f"{ns}:iteration_postprocess_ms",
             "Engine iteration output postprocess phase (ms).", labels,
             (0.1, 0.25, 0.5, 1, 2.5, 5, 10, 25, 50, 100, 250))
+        # Speculative decode acceptance (reference spec_decode/
+        # metrics.py:51 + engine/metrics.py spec families).
+        self.counter_spec_draft = self._counter(
+            prom, f"{ns}:spec_decode_num_draft_tokens_total",
+            "Speculative draft tokens proposed.", labels)
+        self.counter_spec_accepted = self._counter(
+            prom, f"{ns}:spec_decode_num_accepted_tokens_total",
+            "Speculative draft tokens accepted by the verifier.", labels)
+        self.counter_spec_emitted = self._counter(
+            prom, f"{ns}:spec_decode_num_emitted_tokens_total",
+            "Tokens emitted by speculative steps (accepted + bonus).",
+            labels)
+        self.gauge_spec_acceptance = self._gauge(
+            prom, f"{ns}:spec_decode_draft_acceptance_rate",
+            "Cumulative draft acceptance rate (accepted / proposed).",
+            labels)
+        self.gauge_spec_efficiency = self._gauge(
+            prom, f"{ns}:spec_decode_efficiency",
+            "Cumulative system efficiency (emitted / (k+1 per step)).",
+            labels)
 
     @staticmethod
     def _get_or_make(prom, cls, name, doc, labels, **kw):
@@ -132,6 +157,9 @@ class StatLogger:
         self._last_log = time.monotonic()
         self._prompt_tokens = 0
         self._gen_tokens = 0
+        self._spec_proposed = 0
+        self._spec_accepted = 0
+        self._spec_emitted = 0
         self.prom: Optional[PrometheusMetrics] = None
         try:
             self.prom = PrometheusMetrics(model_name)
@@ -173,6 +201,25 @@ class StatLogger:
                     stats.execute_ms_iter)
                 self.prom.hist_phase_postprocess.labels(**lbl).observe(
                     stats.postprocess_ms_iter)
+            if stats.spec_proposed_iter:
+                self._spec_proposed += stats.spec_proposed_iter
+                self._spec_accepted += stats.spec_accepted_iter
+                self._spec_emitted += stats.spec_emitted_iter
+                self.prom.counter_spec_draft.labels(**lbl).inc(
+                    stats.spec_proposed_iter)
+                self.prom.counter_spec_accepted.labels(**lbl).inc(
+                    stats.spec_accepted_iter)
+                self.prom.counter_spec_emitted.labels(**lbl).inc(
+                    stats.spec_emitted_iter)
+                # emitted = accepted + 1 bonus per row, so rows =
+                # emitted - accepted and the emission ceiling is
+                # proposed + rows = (k+1) * rows.
+                max_possible = self._spec_proposed + \
+                    (self._spec_emitted - self._spec_accepted)
+                self.prom.gauge_spec_acceptance.labels(**lbl).set(
+                    self._spec_accepted / max(self._spec_proposed, 1))
+                self.prom.gauge_spec_efficiency.labels(**lbl).set(
+                    self._spec_emitted / max(max_possible, 1))
 
         now = time.monotonic()
         if now - self._last_log >= self.log_interval:

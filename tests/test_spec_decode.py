@@ -54,6 +54,24 @@ def test_ngram_spec_is_lossless_greedy(tiny_dir):
     assert got == expect
 
 
+def test_spec_acceptance_metrics_move(tiny_dir):
+    """Acceptance observability (reference spec_decode/metrics.py:51):
+    running ngram spec must advance the proposed/accepted/emitted
+    counters, with accepted <= proposed and emitted = accepted + rows."""
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8,
+              speculative_model="[ngram]", num_speculative_tokens=4)
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    llm.generate(["one two three one two three one two"], sp)
+    pt = llm.engine.get_phase_timings()
+    assert pt["spec_proposed_tokens"] > 0
+    assert 0 <= pt["spec_accepted_tokens"] <= pt["spec_proposed_tokens"]
+    rows = pt["spec_emitted_tokens"] - pt["spec_accepted_tokens"]
+    assert rows > 0  # one bonus token per scheduled spec row
+    # The repetitive prompt must give the ngram proposer real accepts.
+    assert pt["spec_accepted_tokens"] > 0
+
+
 def test_spec_with_sampling_works(tiny_dir):
     """Stochastic requests run through the rejection-sampling verifier."""
     llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
