@@ -399,7 +399,7 @@ class LlamaForCausalLM:
         QKVParallelLinear does this implicitly; our GSPMD slices would
         reshard). The runner gates the call accordingly.
         """
-        if not type(self).supports_pipelined:
+        if not self.supports_pipelined:
             return params  # custom forward: unknown layer structure
         lp = params.get("layers")
         if lp is None or "wqkv" in lp or "w13" in lp:
@@ -441,7 +441,10 @@ class LlamaForCausalLM:
             if "bq" in lp:
                 lp["bqkv"] = jnp.concatenate(
                     [lp.pop("bq"), lp.pop("bk"), lp.pop("bv")], axis=-1)
-        if self.gated_mlp and fusable(("gate", "up")):
+        if (self.gated_mlp and type(self).mlp is LlamaForCausalLM.mlp
+                and fusable(("gate", "up"))):
+            # Subclasses with a custom MLP (phi3small gegelu) read
+            # lp["gate"]/lp["up"] themselves — leave their params alone.
             cat(("gate", "up"), "w13")
             if "gate_b" in lp:
                 lp["b13"] = jnp.concatenate(

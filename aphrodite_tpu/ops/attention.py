@@ -201,13 +201,13 @@ def ragged_paged_attention(
     # Blocksparse (Phi-3-Small): the grouped decode kernel takes the
     # local+vertical mask natively and SKIPS the DMA of dead pages
     # (page-aligned sparsity -> ~vert_stride-fold less KV traffic past
-    # the local window). Needs bf16 pages (the 8-bit lane body has no
-    # blocksparse mask yet) and block_size % page_size == 0. Prefill
-    # blocksparse stays on the jnp path (the vendored ragged kernel has
-    # no mask input).
+    # the local window). The mask math is lane-layout-independent, so
+    # int8/fp8 pages get it too (tests/test_decode_kernel_quant.py
+    # blocksparse_quant oracle). Needs block_size % page_size == 0.
+    # Prefill blocksparse stays on the jnp path (the vendored ragged
+    # kernel has no mask input).
     bs_decode_ok = (blocksparse is None or (
-        decode_mode and kv_pages.dtype == jnp.bfloat16
-        and bs_head_offsets is not None
+        decode_mode and bs_head_offsets is not None
         and blocksparse[0] % kv_pages.shape[1] == 0))
     use_decode_kernel = (
         use_kernel and decode_mode and k_scale is None and v_scale is None

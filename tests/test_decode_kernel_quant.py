@@ -132,6 +132,33 @@ def test_decode_kernel_blocksparse_matches_oracle(homo):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize("kv_dtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_decode_kernel_blocksparse_quant_kv(kv_dtype):
+    """Blocksparse x 8-bit KV (VERDICT r3 item 9): the mask math is
+    lane-layout-independent (col_pos derives from each lane's logical
+    column), so quantized pages get the same page-skip + mask as bf16.
+    Phi-3-Small with int8/fp8 KV must not silently lose the sparsity."""
+    rng = np.random.default_rng(17)
+    q, kv, kvl, pij, cu, ns = _mk_batch(rng, 8, 16, 16, 2, 8, 128)
+    kvl = jnp.asarray(np.full(8, 200, np.int32))
+    kvq = _cast_pages(kv, kv_dtype)
+    bs = (32, 1, 4)
+    offs = jnp.asarray(rng.integers(0, 4, size=8), jnp.int32)
+    got = paged_decode_attention(q, kvq, kvl, pij, ns, sm_scale=0.125,
+                                 blocksparse=bs, bs_head_offsets=offs,
+                                 bs_on=jnp.asarray(True),
+                                 interpret=True)
+    want = ref_ragged_paged_attention(q, kvq, kvl, pij, cu, ns,
+                                      sm_scale=0.125, blocksparse=bs,
+                                      bs_head_offsets=offs,
+                                      bs_on=jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0, atol=0.01 * float(
+                                   np.abs(np.asarray(want,
+                                                     np.float32)).max()))
+
+
 def test_decode_kernel_t5_rel_bias_matches_oracle():
     """T5 relative-bucket bias input (models/t5.py decode fast path):
     kernel scores must equal dense attention + table[bucket] bias."""
