@@ -28,6 +28,13 @@ logger = init_logger(__name__)
 
 GGUF_MAGIC = 0x46554747  # "GGUF"
 
+# IQ4_NL / IQ4_XS non-linear 4-bit level table (public ggml format
+# constant `kvalues_iq4nl`; every GGUF implementation carries these
+# sixteen values verbatim — they define the format, like fp8's bias).
+KVALUES_IQ4NL = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69,
+     89, 113], dtype=np.int8)
+
 # Metadata value types.
 _T_U8, _T_I8, _T_U16, _T_I16, _T_U32, _T_I32 = 0, 1, 2, 3, 4, 5
 _T_F32, _T_BOOL, _T_STR, _T_ARR, _T_U64, _T_I64, _T_F64 = (
@@ -39,6 +46,10 @@ GGML_Q4_0, GGML_Q4_1 = 2, 3
 GGML_Q5_0, GGML_Q5_1 = 6, 7
 GGML_Q8_0 = 8
 GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 10, 11, 12, 13, 14
+GGML_IQ2_XXS, GGML_IQ2_XS, GGML_IQ3_XXS = 16, 17, 18
+GGML_IQ1_S, GGML_IQ4_NL, GGML_IQ3_S, GGML_IQ2_S, GGML_IQ4_XS = (
+    19, 20, 21, 22, 23)
+GGML_IQ1_M = 29
 GGML_BF16 = 30
 
 QK_K = 256
@@ -52,9 +63,21 @@ BLOCK_INFO = {
     GGML_Q5_0: (32, 22),
     GGML_Q5_1: (32, 24),
     GGML_Q8_0: (32, 34),
+    GGML_Q2_K: (QK_K, 84),
+    GGML_Q3_K: (QK_K, 110),
     GGML_Q4_K: (QK_K, 144),
     GGML_Q5_K: (QK_K, 176),
     GGML_Q6_K: (QK_K, 210),
+    # i-quants (reference gguf_utils/constants.py:738-822 type table).
+    GGML_IQ2_XXS: (QK_K, 2 + QK_K // 4),
+    GGML_IQ2_XS: (QK_K, 2 + QK_K // 4 + QK_K // 32),
+    GGML_IQ3_XXS: (QK_K, 2 + QK_K // 4 + QK_K // 8),
+    GGML_IQ1_S: (QK_K, 2 + QK_K // 8 + QK_K // 16),
+    GGML_IQ4_NL: (32, 18),
+    GGML_IQ3_S: (QK_K, 2 + QK_K // 4 + QK_K // 8 + QK_K // 32 + 4),
+    GGML_IQ2_S: (QK_K, 2 + QK_K // 4 + QK_K // 16),
+    GGML_IQ4_XS: (QK_K, 2 + 2 + QK_K // 2 + QK_K // 64),
+    GGML_IQ1_M: (QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32),
 }
 
 
@@ -292,6 +315,240 @@ def decode_q6_k(raw: np.ndarray, row_len: int) -> np.ndarray:
     return out.reshape(rows, row_len)
 
 
+def decode_q6_k_container(raw: np.ndarray, row_len: int):
+    """Q6_K -> grouped container: q in [0, 63], G=16, zero = 32,
+    scale = d * int8_subscale. Same value layout as decode_q6_k; the
+    canonical position p's scale index is simply p // 16."""
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 210)
+    nsb = blocks.shape[1]
+    ql = blocks[:, :, 0:128].reshape(rows, nsb, 2, 64)
+    qh = blocks[:, :, 128:192].reshape(rows, nsb, 2, 32)
+    scales = blocks[:, :, 192:208].copy().view(np.int8).astype(np.float32)
+    d = blocks[:, :, 208:210].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    l0 = (ql[:, :, :, 0:32] & 0xF) | ((qh & 0x3) << 4)
+    l1 = (ql[:, :, :, 32:64] & 0xF) | (((qh >> 2) & 0x3) << 4)
+    l2 = (ql[:, :, :, 0:32] >> 4) | (((qh >> 4) & 0x3) << 4)
+    l3 = (ql[:, :, :, 32:64] >> 4) | (((qh >> 6) & 0x3) << 4)
+    q = np.concatenate([l0, l1, l2, l3], axis=3).astype(np.int8)
+    q = q.reshape(rows, row_len)
+    scale = (d[:, :, None] * scales.reshape(rows, nsb, 16)).reshape(
+        rows, -1)  # [rows, row_len/16]
+    zero = np.full_like(scale, 32.0)
+    return q, scale.astype(np.float32), zero
+
+
+def decode_q5_k_container(raw: np.ndarray, row_len: int):
+    """Q5_K -> grouped container: q in [0, 31], G=32,
+    scale = d*sc_j, zero = dmin*m_j / (d*sc_j) (q4_k scale table +
+    a fifth bit from qh: chunk c's sub-blocks 2c / 2c+1 take qh bits
+    2c / 2c+1)."""
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 176)
+    nsb = blocks.shape[1]
+    d = blocks[:, :, 0:2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    dmin = blocks[:, :, 2:4].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    sc, mn = _q4k_scale_min(blocks[:, :, 4:16])
+    qh = blocks[:, :, 16:48]  # [rows, nsb, 32]
+    qs = blocks[:, :, 48:176].reshape(rows, nsb, 4, 32)
+    parts = []
+    for c in range(4):
+        lo = (qs[:, :, c] & 0xF) | (((qh >> (2 * c)) & 1) << 4)
+        hi = (qs[:, :, c] >> 4) | (((qh >> (2 * c + 1)) & 1) << 4)
+        parts.append(np.stack([lo, hi], axis=2))  # [rows, nsb, 2, 32]
+    q = np.concatenate(parts, axis=2).astype(np.int8)  # [rows,nsb,8,32]
+    q = q.reshape(rows, row_len)
+    scale = d[:, :, None] * sc
+    zero = np.where(scale != 0,
+                    (dmin[:, :, None] * mn) / np.where(scale == 0, 1.0,
+                                                       scale), 0.0)
+    return (q, scale.reshape(rows, -1).astype(np.float32),
+            zero.reshape(rows, -1).astype(np.float32))
+
+
+def decode_q2_k_container(raw: np.ndarray, row_len: int):
+    """Q2_K -> grouped container: q in [0, 3], G=16,
+    scale = d*(sc & 0xF), zero = dmin*(sc >> 4) / scale."""
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 84)
+    nsb = blocks.shape[1]
+    scales = blocks[:, :, 0:16]  # [rows, nsb, 16] 4-bit sc | 4-bit min
+    qs = blocks[:, :, 16:80].reshape(rows, nsb, 2, 32)  # 2 halves
+    d = blocks[:, :, 80:82].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    dmin = blocks[:, :, 82:84].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    # Half h, shift j in 0..3: values (qs[h, l] >> 2j) & 3, l in 0..31;
+    # canonical position within half = 32*j + l; scale idx = pos // 16.
+    shifts = np.stack([(qs >> (2 * j)) & 3 for j in range(4)], axis=3)
+    # [rows, nsb, 2, 4, 32] -> [rows, nsb, 2, 128]
+    q = shifts.reshape(rows, nsb, 2, 128).reshape(rows, row_len)
+    q = q.astype(np.int8)
+    sc = (scales & 0xF).astype(np.float32)
+    mn = (scales >> 4).astype(np.float32)
+    scale = d[:, :, None] * sc  # [rows, nsb, 16]
+    zero = np.where(scale != 0,
+                    (dmin[:, :, None] * mn) / np.where(scale == 0, 1.0,
+                                                       scale), 0.0)
+    return (q, scale.reshape(rows, -1).astype(np.float32),
+            zero.reshape(rows, -1).astype(np.float32))
+
+
+def decode_q3_k_container(raw: np.ndarray, row_len: int):
+    """Q3_K -> grouped container: q in [0, 7] (2-bit qs + hmask high
+    bit), G=16, zero = 4, scale = d * (6-bit subscale - 32)."""
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 110)
+    nsb = blocks.shape[1]
+    hmask = blocks[:, :, 0:32]  # [rows, nsb, 32]
+    qs = blocks[:, :, 32:96].reshape(rows, nsb, 2, 32)
+    scales_raw = blocks[:, :, 96:108]  # 12 bytes -> 16 6-bit scales
+    d = blocks[:, :, 108:110].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    # 6-bit scale unpack (ggml kmask arrangement): aux words.
+    a = scales_raw.astype(np.uint32)
+    w = [a[..., 4 * i] | (a[..., 4 * i + 1] << 8)
+         | (a[..., 4 * i + 2] << 16) | (a[..., 4 * i + 3] << 24)
+         for i in range(3)]
+    kmask1, kmask2 = 0x03030303, 0x0F0F0F0F
+    out_w = [
+        (w[0] & kmask2) | (((w[2] >> 0) & kmask1) << 4),
+        (w[1] & kmask2) | (((w[2] >> 2) & kmask1) << 4),
+        ((w[0] >> 4) & kmask2) | (((w[2] >> 4) & kmask1) << 4),
+        ((w[1] >> 4) & kmask2) | (((w[2] >> 6) & kmask1) << 4),
+    ]
+    sc6 = np.stack(
+        [(ww >> (8 * b)) & 0xFF for ww in out_w for b in range(4)],
+        axis=2).astype(np.int8)  # [rows, nsb, 16] in aux-word order
+    # aux-word order IS scale index order (scales[is], is = 0..15).
+    sc = sc6.astype(np.float32) - 32.0
+    # Values: half h (qs[:, :, h]), shift j: (qs >> 2j) & 3; high bit
+    # from hmask bit m = h*4 + j (m <<= 1 across all 8 sub-shifts).
+    qparts = []
+    for h in range(2):
+        for j in range(4):
+            base = (qs[:, :, h] >> (2 * j)) & 3
+            mbit = 1 << (h * 4 + j)
+            hi = ((hmask & mbit) != 0).astype(np.uint8)
+            qparts.append(base + (hi << 2))  # [rows, nsb, 32]
+    q = np.stack(qparts, axis=2).reshape(rows, row_len).astype(np.int8)
+    scale = (d[:, :, None] * sc).reshape(rows, -1)
+    zero = np.full_like(scale, 4.0)
+    return q, scale.astype(np.float32), zero
+
+
+def decode_q5_0_container(raw: np.ndarray, row_len: int):
+    """Q5_0: w = d * (q - 16), q 5-bit; G=32."""
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 22)
+    d = blocks[:, :, :2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    qh = (blocks[:, :, 2:6].copy().view(np.uint32))[:, :, 0]  # [rows,nb]
+    qs = blocks[:, :, 6:22]
+    j = np.arange(16, dtype=np.uint32)
+    lo = (qs & 0xF) | (((qh[:, :, None] >> j) & 1) << 4).astype(np.uint8)
+    hi = (qs >> 4) | (((qh[:, :, None] >> (j + 16)) & 1) << 4).astype(
+        np.uint8)
+    q = np.concatenate([lo, hi], axis=2).reshape(rows,
+                                                 row_len).astype(np.int8)
+    zero = np.full_like(d, 16.0)
+    return q, d, zero
+
+
+def decode_q5_1_container(raw: np.ndarray, row_len: int):
+    """Q5_1: w = d * q + m; G=32, zero = -m/d."""
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 24)
+    d = blocks[:, :, :2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    m = blocks[:, :, 2:4].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    qh = (blocks[:, :, 4:8].copy().view(np.uint32))[:, :, 0]
+    qs = blocks[:, :, 8:24]
+    j = np.arange(16, dtype=np.uint32)
+    lo = (qs & 0xF) | (((qh[:, :, None] >> j) & 1) << 4).astype(np.uint8)
+    hi = (qs >> 4) | (((qh[:, :, None] >> (j + 16)) & 1) << 4).astype(
+        np.uint8)
+    q = np.concatenate([lo, hi], axis=2).reshape(rows,
+                                                 row_len).astype(np.int8)
+    safe_d = np.where(d == 0, 1e-8, d)
+    return q, d, -m / safe_d
+
+
+def decode_q8_0_container(raw: np.ndarray, row_len: int):
+    """Q8_0: w = d * q, signed int8; G=32, zero = 0."""
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 34)
+    d = blocks[:, :, :2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    q = blocks[:, :, 2:].copy().view(np.int8).reshape(rows, row_len)
+    return q, d, np.zeros_like(d)
+
+
+def decode_iq4_nl_container(raw: np.ndarray, row_len: int):
+    """IQ4_NL: w = d * kvalues[nib]. The non-linear levels are
+    PRE-MAPPED to their int8 values at load, so the grouped container
+    (zero = 0) serves them natively — (q - 0) * d with q already a
+    level, not an index."""
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 18)
+    d = blocks[:, :, :2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    qs = blocks[:, :, 2:18]
+    lo = KVALUES_IQ4NL[qs & 0xF]
+    hi = KVALUES_IQ4NL[qs >> 4]
+    q = np.concatenate([lo, hi], axis=2).reshape(rows, row_len)
+    return q, d, np.zeros_like(d)
+
+
+def decode_iq4_xs_container(raw: np.ndarray, row_len: int):
+    """IQ4_XS: super-block of 256 with per-32 6-bit scales;
+    w = d * (sc - 32) * kvalues[nib]. Levels pre-mapped like IQ4_NL."""
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 136)
+    nsb = blocks.shape[1]
+    d = blocks[:, :, 0:2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    sh = (blocks[:, :, 2:4].copy().view(np.uint16))[:, :, 0]  # [rows,nsb]
+    sl = blocks[:, :, 4:8]  # [rows, nsb, 4] 4-bit pairs
+    qs = blocks[:, :, 8:136].reshape(rows, nsb, 8, 16)
+    js = np.arange(8)
+    low = np.stack([(sl[:, :, j // 2] >> (4 * (j % 2))) & 0xF
+                    for j in js], axis=2).astype(np.int32)
+    high = np.stack([((sh[:, :, None] >> (2 * j)) & 3)[:, :, 0]
+                     for j in js], axis=2).astype(np.int32)
+    sc = (low | (high << 4)).astype(np.float32) - 32.0  # [rows, nsb, 8]
+    lo = KVALUES_IQ4NL[qs & 0xF]  # [rows, nsb, 8, 16]
+    hi = KVALUES_IQ4NL[qs >> 4]
+    q = np.concatenate([lo, hi], axis=3).reshape(rows, row_len)
+    scale = (d[:, :, None] * sc).reshape(rows, -1)  # G = 32
+    return q, scale.astype(np.float32), np.zeros_like(scale)
+
+
+# ggml type -> container decoder for natively-servable quants
+# (everything here maps losslessly onto the grouped (q - zero) * scale
+# container consumed by the fused dequant-matmul kernels; reference
+# serves the same set through its CUDA mmvq/mmq kernels,
+# kernels/quantization/gguf/*.cu).
+_CONTAINER_DECODERS = {
+    GGML_Q4_0: decode_q4_0_container,
+    GGML_Q4_1: decode_q4_1_container,
+    GGML_Q4_K: decode_q4_k_container,
+    GGML_Q5_0: decode_q5_0_container,
+    GGML_Q5_1: decode_q5_1_container,
+    GGML_Q8_0: decode_q8_0_container,
+    GGML_Q2_K: decode_q2_k_container,
+    GGML_Q3_K: decode_q3_k_container,
+    GGML_Q5_K: decode_q5_k_container,
+    GGML_Q6_K: decode_q6_k_container,
+    GGML_IQ4_NL: decode_iq4_nl_container,
+    GGML_IQ4_XS: decode_iq4_xs_container,
+}
+
+
 def dequant_tensor(gg: GGUFFile, info: GGUFTensorInfo) -> np.ndarray:
     """Full-precision [out, in] float32 for any supported tensor type."""
     row_len = info.dims[0]
@@ -303,35 +560,30 @@ def dequant_tensor(gg: GGUFFile, info: GGUFTensorInfo) -> np.ndarray:
         out = decode_f16(raw, row_len)
     elif t == GGML_BF16:
         out = decode_bf16(raw, row_len)
-    elif t == GGML_Q8_0:
-        out = decode_q8_0(raw, row_len)
-    elif t == GGML_Q6_K:
-        out = decode_q6_k(raw, row_len)
-    elif t in (GGML_Q4_0, GGML_Q4_1, GGML_Q4_K):
-        q, scale, zero = to_int4_pieces(gg, info)
+    elif t in _CONTAINER_DECODERS:
+        q, scale, zero = _CONTAINER_DECODERS[t](raw, row_len)
         G = row_len // scale.shape[1]
         s = np.repeat(scale, G, axis=1)
         z = np.repeat(zero, G, axis=1)
         out = (q.astype(np.float32) - z) * s
     else:
         raise ValueError(
-            f"GGUF tensor type {t} ({info.name}) not supported yet")
+            f"GGUF tensor type {t} ({info.name}) not supported yet "
+            "(IQ1/IQ2/IQ3 codebook quants need their lattice grids; "
+            "see docs/parity.md)")
     shape = list(reversed(info.dims))
     return out.reshape(shape)
 
 
 def to_int4_pieces(gg: GGUFFile, info: GGUFTensorInfo):
-    """(q [rows,row_len], scale [rows,row_len/32], zero) for q4 types."""
+    """(q [rows,row_len], scale [rows,row_len/G], zero) for any
+    container-servable type (q4/q5/q6/q8/q2_k/q3_k/iq4 families)."""
     row_len = info.dims[0]
     raw = gg.raw_blocks(info)
-    t = info.ggml_type
-    if t == GGML_Q4_0:
-        return decode_q4_0_container(raw, row_len)
-    if t == GGML_Q4_1:
-        return decode_q4_1_container(raw, row_len)
-    if t == GGML_Q4_K:
-        return decode_q4_k_container(raw, row_len)
-    raise ValueError(f"not a q4 type: {t}")
+    dec = _CONTAINER_DECODERS.get(info.ggml_type)
+    if dec is None:
+        raise ValueError(f"not container-servable: {info.ggml_type}")
+    return dec(raw, row_len)
 
 
 # ---------------------------------------------------------------------------
@@ -429,12 +681,16 @@ def load_gguf_params_to_host(model, path: str) -> Dict[str, Any]:
             logger.debug("skipping unmapped gguf tensor %s", name)
             continue
         our_path, layer_idx = target
-        is_q4 = info.ggml_type in (GGML_Q4_0, GGML_Q4_1, GGML_Q4_K)
-        if our_path in quantizable and is_q4:
+        servable = info.ggml_type in _CONTAINER_DECODERS
+        if our_path in quantizable and servable:
             q, scale, zero = to_int4_pieces(gg, info)
             # ggml rows = out features; our layout is [in, out].
             from aphrodite_tpu.quantization.int4 import maybe_pack
 
+            # maybe_pack nibble-packs only when values fit [0, 15]
+            # (q4 family, q2_k, q3_k); q5/q6/q8/iq4 serve as full-byte
+            # grouped containers — still 2x (or more) less weight HBM
+            # than bf16.
             piece = maybe_pack({
                 "q4": np.ascontiguousarray(q.T),
                 "scale": np.ascontiguousarray(scale.T),

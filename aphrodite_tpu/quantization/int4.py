@@ -37,6 +37,10 @@ def maybe_pack(container: Dict[str, Any]) -> Dict[str, Any]:
         return container
     K = q4.shape[-2]
     G = K // container["scale"].shape[-2]
+    if int(q4.min()) < 0 or int(q4.max()) > 15:
+        # Full-byte grouped container (gguf q5/q6/q8/iq4 values):
+        # nibble-packing would corrupt; serve unpacked int8.
+        return container
     if G > 1 and K % 2 == 0 and (K // 2) % G == 0:
         from aphrodite_tpu.ops.quant_matmul import pack_int4_rows
 
