@@ -163,24 +163,24 @@ class AphroditeEngine:
         decoder_prompt_token_ids: Optional[List[int]] = None,
     ) -> None:
         if self.runner._multihost and (
-                prompt_adapter_request is not None
-                or multi_modal_data is not None
-                or (sampling_params is not None
-                    and (sampling_params.logits_processors
-                         or sampling_params.guided_regex
-                         or sampling_params.guided_json
-                         or sampling_params.guided_choice
-                         or getattr(sampling_params, "guided_grammar",
-                                    None)))):
-            # These carry host-side state (image features, FSMs,
-            # callables) that lives only on the primary; followers
+                sampling_params is not None
+                and (sampling_params.logits_processors
+                     or sampling_params.guided_regex
+                     or sampling_params.guided_json
+                     or sampling_params.guided_choice
+                     or getattr(sampling_params, "guided_grammar",
+                                None))):
+            # Guided FSMs and logits processors carry host-side
+            # CALLABLE state that lives only on the primary; followers
             # could not replay the step (parallel/multihost.py feature
-            # gates). LoRA is fine: adapters are static weights every
-            # host lazy-loads from shared storage.
+            # gates). LoRA / soft prompts / multimodal are fine: their
+            # state is computed-once-then-static and broadcasts (LoRA
+            # lazy-loads from shared storage; soft-prompt loads mirror
+            # via OP_PADAPT; image features ride the step mirror after
+            # a pod-wide tower run via OP_MM_ENCODE).
             raise ValueError(
-                "prompt-adapter / multimodal / guided-decoding / "
-                "logits_processors requests are not supported on "
-                "multi-host deployments")
+                "guided-decoding / logits_processors requests are not "
+                "supported on multi-host deployments")
         if lora_request is not None and self.runner.lora_manager is None:
             raise ValueError(
                 "LoRA request received but enable_lora=False")
@@ -189,9 +189,20 @@ class AphroditeEngine:
             if pam is None:
                 raise ValueError("prompt adapter request received but "
                                  "enable_prompt_adapter=False")
+            fresh = (prompt_adapter_request.prompt_adapter_name
+                     not in pam._name_to_slot)
             self.runner.params = pam.load(prompt_adapter_request,
                                           self.runner.params,
                                           None)
+            if fresh and self.runner._multihost:
+                # Validated locally first (see add_lora); followers
+                # mirror the load so their embed rows match.
+                from aphrodite_tpu.parallel import multihost
+
+                multihost.primary_broadcast_padapt(
+                    prompt_adapter_request.prompt_adapter_name,
+                    prompt_adapter_request.prompt_adapter_id,
+                    prompt_adapter_request.prompt_adapter_local_path)
         if request_id in self._groups:
             raise ValueError(f"duplicate request_id {request_id!r}")
         if sampling_params is None:
@@ -315,6 +326,12 @@ class AphroditeEngine:
                                 "[n_tiles, 3, h, w] tile stack); got "
                                 f"{px.shape}")
                         hash_parts.append(mod.encode() + px.tobytes())
+                    if self.runner._multihost:
+                        # The tower's params are global-mesh arrays:
+                        # every host must join the encode collective.
+                        from aphrodite_tpu.parallel import multihost
+
+                        multihost.primary_broadcast_mm_encode(im)
                     queues[mod].append(
                         (im, np.asarray(
                             self.runner.encode_image_item(im),
@@ -456,9 +473,15 @@ class AphroditeEngine:
         from aphrodite_tpu.prompt_adapter.request import (
             PromptAdapterRequest)
 
+        fresh = name not in pam._name_to_slot
         req = PromptAdapterRequest(name, len(pam._name_to_slot) + 1, path)
         self.runner.params = pam.load(req, self.runner.params,
                                       self.runner.model.dtype)
+        if fresh and self.runner._multihost:
+            from aphrodite_tpu.parallel import multihost
+
+            multihost.primary_broadcast_padapt(
+                req.prompt_adapter_name, req.prompt_adapter_id, path)
 
     def soft_prompt_slots(self) -> Dict[str, int]:
         pam = self.runner.prompt_adapter_manager

@@ -76,6 +76,8 @@ OP_POOLING = 1
 OP_STOP = 2
 OP_COPIES = 3
 OP_LORA = 4  # ("add", name, path) / ("remove", name, None)
+OP_MM_ENCODE = 5  # raw multimodal item: followers join the tower SPMD
+OP_PADAPT = 6  # (name, adapter_id, path): soft-prompt rows on all hosts
 
 
 def maybe_initialize() -> None:
@@ -185,12 +187,20 @@ def freeze_outputs(outputs) -> dict:
             raise ValueError(
                 "host logits processors are not supported on multi-host "
                 "deployments (primary-only state)")
-        if seq.fsm is not None or seq.mm_spans is not None \
-                or seq.encoder_token_ids is not None:
+        if seq.fsm is not None or seq.encoder_token_ids is not None:
             raise ValueError(
-                "guided decoding / multimodal / encoder-decoder "
-                "requests are primary-only; reject them at admission on "
-                "multi-host deployments")
+                "guided decoding / encoder-decoder requests are "
+                "primary-only; reject them at admission on multi-host "
+                "deployments")
+        # Multimodal splice spans ride the mirror only while the
+        # sequence still has uncomputed PROMPT positions (the runner
+        # builds embeds_override from them during prefill only), so
+        # decode steps never re-broadcast image features.
+        mm = None
+        if ss.first_token_idx < len(seq.prompt_token_ids):
+            if seq.mm_spans:
+                mm = [(start, np.asarray(feats, np.float32))
+                      for start, feats in seq.mm_spans]
         lr = ss.group.lora_request
         rows.append(dict(
             request_id=ss.group.request_id,
@@ -213,6 +223,10 @@ def freeze_outputs(outputs) -> dict:
             # it sees the identical scheduled order.
             lora=(None if lr is None else
                   (lr.lora_name, lr.lora_int_id, lr.lora_path)),
+            mm_spans=mm,
+            mrope_table=(None if seq.mrope_table is None
+                         else np.asarray(seq.mrope_table)),
+            mrope_delta=seq.mrope_delta,
         ))
     return dict(
         rows=rows,
@@ -240,6 +254,11 @@ def thaw_outputs(payload: dict):
         seq.num_computed_tokens = r["num_computed_tokens"]
         seq.seed_offset = r["seed_offset"]
         seq.status = SequenceStatus.RUNNING
+        if r.get("mm_spans") is not None:
+            seq.mm_spans = [(start, feats)
+                            for start, feats in r["mm_spans"]]
+        seq.mrope_table = r.get("mrope_table")
+        seq.mrope_delta = r.get("mrope_delta", 0)
         group = SequenceGroup(
             request_id=r["request_id"],
             seqs=[seq],
@@ -283,6 +302,25 @@ def primary_broadcast_stop() -> None:
     broadcast_obj((OP_STOP, None, None))
 
 
+def primary_broadcast_mm_encode(item) -> None:
+    """Ship one raw multimodal item so every follower joins the vision-
+    tower computation (the tower's params are global-mesh arrays: a
+    primary-only jit over them would deadlock the pod). The resulting
+    features are discarded on followers — the per-step metadata mirror
+    carries the primary's spans (the LoRA broadcast pattern applied to
+    computed-once-then-static multimodal state; reference serves
+    multimodal across Ray workers the same way)."""
+    broadcast_obj((OP_MM_ENCODE, item, None))
+
+
+def primary_broadcast_padapt(name: str, adapter_id: int,
+                             path: str) -> None:
+    """Mirror a soft-prompt (prompt-adapter) load: the adapter's rows
+    extend the embedding table on every host (the table's reserved rows
+    are static shapes; identical load order keeps slots in lockstep)."""
+    broadcast_obj((OP_PADAPT, (name, adapter_id, path), None))
+
+
 def primary_broadcast_lora(action: str, name: str,
                            path: Optional[str] = None) -> None:
     """Mirror an admin add/remove-LoRA onto every follower so slot and
@@ -309,6 +347,36 @@ def run_follower(engine_config) -> None:
         if op == OP_STOP:
             logger.info("follower %d: stop received", _process_index())
             return
+        if op == OP_MM_ENCODE:
+            # Join the primary's vision-tower SPMD run; the features are
+            # discarded here (the step mirror carries the spans).
+            try:
+                runner.encode_image_item(payload)
+            except Exception:
+                logger.exception(
+                    "follower %d: multimodal encode failed; the pod may "
+                    "now be desynced on the tower collective",
+                    _process_index())
+            continue
+        if op == OP_PADAPT:
+            name, adapter_id, path = payload
+            try:
+                from aphrodite_tpu.prompt_adapter.request import (
+                    PromptAdapterRequest)
+
+                pam = runner.prompt_adapter_manager
+                if pam is None:
+                    raise ValueError(
+                        "follower built without enable_prompt_adapter")
+                req = PromptAdapterRequest(name, adapter_id, path)
+                runner.params = pam.load(req, runner.params,
+                                         runner.model.dtype)
+            except Exception:
+                logger.exception(
+                    "follower %d: soft-prompt load '%s' failed; adapter "
+                    "state has DIVERGED from the primary",
+                    _process_index(), name)
+            continue
         if op == OP_LORA:
             action, name, path = payload
             # Never let an adapter error kill the follower loop: the

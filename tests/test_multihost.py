@@ -238,3 +238,125 @@ def test_two_process_lora_matches_single_process(lora_setup):
     assert tok_line, p_out
     got = json.loads(tok_line[0][len("TOKENS="):])
     assert got == expect
+
+
+_PRIMARY_MM = """
+import json, sys
+import numpy as np
+from aphrodite_tpu import LLM, SamplingParams
+
+rng = np.random.default_rng(5)
+image = rng.standard_normal((3, 24, 24)).astype(np.float32)
+llm = LLM(model=sys.argv[1], dtype="float32", max_num_seqs=4,
+          num_device_blocks_override=96, block_size=8,
+          max_model_len=128, tensor_parallel_size=2)
+sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                    custom_token_bans=[2])
+outs = llm.generate(
+    [{"prompt_token_ids": [1, 256, 10, 11, 12],
+      "multi_modal_data": {"image": image}}], sp)
+toks = [outs[0].outputs[0].token_ids]
+# A text-only wave on the warm engine.
+outs2 = llm.generate([{"prompt_token_ids": [1, 9, 8, 7]}], sp)
+toks.append(outs2[0].outputs[0].token_ids)
+print("TOKENS=" + json.dumps(toks), flush=True)
+"""
+
+_FOLLOWER_MM = """
+import sys
+from aphrodite_tpu.engine.args import EngineArgs
+from aphrodite_tpu.parallel import multihost
+
+multihost.maybe_initialize()
+args = EngineArgs(model=sys.argv[1], dtype="float32", max_num_seqs=4,
+                  num_device_blocks_override=96, block_size=8,
+                  max_model_len=128, tensor_parallel_size=2,
+                  skip_tokenizer_init=True)
+multihost.run_follower(args.create_engine_config())
+print("FOLLOWER_DONE", flush=True)
+"""
+
+
+@pytest.fixture(scope="module")
+def llava_mh_dir(tmp_path_factory):
+    import torch
+    import transformers as tf
+
+    from tests.utils import make_tiny_tokenizer
+
+    cfg = tf.LlavaConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=3, num_attention_heads=4,
+                           image_size=24, patch_size=8,
+                           projection_dim=32),
+        text_config=dict(model_type="llama", hidden_size=48,
+                         intermediate_size=96, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         vocab_size=260, max_position_embeddings=128,
+                         tie_word_embeddings=False),
+        image_token_index=256,
+    )
+    torch.manual_seed(0)
+    model = tf.LlavaForConditionalGeneration(cfg).to(torch.float32)
+    path = str(tmp_path_factory.mktemp("tiny_llava_mh"))
+    model.save_pretrained(path, safe_serialization=True)
+    make_tiny_tokenizer(path, vocab_size=260)
+    return path
+
+
+def _env1(host_id: int, port: int) -> dict:
+    env = _env(host_id, port)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    return env
+
+
+def test_two_process_multimodal_matches_single_process(llava_mh_dir):
+    """VERDICT r3 item 6: multimodal over multi-host — the vision tower
+    runs as a pod collective at admission (OP_MM_ENCODE) and the splice
+    spans ride the step mirror; tokens must match single-process tp=2."""
+    import numpy as np
+
+    from aphrodite_tpu import LLM, SamplingParams
+
+    rng = np.random.default_rng(5)
+    image = rng.standard_normal((3, 24, 24)).astype(np.float32)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                        custom_token_bans=[2])
+    base = LLM(model=llava_mh_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=96, block_size=8,
+               max_model_len=128, tensor_parallel_size=2)
+    expect = [base.generate(
+        [{"prompt_token_ids": [1, 256, 10, 11, 12],
+          "multi_modal_data": {"image": image}}], sp)[0]
+        .outputs[0].token_ids]
+    expect.append(base.generate(
+        [{"prompt_token_ids": [1, 9, 8, 7]}], sp)[0]
+        .outputs[0].token_ids)
+    del base
+
+    port = _free_port()
+    primary = subprocess.Popen(
+        [sys.executable, "-c", _PRIMARY_MM, llava_mh_dir],
+        env=_env1(0, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    follower = subprocess.Popen(
+        [sys.executable, "-c", _FOLLOWER_MM, llava_mh_dir],
+        env=_env1(1, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        p_out, _ = primary.communicate(timeout=600)
+        f_out, _ = follower.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        primary.kill()
+        follower.kill()
+        p_out = primary.communicate()[0]
+        f_out = follower.communicate()[0]
+        pytest.fail(f"multimodal multi-host run timed out.\n"
+                    f"PRIMARY:\n{p_out}\nFOLLOWER:\n{f_out}")
+
+    assert primary.returncode == 0, f"primary failed:\n{p_out}"
+    assert follower.returncode == 0, f"follower failed:\n{f_out}"
+    tok_line = [ln for ln in p_out.splitlines()
+                if ln.startswith("TOKENS=")]
+    assert tok_line, p_out
+    assert json.loads(tok_line[0][len("TOKENS="):]) == expect
