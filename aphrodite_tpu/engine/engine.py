@@ -226,6 +226,17 @@ class AphroditeEngine:
         # inputs/preprocess.py).
         encoder_token_ids = None
         encoder_audio = None
+        if self.runner._multihost and (
+                getattr(self.runner.model, "encoder_takes_audio", False)
+                or getattr(self.runner.model, "is_encoder_decoder",
+                           False)):
+            # Reject at ADMISSION, not in the step mirror (a freeze-time
+            # raise would kill the serving loop): the encoder runs
+            # host-driven cross-KV plumbing the follower replay does not
+            # mirror yet.
+            raise ValueError(
+                "encoder-decoder models are not supported on multi-host "
+                "deployments")
         if getattr(self.runner.model, "encoder_takes_audio", False):
             # Whisper-style: the prompt IS the decoder prompt; the
             # encoder consumes audio features from multi_modal_data.

@@ -98,20 +98,66 @@ TOLERANCES = {
 }
 
 
+def train_checkpoint(model_dir: str, steps: int = 400) -> float:
+    """Briefly train the tiny checkpoint on TEXTS (memorization is the
+    point: a random-weight model's output distribution is ~uniform, so
+    quantization noise barely moves its ppl and the tier cannot
+    discriminate — VERDICT r3 weak-6. A trained model has sharp,
+    structured distributions; quant error shows up as a real delta)."""
+    import torch
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(model_dir)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype=torch.float32)
+    model.train()
+    ids = [torch.tensor(tok.encode(t)[:256]) for t in TEXTS]
+    maxlen = max(len(i) for i in ids)
+    batch = torch.stack([
+        torch.nn.functional.pad(i, (0, maxlen - len(i)), value=0)
+        for i in ids])
+    opt = torch.optim.AdamW(model.parameters(), lr=3e-3)
+    loss = None
+    for _ in range(steps):
+        out = model(input_ids=batch, labels=batch)
+        opt.zero_grad()
+        out.loss.backward()
+        opt.step()
+        loss = float(out.loss)
+        if loss < 1.6:
+            # Stop at a MID-range fit (ppl ~ e^1.6 ~ 5): a saturated
+            # model is as undiscriminating as a random one (argmax
+            # trivially survives quant noise at ppl ~ 1).
+            break
+    model.eval()
+    model.save_pretrained(model_dir, safe_serialization=True)
+    return loss
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", choices=list(SIZES), default="medium")
+    ap.add_argument("--no-train", action="store_true",
+                    help="skip the brief training pass (random weights; "
+                         "ppl ~= vocab size, weakly discriminating)")
+    ap.add_argument("--train-steps", type=int, default=400)
     args = ap.parse_args()
 
     from tests.utils import make_tiny_llama_checkpoint
 
     td = tempfile.mkdtemp()
     make_tiny_llama_checkpoint(td, **SIZES[args.size])
+    if not args.no_train:
+        final_loss = train_checkpoint(td, args.train_steps)
+        print(f"trained {args.train_steps} steps; final loss "
+              f"{final_loss:.3f}", file=sys.stderr)
     rows = build_rows(td)
 
     base = rows["fp32"]
     table = {
         "size": args.size,
+        "trained": not args.no_train,
+        "train_steps": 0 if args.no_train else args.train_steps,
         "geometry": SIZES[args.size],
         "texts": len(TEXTS),
         "perplexity": {k: round(v, 4) for k, v in rows.items()},

@@ -28,15 +28,15 @@ def bench_once(mod, q, kv_pages, kv_lens, pi, ns, iters=24):
     overlaps dispatch and is meaningless; tools/trace_util.py)."""
     from tools.trace_util import trace_device_ms
 
-    def many(*a):
-        out = mod.paged_decode_attention(*a, sm_scale=0.0883)
-        for _ in range(iters - 1):
+    def many(q0, kv_pages, kv_lens, pi, ns):
+        def body(_, out):
             # Data dependence serializes the calls (q + 0*out keeps the
             # same shapes without changing the math).
-            out = mod.paged_decode_attention(
-                (q + 0.0 * out).astype(q.dtype), kv_pages, kv_lens, pi,
-                ns, sm_scale=0.0883)
-        return out
+            qq = (q0 + 0.0 * out).astype(q0.dtype)
+            return mod.paged_decode_attention(qq, kv_pages, kv_lens, pi,
+                                              ns, sm_scale=0.0883)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(q0))
 
     fn = jax.jit(many)
     agg, _ = trace_device_ms(fn, (q, kv_pages, kv_lens, pi, ns),
