@@ -528,6 +528,203 @@ def decode_iq4_xs_container(raw: np.ndarray, row_len: int):
     return q, scale.astype(np.float32), np.zeros_like(scale)
 
 
+# ---------------------------------------------------------------------------
+# Codebook i-quants (IQ1/IQ2/IQ3). Weights live on fixed lattice
+# codebooks; the grids are public ggml format constants shipped as a
+# 7KB data file (tools/extract_iq_grids.py documents provenance). Signs
+# fold into the decoded int8 values and block scales map onto the
+# grouped container, so i-quants SERVE natively like everything else.
+# ---------------------------------------------------------------------------
+
+_IQ = None
+
+
+def _iq_tables():
+    global _IQ
+    if _IQ is None:
+        import os
+
+        z = np.load(os.path.join(os.path.dirname(__file__),
+                                 "iq_grids.npz"))
+        i = np.arange(128, dtype=np.uint8)
+        pop = np.unpackbits(i[:, None], axis=1).sum(axis=1)
+        _IQ = {
+            # uint64/uint32 entries -> little-endian byte vectors, the
+            # same layout the C pointer casts read.
+            "iq2xxs": z["iq2xxs"].view(np.uint8).reshape(256, 8),
+            "iq2xs": z["iq2xs"].view(np.uint8).reshape(512, 8),
+            "iq2s": z["iq2s"].view(np.uint8).reshape(1024, 8),
+            "iq3xxs": z["iq3xxs"].view(np.uint8).reshape(256, 4),
+            "iq3s": z["iq3s"].view(np.uint8).reshape(512, 4),
+            "iq1s": z["iq1s"].view(np.int8).reshape(512, 8),
+            # ksigns_iq2xs is derivable: bit 7 makes total parity odd.
+            "ksigns": (i | ((pop & 1) << 7).astype(np.uint8)),
+        }
+    return _IQ
+
+
+def _sign_expand(sbytes: np.ndarray, width: int = 8) -> np.ndarray:
+    """uint8 sign bytes [...] -> f32 signs [..., width] (-1 where the
+    bit is set)."""
+    bits = (sbytes[..., None] >> np.arange(width, dtype=np.uint8)) & 1
+    return np.where(bits != 0, -1.0, 1.0).astype(np.float32)
+
+
+def decode_iq2_xxs_container(raw: np.ndarray, row_len: int):
+    """IQ2_XXS: 8-value grid rows + ksigns + 4-bit sub-scale; G=32."""
+    t = _iq_tables()
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 66)
+    nsb = blocks.shape[1]
+    d = blocks[:, :, 0:2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    qs = blocks[:, :, 2:66].copy().view("<u2").reshape(rows, nsb, 8, 4)
+    aux8 = qs[..., 0:2].copy().view(np.uint8)  # [rows, nsb, 8, 4]
+    aux32 = qs[..., 2].astype(np.uint32) | (
+        qs[..., 3].astype(np.uint32) << 16)
+    grid = t["iq2xxs"][aux8]  # [rows, nsb, 8, 4, 8] magnitudes
+    sidx = np.stack([(aux32 >> (7 * il)) & 127 for il in range(4)],
+                    axis=-1)  # [rows, nsb, 8, 4]
+    signs = _sign_expand(t["ksigns"][sidx])  # [rows, nsb, 8, 4, 8]
+    q = np.clip(grid.astype(np.float32) * signs, -127,
+                127).astype(np.int8)
+    q = q.reshape(rows, row_len)
+    scale = (d[:, :, None]
+             * (0.5 + (aux32 >> 28).astype(np.float32)) * 0.25)
+    return q, scale.reshape(rows, -1).astype(np.float32), \
+        np.zeros((rows, row_len // 32), np.float32)
+
+
+def decode_iq2_xs_container(raw: np.ndarray, row_len: int):
+    """IQ2_XS: 9-bit grid index | 7-bit sign index, per-16 scales."""
+    t = _iq_tables()
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 74)
+    nsb = blocks.shape[1]
+    d = blocks[:, :, 0:2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    qs = blocks[:, :, 2:66].copy().view("<u2").reshape(rows, nsb, 8, 4)
+    sc = blocks[:, :, 66:74]  # [rows, nsb, 8]
+    grid = t["iq2xs"][qs & 511]  # [rows, nsb, 8, 4, 8]
+    signs = _sign_expand(t["ksigns"][qs >> 9])
+    q = np.clip(grid.astype(np.float32) * signs, -127,
+                127).astype(np.int8).reshape(rows, row_len)
+    # scale nibble: low for il 0-1, high for il 2-3 -> per 16 values.
+    lo = (sc & 0xF).astype(np.float32)
+    hi = (sc >> 4).astype(np.float32)
+    nib = np.stack([lo, hi], axis=-1)  # [rows, nsb, 8, 2]
+    scale = d[:, :, None, None] * (0.5 + nib) * 0.25
+    return q, scale.reshape(rows, -1).astype(np.float32), \
+        np.zeros((rows, row_len // 16), np.float32)
+
+
+def decode_iq2_s_container(raw: np.ndarray, row_len: int):
+    """IQ2_S: 10-bit grid index (qh extends), explicit sign bytes."""
+    t = _iq_tables()
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 82)
+    nsb = blocks.shape[1]
+    d = blocks[:, :, 0:2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    qs = blocks[:, :, 2:34].reshape(rows, nsb, 8, 4)
+    sbytes = blocks[:, :, 34:66].reshape(rows, nsb, 8, 4)
+    qh = blocks[:, :, 66:74]  # [rows, nsb, 8]
+    sc = blocks[:, :, 74:82]
+    il = np.arange(4)
+    idx = (qs.astype(np.uint32)
+           | ((qh[..., None].astype(np.uint32) << (8 - 2 * il))
+              & 0x300))
+    grid = t["iq2s"][idx]  # [rows, nsb, 8, 4, 8]
+    signs = _sign_expand(sbytes)
+    q = np.clip(grid.astype(np.float32) * signs, -127,
+                127).astype(np.int8).reshape(rows, row_len)
+    lo = (sc & 0xF).astype(np.float32)
+    hi = (sc >> 4).astype(np.float32)
+    nib = np.stack([lo, hi], axis=-1)
+    scale = d[:, :, None, None] * (0.5 + nib) * 0.25
+    return q, scale.reshape(rows, -1).astype(np.float32), \
+        np.zeros((rows, row_len // 16), np.float32)
+
+
+def decode_iq3_xxs_container(raw: np.ndarray, row_len: int):
+    """IQ3_XXS: 4-value grid rows, ksigns, 4-bit sub-scale; G=32."""
+    t = _iq_tables()
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 98)
+    nsb = blocks.shape[1]
+    d = blocks[:, :, 0:2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    qs = blocks[:, :, 2:66].reshape(rows, nsb, 8, 8)  # grid idx bytes
+    gas = blocks[:, :, 66:98].copy().view("<u2").reshape(rows, nsb, 8, 2)
+    aux32 = gas[..., 0].astype(np.uint32) | (
+        gas[..., 1].astype(np.uint32) << 16)
+    grid = t["iq3xxs"][qs]  # [rows, nsb, 8, 8, 4]
+    sidx = np.stack([(aux32 >> (7 * il)) & 127 for il in range(4)],
+                    axis=-1)  # [rows, nsb, 8, 4]
+    signs = _sign_expand(t["ksigns"][sidx])  # [rows, nsb, 8, 4, 8]
+    # value layout per ib: il-th group of 8 = grid[2il][j] (j 0..3 with
+    # sign bits j) then grid[2il+1][j] (sign bits 4+j).
+    g = grid.reshape(rows, nsb, 8, 4, 2, 4).astype(np.float32)
+    s = signs.reshape(rows, nsb, 8, 4, 2, 4)
+    q = np.clip(g * s, -127, 127).astype(np.int8).reshape(rows, row_len)
+    scale = (d[:, :, None]
+             * (0.5 + (aux32 >> 28).astype(np.float32)) * 0.5)
+    return q, scale.reshape(rows, -1).astype(np.float32), \
+        np.zeros((rows, row_len // 32), np.float32)
+
+
+def decode_iq3_s_container(raw: np.ndarray, row_len: int):
+    """IQ3_S: 9-bit grid index (qh extends), explicit signs; G=32."""
+    t = _iq_tables()
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 110)
+    nsb = blocks.shape[1]
+    d = blocks[:, :, 0:2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    qs = blocks[:, :, 2:66].reshape(rows, nsb, 8, 8)
+    qh = blocks[:, :, 66:74]  # [rows, nsb, 8]
+    sbytes = blocks[:, :, 74:106].reshape(rows, nsb, 8, 4)
+    sc = blocks[:, :, 106:110]  # [rows, nsb, 4]
+    il = np.arange(4)
+    idx1 = (qs[..., 0::2].astype(np.uint32)
+            | ((qh[..., None].astype(np.uint32) << (8 - 2 * il)) & 256))
+    idx2 = (qs[..., 1::2].astype(np.uint32)
+            | ((qh[..., None].astype(np.uint32) << (7 - 2 * il)) & 256))
+    g1 = t["iq3s"][idx1].astype(np.float32)  # [rows, nsb, 8, 4, 4]
+    g2 = t["iq3s"][idx2].astype(np.float32)
+    signs = _sign_expand(sbytes)  # [rows, nsb, 8, 4, 8]
+    v1 = g1 * signs[..., 0:4]
+    v2 = g2 * signs[..., 4:8]
+    q = np.clip(np.stack([v1, v2], axis=4), -127, 127).astype(
+        np.int8).reshape(rows, row_len)
+    # scale nibble per ib: scales[ib/2] >> 4*(ib%2).
+    lo = (sc & 0xF).astype(np.float32)
+    hi = (sc >> 4).astype(np.float32)
+    nib = np.stack([lo, hi], axis=-1).reshape(rows, nsb, 8)
+    scale = d[:, :, None] * (0.5 + nib) * 0.5
+    return q, scale.reshape(rows, -1).astype(np.float32), \
+        np.zeros((rows, row_len // 32), np.float32)
+
+
+def decode_iq1_s_container(raw: np.ndarray, row_len: int):
+    """IQ1_S (512-grid layout): 8-value int8 grid rows, 3-bit scale
+    per 8 values; G=8."""
+    t = _iq_tables()
+    rows = raw.shape[0]
+    blocks = raw.reshape(rows, -1, 50)
+    nsb = blocks.shape[1]
+    d = blocks[:, :, 0:2].reshape(rows, -1, 2).copy().view(
+        np.float16).astype(np.float32)[:, :, 0]
+    qs = blocks[:, :, 2:34]  # [rows, nsb, 32]
+    scb = blocks[:, :, 34:50]  # [rows, nsb, 16] nibble pairs
+    h = np.stack([scb & 0xF, scb >> 4], axis=-1).reshape(rows, nsb, 32)
+    idx = qs.astype(np.uint32) | ((h.astype(np.uint32) & 8) << 5)
+    q = t["iq1s"][idx].reshape(rows, row_len)  # int8 grid values
+    scale = d[:, :, None] * (2.0 * (h & 7).astype(np.float32) + 1.0)
+    return q, scale.reshape(rows, -1).astype(np.float32), \
+        np.zeros((rows, row_len // 8), np.float32)
+
+
 # ggml type -> container decoder for natively-servable quants
 # (everything here maps losslessly onto the grouped (q - zero) * scale
 # container consumed by the fused dequant-matmul kernels; reference
@@ -546,6 +743,12 @@ _CONTAINER_DECODERS = {
     GGML_Q6_K: decode_q6_k_container,
     GGML_IQ4_NL: decode_iq4_nl_container,
     GGML_IQ4_XS: decode_iq4_xs_container,
+    GGML_IQ2_XXS: decode_iq2_xxs_container,
+    GGML_IQ2_XS: decode_iq2_xs_container,
+    GGML_IQ2_S: decode_iq2_s_container,
+    GGML_IQ3_XXS: decode_iq3_xxs_container,
+    GGML_IQ3_S: decode_iq3_s_container,
+    GGML_IQ1_S: decode_iq1_s_container,
 }
 
 
@@ -568,9 +771,8 @@ def dequant_tensor(gg: GGUFFile, info: GGUFTensorInfo) -> np.ndarray:
         out = (q.astype(np.float32) - z) * s
     else:
         raise ValueError(
-            f"GGUF tensor type {t} ({info.name}) not supported yet "
-            "(IQ1/IQ2/IQ3 codebook quants need their lattice grids; "
-            "see docs/parity.md)")
+            f"GGUF tensor type {t} ({info.name}) not supported "
+            "(of the ggml quant families only IQ1_M is unimplemented)")
     shape = list(reversed(info.dims))
     return out.reshape(shape)
 

@@ -324,3 +324,140 @@ def test_gguf_q6_k_e2e_close(tiny_hf, tmp_path):
     agree = sum(a == b for a, b in
                 zip(out.token_ids, ref.token_ids))
     assert agree >= 4, (out.token_ids, ref.token_ids)
+
+
+# ---------------------------------------------------------------------------
+# Codebook i-quants: random block bytes (any byte pattern is a valid
+# block for these formats) decoded by the vectorized container path vs
+# an independent SCALAR reference following the published ggml layout.
+# ---------------------------------------------------------------------------
+
+
+def _iq_t():
+    from aphrodite_tpu.loader.gguf import _iq_tables
+
+    return _iq_tables()
+
+
+def _sgn(byte, j):
+    return -1.0 if byte & (1 << j) else 1.0
+
+
+def _scalar_iq_dequant(gtype, blk):
+    """One 256-value super-block from raw bytes, scalar loops."""
+    t = _iq_t()
+    d = np.frombuffer(blk[0:2], np.float16)[0].astype(np.float32)
+    y = np.zeros(256, np.float32)
+    if gtype == G.GGML_IQ2_XXS:
+        qs = np.frombuffer(blk[2:66], "<u2")
+        for ib in range(8):
+            q2 = qs[4 * ib:4 * ib + 4]
+            aux8 = np.frombuffer(q2[:2].tobytes(), np.uint8)
+            aux32 = int(q2[2]) | (int(q2[3]) << 16)
+            db = d * (0.5 + (aux32 >> 28)) * 0.25
+            for il in range(4):
+                grid = t["iq2xxs"][aux8[il]]
+                signs = t["ksigns"][(aux32 >> (7 * il)) & 127]
+                for j in range(8):
+                    y[32 * ib + 8 * il + j] = (db * grid[j]
+                                               * _sgn(signs, j))
+    elif gtype == G.GGML_IQ2_XS:
+        qs = np.frombuffer(blk[2:66], "<u2")
+        sc = np.frombuffer(blk[66:74], np.uint8)
+        for ib in range(8):
+            for il in range(4):
+                e = qs[4 * ib + il]
+                grid = t["iq2xs"][e & 511]
+                signs = t["ksigns"][e >> 9]
+                db = d * (0.5 + ((sc[ib] >> (4 * (il // 2))) & 0xF)) \
+                    * 0.25
+                for j in range(8):
+                    y[32 * ib + 8 * il + j] = (db * grid[j]
+                                               * _sgn(signs, j))
+    elif gtype == G.GGML_IQ2_S:
+        qs = np.frombuffer(blk[2:66], np.uint8)
+        qh = np.frombuffer(blk[66:74], np.uint8)
+        sc = np.frombuffer(blk[74:82], np.uint8)
+        for ib in range(8):
+            for il in range(4):
+                idx = int(qs[4 * ib + il]) | (
+                    (int(qh[ib]) << (8 - 2 * il)) & 0x300)
+                grid = t["iq2s"][idx]
+                signs = qs[32 + 4 * ib + il]
+                db = d * (0.5 + ((sc[ib] >> (4 * (il // 2))) & 0xF)) \
+                    * 0.25
+                for j in range(8):
+                    y[32 * ib + 8 * il + j] = (db * grid[j]
+                                               * _sgn(signs, j))
+    elif gtype == G.GGML_IQ3_XXS:
+        qs = np.frombuffer(blk[2:66], np.uint8)
+        gas = np.frombuffer(blk[66:98], "<u2")
+        for ib in range(8):
+            q3 = qs[8 * ib:8 * ib + 8]
+            aux32 = int(gas[2 * ib]) | (int(gas[2 * ib + 1]) << 16)
+            db = d * (0.5 + (aux32 >> 28)) * 0.5
+            for il in range(4):
+                g1 = t["iq3xxs"][q3[2 * il]]
+                g2 = t["iq3xxs"][q3[2 * il + 1]]
+                signs = t["ksigns"][(aux32 >> (7 * il)) & 127]
+                for j in range(4):
+                    y[32 * ib + 8 * il + j] = (db * g1[j]
+                                               * _sgn(signs, j))
+                    y[32 * ib + 8 * il + 4 + j] = (db * g2[j]
+                                                   * _sgn(signs, 4 + j))
+    elif gtype == G.GGML_IQ3_S:
+        qs = np.frombuffer(blk[2:66], np.uint8)
+        qh = np.frombuffer(blk[66:74], np.uint8)
+        sb = np.frombuffer(blk[74:106], np.uint8)
+        sc = np.frombuffer(blk[106:110], np.uint8)
+        for ib in range(8):
+            db = d * (0.5 + ((sc[ib // 2] >> (4 * (ib % 2))) & 0xF)) \
+                * 0.5
+            for il in range(4):
+                i1 = int(qs[8 * ib + 2 * il]) | (
+                    (int(qh[ib]) << (8 - 2 * il)) & 256)
+                i2 = int(qs[8 * ib + 2 * il + 1]) | (
+                    (int(qh[ib]) << (7 - 2 * il)) & 256)
+                g1, g2 = t["iq3s"][i1], t["iq3s"][i2]
+                signs = sb[4 * ib + il]
+                for j in range(4):
+                    y[32 * ib + 8 * il + j] = (db * g1[j]
+                                               * _sgn(signs, j))
+                    y[32 * ib + 8 * il + 4 + j] = (db * g2[j]
+                                                   * _sgn(signs, 4 + j))
+    elif gtype == G.GGML_IQ1_S:
+        qs = np.frombuffer(blk[2:34], np.uint8)
+        sc = np.frombuffer(blk[34:50], np.uint8)
+        for i8 in range(32):
+            h = (sc[i8 // 2] >> (4 * (i8 % 2))) & 0xF
+            grid = t["iq1s"][int(qs[i8]) | ((int(h) & 8) << 5)]
+            dl = d * (2 * (h & 7) + 1)
+            for j in range(8):
+                y[8 * i8 + j] = dl * grid[j]
+    else:
+        raise ValueError(gtype)
+    return y
+
+
+@pytest.mark.parametrize("gtype", [G.GGML_IQ2_XXS, G.GGML_IQ2_XS,
+                                   G.GGML_IQ2_S, G.GGML_IQ3_XXS,
+                                   G.GGML_IQ3_S, G.GGML_IQ1_S])
+def test_iq_codebook_container_matches_scalar_reference(gtype, tmp_path):
+    rows, n = 2, 512
+    _, bbytes = G.BLOCK_INFO[gtype]
+    raw = RNG.integers(0, 256, size=(rows, n // 256, bbytes)).astype(
+        np.uint8)
+    # Keep the f16 block scale finite and positive.
+    for r in range(rows):
+        for s in range(n // 256):
+            raw[r, s, 0:2] = np.frombuffer(
+                np.float16(0.01 + 0.05 * RNG.random()).tobytes(),
+                np.uint8)
+    blob = raw.tobytes()
+    w = _roundtrip(tmp_path, gtype, blob, rows, n)
+    for r in range(rows):
+        for s in range(n // 256):
+            want = _scalar_iq_dequant(gtype, raw[r, s].tobytes())
+            np.testing.assert_allclose(
+                w[r, s * 256:(s + 1) * 256], want, rtol=1e-4,
+                atol=1e-5, err_msg=f"type {gtype} row {r} block {s}")
