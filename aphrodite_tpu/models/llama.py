@@ -723,14 +723,18 @@ class LlamaForCausalLM:
         layer_params = params["layers"]
         use_lora = lora is not None and batch.lora_sorted_idx is not None
 
-        # Packed-int4 weights bypass the scan's xs slicing: a sliced
+        # Grouped-container weights (packed int4 AND unpacked gguf
+        # q5/q6/q8/iq levels) bypass the scan's xs slicing: a sliced
         # operand to the pallas matmul would be materialized by XLA
         # (full extra read+write of the quantized bytes per layer).
         # Instead the stacked [L, ...] arrays are closed over and the
         # per-layer index rides the scan; qmatmul dispatches on "_idx"
-        # (quantization/qlinear.py).
+        # (quantization/qlinear.py). int8 {q, scale} containers stay on
+        # the scan path: XLA's mixed dot reads the sliced operand in
+        # place (no pallas boundary to force a copy).
         quant_stacked = {k: v for k, v in layer_params.items()
-                         if isinstance(v, dict) and "q4p" in v}
+                         if isinstance(v, dict)
+                         and ("q4p" in v or "q4" in v)}
         if quant_stacked:
             layer_params = {k: v for k, v in layer_params.items()
                             if k not in quant_stacked}

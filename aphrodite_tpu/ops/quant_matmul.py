@@ -440,6 +440,155 @@ def int4p_matmul_pallas(x, q4p, scale, zero, group: int,
     )(idx, xl, xh, q4p, scale, zero)
 
 
+def _kernel_stacked_dense(idx_sref, x_ref, q_ref, s_ref, z_ref, o_ref,
+                          acc_ref, *, group: int, block_k: int):
+    """Unpacked layer-stacked tile (dense dequant body): weight blocks
+    carry a leading layer dim selected by the prefetched index."""
+    del idx_sref
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    rpb = block_k // group
+    row0 = k_idx * rpb
+    q = q_ref[0].astype(jnp.float32)  # [bk, bn]
+
+    def rows(ref):
+        if rpb == 1:
+            return ref[0, row0, :][None, :]
+        return jnp.stack([ref[0, row0 + g, :] for g in range(rpb)])
+
+    s = jnp.repeat(rows(s_ref), group, axis=0)
+    z = jnp.repeat(rows(z_ref), group, axis=0)
+    w = ((q - z) * s).astype(x_ref.dtype)
+    acc_ref[:] += jnp.dot(x_ref[:], w,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _kernel_stacked_groupwise(idx_sref, x_ref, q_ref, s_ref, z_ref,
+                              o_ref, acc_ref, *, group: int,
+                              block_k: int):
+    """Unpacked layer-stacked tile (group-wise MXU body): raw integer
+    matmuls with per-group output fixups (see _kernel_groupwise)."""
+    del idx_sref
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    rpb = block_k // group
+    row0 = k_idx * rpb
+    x = x_ref[:]
+    q = q_ref[0]
+    acc = acc_ref[:]
+    for g in range(rpb):
+        xg = x[:, g * group:(g + 1) * group]
+        qg = q[g * group:(g + 1) * group, :].astype(x.dtype)
+        part = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
+        s = s_ref[0, row0 + g, :][None, :]
+        z = z_ref[0, row0 + g, :][None, :]
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + s * part - (s * z) * xsum
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def int4_matmul_pallas_stacked(x, q4, scale, zero, group: int,
+                               layer_idx, interpret: bool = False):
+    """UNPACKED grouped container with a LAYER-STACKED weight
+    (q4 int8[L, K, N] — any value range incl. signed gguf q5/q6/q8/iq
+    levels) and a traced layer index. Same reason the packed form
+    exists: handing the scan's per-layer slice to a pallas custom-call
+    materializes the slice (a full extra read+write of the quantized
+    bytes per layer); the scalar-prefetched index reads HBM in place."""
+    T, K = x.shape
+    N = q4.shape[-1]
+    decode = T <= 128
+    block_t = min(128 if decode else 256, T)
+    block_n = min(1024, N)
+    cap = 1024 if decode else 2048
+    block_k = group
+    for cand in range(cap, group - 1, -group):
+        if K % cand == 0:
+            block_k = cand
+            break
+    grid = (pl.cdiv(T, block_t), pl.cdiv(N, block_n), K // block_k)
+    body = (_kernel_stacked_groupwise if decode
+            else _kernel_stacked_dense)
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape((1,))
+    return pl.pallas_call(
+        functools.partial(body, group=group, block_k=block_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_t, block_k),
+                             lambda t, n, k, i: (t, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, block_n),
+                             lambda t, n, k, i: (i[0], k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K // group, block_n),
+                             lambda t, n, k, i: (i[0], 0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K // group, block_n),
+                             lambda t, n, k, i: (i[0], 0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_t, block_n),
+                                   lambda t, n, k, i: (t, n),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * N * K,
+            bytes_accessed=T * K * 2 + K * N + T * N * 4,
+            transcendentals=0,
+        ),
+        name="int4_matmul_stacked",
+        interpret=interpret,
+    )(idx, x, q4, scale, zero)
+
+
+def int4_matmul_stacked_dispatch(x, q4, scale, zero, group: int,
+                                 layer_idx):
+    """Layer-stacked UNPACKED grouped matmul dispatch (gguf q5/q6/q8/iq
+    containers in lax.scan'd models)."""
+    if x.ndim > 2:
+        lead = x.shape[:-1]
+        out = int4_matmul_stacked_dispatch(
+            x.reshape(-1, x.shape[-1]), q4, scale, zero, group,
+            layer_idx)
+        return out.reshape(*lead, -1)
+    import os
+
+    impl = os.environ.get("APHRODITE_TPU_INT4_IMPL", "pallas")
+    use_kernel = (jax.default_backend() in ("tpu", "axon")
+                  and impl == "pallas")
+    T, K = x.shape
+    N = q4.shape[-1]
+    if (use_kernel and N % 128 == 0 and group > 1 and K % group == 0
+            and T >= 16):
+        return int4_matmul_pallas_stacked(x, q4, scale, zero, group,
+                                          layer_idx=layer_idx)
+    return int4_matmul_ref(x, q4[layer_idx], scale[layer_idx],
+                           zero[layer_idx], group)
+
+
 def int4p_matmul_stacked_dispatch(x, q4p, scale, zero, group: int,
                                   layer_idx):
     """Layer-stacked packed-int4 matmul: q4p [L, K/2, N] plus a traced

@@ -99,9 +99,15 @@ def _int4_matmul(x: jax.Array, w: Dict[str, Any]) -> jax.Array:
     matmul's operand read) — the Pallas fused kernel in
     ops/quant_matmul.py takes over on TPU for supported shapes.
     """
-    from aphrodite_tpu.ops.quant_matmul import int4_matmul_dispatch
+    from aphrodite_tpu.ops.quant_matmul import (
+        int4_matmul_dispatch, int4_matmul_stacked_dispatch)
 
     group = w["q4"].shape[-2] // w["scale"].shape[-2]
+    if "_idx" in w:
+        # Layer-stacked view (q4 [L, K, N] + traced index): read the
+        # stacked weights in place instead of a materialized slice.
+        return int4_matmul_stacked_dispatch(
+            x, w["q4"], w["scale"], w["zero"], group, w["_idx"])
     return int4_matmul_dispatch(x, w["q4"], w["scale"], w["zero"], group)
 
 

@@ -205,3 +205,27 @@ def test_int4p_pallas_kernel_multi_ktile():
     got = np.asarray(int4p_matmul_pallas(xj, q4p, scale, zero, G,
                                          block_kp=128, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("T", [64, 256])  # groupwise and dense bodies
+def test_int4_stacked_kernel_matches_per_layer(T):
+    """Layer-stacked UNPACKED grouped kernel (gguf q6/q8/iq containers
+    in scanned models): the scalar-prefetched layer index must select
+    the right layer and any int8 value range must decode exactly."""
+    from aphrodite_tpu.ops.quant_matmul import (int4_matmul_pallas_stacked,
+                                                int4_matmul_ref)
+
+    L, K, N, G = 3, 512, 256, 16
+    q = jnp.asarray(RNG.integers(-64, 64, size=(L, K, N)), jnp.int8)
+    scale = jnp.asarray(
+        RNG.random((L, K // G, N)).astype(np.float32) * 0.02 + 1e-3)
+    zero = jnp.asarray(
+        RNG.integers(0, 32, size=(L, K // G, N)).astype(np.float32))
+    x = jnp.asarray((RNG.standard_normal((T, K)) * 0.3), jnp.float32)
+    for lidx in range(L):
+        want = np.asarray(int4_matmul_ref(x, q[lidx], scale[lidx],
+                                          zero[lidx], G))
+        got = np.asarray(int4_matmul_pallas_stacked(
+            x, q, scale, zero, G, layer_idx=lidx, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"layer {lidx} T={T}")

@@ -75,6 +75,32 @@ def main() -> int:
         xd, q4p, sc, z)
     ok &= check("int4p_matmul_decode", got, want, rtol=2e-2)
 
+    # 1b'. Wide-range grouped containers through the SAME kernels:
+    # gguf q6_k-style (values 0..63, G=16, zero 32) and q8_0/iq-style
+    # (signed int8, G=32, zero 0) — the unpacked path is value-range
+    # agnostic; this pins that property on hardware.
+    q6 = jnp.asarray(rng.integers(0, 64, size=(K, N)), jnp.int8)
+    s6 = jnp.asarray(rng.random((K // 16, N)).astype(np.float32) * 0.02
+                     + 1e-3)
+    z6 = jnp.full((K // 16, N), 32.0, jnp.float32)
+    got = jax.jit(lambda *a: int4_matmul_pallas_groupwise(*a, group=16))(
+        xd, q6, s6, z6)
+    want = int4_matmul_ref(xd.astype(jnp.float32), q6, s6, z6, 16)
+    ok &= check("q6k_container_groupwise", got, want, rtol=2e-2)
+    got = jax.jit(lambda *a: int4_matmul_pallas(*a, group=16))(
+        xb, q6, s6, z6)
+    want = int4_matmul_ref(jnp.asarray(x), q6, s6, z6, 16)
+    ok &= check("q6k_container_dense", got, want, rtol=2e-2)
+
+    qs8 = jnp.asarray(rng.integers(-127, 128, size=(K, N)), jnp.int8)
+    s8 = jnp.asarray(rng.random((K // 32, N)).astype(np.float32) * 0.01
+                     + 1e-3)
+    z8 = jnp.zeros((K // 32, N), jnp.float32)
+    got = jax.jit(lambda *a: int4_matmul_pallas_groupwise(*a, group=32))(
+        xd, qs8, s8, z8)
+    want = int4_matmul_ref(xd.astype(jnp.float32), qs8, s8, z8, 32)
+    ok &= check("signed8_container_groupwise", got, want, rtol=2e-2)
+
     # 1c. Microbenchmark: dense bf16 vs int4 variants at decode shape.
     import time as _time
 
