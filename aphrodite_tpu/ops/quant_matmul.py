@@ -378,10 +378,18 @@ def int4p_matmul_pallas(x, q4p, scale, zero, group: int,
     half_groups = Kh // group
     import os as _os
     body = body or _os.environ.get("APHRODITE_INT4_BODY") or None
-    decode = (T <= 128) if body is None else (body == "groupwise")
+    # Body choice (device-swept, tools/quant_tile_sweep.py QTS_BODY=1):
+    # at T >= 64 the dense-dequant body beats group-wise at every model
+    # site (w2 by 23% — the groupwise fixup work scales with K/group
+    # while dense dequant amortizes over bt rows); groupwise only wins
+    # when bt is well below the group size (tiny spec-draft batches).
+    decode = (T < 64) if body is None else (body == "groupwise")
     if block_t is None:
-        block_t = 128 if decode else 256
+        block_t = 128 if T <= 128 else 256
     if block_n is None:
+        # bn=1024 for the dense body (its dequantized bf16 planes live
+        # in VMEM: bkp x bn x 2 x 2B — bn=2048 with a deep k-tile
+        # overflows); the swept dense-body numbers all used 1024.
         block_n = 1024
     if block_kp is None:
         # Largest multiple of `group` dividing Kh, capped for VMEM.
@@ -513,8 +521,8 @@ def int4_matmul_pallas_stacked(x, q4, scale, zero, group: int,
     bytes per layer); the scalar-prefetched index reads HBM in place."""
     T, K = x.shape
     N = q4.shape[-1]
-    decode = T <= 128
-    block_t = min(128 if decode else 256, T)
+    decode = T < 64  # dense body wins at bt >= 64 (see packed kernel)
+    block_t = min(128 if T <= 128 else 256, T)
     block_n = min(1024, N)
     cap = 1024 if decode else 2048
     block_k = group
@@ -657,9 +665,9 @@ def int4_matmul_dispatch(x, q4, scale, zero, group: int):
     T, K = x.shape
     N = q4.shape[-1]
     if use_kernel and N % 128 == 0 and K % group == 0 and T >= 16:
-        if T <= 128:
-            # Decode shapes: VPU dequant of full weight tiles dominates;
-            # use the group-wise MXU formulation.
+        if T < 64:
+            # Tiny batches (spec drafts): group-wise MXU formulation —
+            # dense dequant only amortizes over bt >= 64 rows (swept).
             return int4_matmul_pallas_groupwise(x, q4, scale, zero, group)
         return int4_matmul_pallas(x, q4, scale, zero, group)
     return int4_matmul_ref(x, q4, scale, zero, group)
