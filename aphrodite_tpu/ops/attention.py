@@ -204,8 +204,9 @@ def ragged_paged_attention(
     # the local window). The mask math is lane-layout-independent, so
     # int8/fp8 pages get it too (tests/test_decode_kernel_quant.py
     # blocksparse_quant oracle). Needs block_size % page_size == 0.
-    # Prefill blocksparse stays on the jnp path (the vendored ragged
-    # kernel has no mask input).
+    # Prefill blocksparse runs through the vendored ragged kernel's
+    # mask input (ops/rpa_alibi_kernel.py fork; mask-only — dead-page
+    # DMA skipping is a decode-kernel property).
     bs_decode_ok = (blocksparse is None or (
         decode_mode and bs_head_offsets is not None
         and blocksparse[0] % kv_pages.shape[1] == 0))
@@ -214,8 +215,9 @@ def ragged_paged_attention(
         and bs_decode_ok
         and decode_supports(q, kv_pages, page_indices)
         and os.environ.get("APHRODITE_DECODE_KERNEL", "1") != "0")
-    if blocksparse is not None and not use_decode_kernel:
-        use_kernel = False
+    if (blocksparse is not None and not use_decode_kernel
+            and bs_head_offsets is None):
+        use_kernel = False  # no head phases: only the jnp path masks
 
     if use_kernel and not use_decode_kernel and alibi_slopes is not None \
             and os.environ.get("APHRODITE_ALIBI_KERNEL", "1") == "0":
@@ -262,7 +264,7 @@ def ragged_paged_attention(
         base_kwargs = {k: v for k, v in kwargs.items() if k != "bs_on"}
         if bs_on is None:
             bs_on = jnp.asarray(True)
-        bs_impl = impl if use_decode_kernel else ref_ragged_paged_attention
+        bs_impl = impl
         fn = jax.shard_map(
             lambda q_, kv_, kl_, pi_, cq_, ns_, off_, on_:
             bs_impl(
@@ -333,7 +335,8 @@ def _kernel_supports(q, kv_pages) -> bool:
 
 def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
                       num_seqs, *, sm_scale, sliding_window, soft_cap,
-                      k_scale, v_scale, alibi_slopes=None):
+                      k_scale, v_scale, alibi_slopes=None,
+                      blocksparse=None, bs_head_offsets=None, bs_on=None):
     """TPU Pallas path (the JAX-bundled ragged paged attention kernel).
 
     Block sizes must be chosen explicitly: the kernel's internal default
@@ -376,7 +379,8 @@ def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     bq = min(bq, T)
 
     fp8_kv = kv_pages.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
-    if alibi_slopes is not None or (fp8_kv and q.dtype == jnp.bfloat16):
+    if (alibi_slopes is not None or blocksparse is not None
+            or (fp8_kv and q.dtype == jnp.bfloat16)):
         # Our vendored fork. Two reasons to take it over the bundled
         # kernel: (a) the in-loop ALiBi distance bias (the bundled kernel
         # has no bias input; numerics match the jnp oracle to 1e-7,
@@ -392,7 +396,9 @@ def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
             alibi_slopes,
             sm_scale=sm_scale, sliding_window=sliding_window,
             soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale,
-            num_kv_pages_per_block=bkv, num_queries_per_block=bq)
+            num_kv_pages_per_block=bkv, num_queries_per_block=bq,
+            blocksparse=blocksparse, bs_head_offsets=bs_head_offsets,
+            bs_on=bs_on)
     return rpa_kernel(
         q,
         kv_pages,

@@ -307,6 +307,7 @@ def ragged_paged_attention_kernel(
     seq_buf_idx_ref,
     # TODO(jevinjiang): if OOM in SMEM, consider pack to other scalar refs.
     num_seqs_ref,
+    bs_meta_ref,  # i32[num_q_heads + 1]: per-head vert phases + gate (fork)
     # Input
     q_ref,  # [num_q_per_blk, num_q_heads_per_blk, head_dim]
     kv_pages_hbm_ref,  # [total_num_pages, page_size, num_combined_kv_heads, head_dim]
@@ -327,6 +328,7 @@ def ragged_paged_attention_kernel(
     k_scale: float | None = None,
     v_scale: float | None = None,
     use_alibi: bool = True,
+    blocksparse: tuple | None = None,  # (block_size, local, vert) (fork)
 ):
   if mask_value is None:
     mask_value = DEFAULT_MASK_VALUE
@@ -475,6 +477,7 @@ def ragged_paged_attention_kernel(
         *,
         kv_blk_idx,
         slope_col,  # f32[num_q_per_blk * num_q_heads_per_kv_head, 1]
+        bs_off_col,  # i32[rows, 1] per-row vertical phase, or None (fork)
     ):
       assert q.shape == (
           num_q_per_blk * num_q_heads_per_kv_head,
@@ -547,6 +550,21 @@ def ragged_paged_attention_kernel(
       if sliding_window is not None:
         causal_mask = jnp.logical_or(causal_mask,
                                      row_ids - sliding_window >= col_ids)
+      if blocksparse is not None:
+        # Phi-3-Small local+vertical-stride sparsity (fork; same mask
+        # math as ops/decode_attention.py): query block bq attends kv
+        # block bk iff bq - bk < local OR (bk + off[head] + 1) % vert
+        # == 0. row_ids/col_ids are already absolute kv positions.
+        bs_bsz, bs_local, bs_vert = blocksparse
+        bq_blk = row_ids // bs_bsz
+        bk_blk = col_ids // bs_bsz
+        bs_live = jnp.logical_or(
+            (bq_blk - bk_blk) < bs_local,
+            lax.rem(bk_blk + bs_off_col + 1, bs_vert) == 0)
+        bs_gate = bs_meta_ref[bs_meta_ref.shape[0] - 1] != 0
+        causal_mask = jnp.logical_or(
+            causal_mask,
+            jnp.logical_and(bs_gate, jnp.logical_not(bs_live)))
       if soft_cap is not None:
         qk = soft_cap * jnp.tanh(qk / soft_cap)
       # ALiBi: slope * (kv_pos - q_pos) per query head (fork point).
@@ -671,9 +689,10 @@ def ragged_paged_attention_kernel(
               q_ref[:, q_head_idx : q_head_idx + num_q_heads_per_kv_head, :]
           )
           slope_col = None
-          if use_alibi:
-            # Per-row slope column for the folded (q, head) layout: row
-            # r = q_idx * H + head_idx, so slope[r] = slopes[r % H]. Built
+          bs_off_col = None
+          if use_alibi or blocksparse is not None:
+            # Per-row columns for the folded (q, head) layout: row
+            # r = q_idx * H + head_idx, so value[r] = table[r % H]. Built
             # with iota + static selects — a broadcast_to().reshape(-1, 1)
             # here is a cross-lane shape cast Mosaic cannot lower
             # (vector<8x2> -> vector<16x1> "unsupported shape cast").
@@ -681,6 +700,7 @@ def ragged_paged_attention_kernel(
                 jnp.int32,
                 (num_q_per_blk * num_q_heads_per_kv_head, 1), 0)
             head_of_row = lax.rem(rows, num_q_heads_per_kv_head)
+          if use_alibi:
             slope_col = jnp.zeros(
                 (num_q_per_blk * num_q_heads_per_kv_head, 1), jnp.float32)
             for h in range(num_q_heads_per_kv_head):
@@ -688,6 +708,19 @@ def ragged_paged_attention_kernel(
                   head_of_row == h,
                   alibi_slopes_ref[0, q_head_idx + h],
                   slope_col,
+              )
+          if blocksparse is not None:
+            # Vertical phases index GLOBAL q heads (scalar prefetch
+            # carries the full table; sharded callers pass their head
+            # slice, which is equally consistent).
+            bs_off_col = jnp.zeros(
+                (num_q_per_blk * num_q_heads_per_kv_head, 1), jnp.int32)
+            for h in range(num_q_heads_per_kv_head):
+              bs_off_col = jnp.where(
+                  head_of_row == h,
+                  bs_meta_ref[heads_blk_idx * num_q_heads_per_blk
+                              + q_head_idx + h],
+                  bs_off_col,
               )
           flash_attention(
               q,
@@ -700,6 +733,7 @@ def ragged_paged_attention_kernel(
               ],
               kv_blk_idx=kv_blk_idx,
               slope_col=slope_col,
+              bs_off_col=bs_off_col,
           )
       return kv_blk_idx + 1, next_buf_idx
 
@@ -792,6 +826,7 @@ def get_min_heads_per_blk(
         "soft_cap",
         "k_scale",
         "v_scale",
+        "blocksparse",
     ],
 )
 def ragged_paged_attention_alibi(
@@ -812,6 +847,9 @@ def ragged_paged_attention_alibi(
     num_kv_pages_per_block: int | None = None,
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
+    blocksparse: tuple | None = None,  # (block_size, local, vert) (fork)
+    bs_head_offsets: jax.Array | None = None,  # i32[num_q_heads] (fork)
+    bs_on: jax.Array | None = None,  # scalar gate (fork)
 ):
   """Ragged paged attention that supports mixed prefill and decode.
 
@@ -930,12 +968,23 @@ def ragged_paged_attention_alibi(
       lm_scratch,  # m_ref
       acc_scratch,
   ]
+  # Blocksparse metadata rides the scalar-prefetch stream: per-GLOBAL-
+  # q-head vertical phases + the per-layer gate in the last slot (fork).
+  if blocksparse is not None:
+    assert bs_head_offsets is not None
+    gate = (jnp.ones((1,), jnp.int32) if bs_on is None
+            else bs_on.astype(jnp.int32).reshape(1))
+    bs_meta = jnp.concatenate(
+        [bs_head_offsets.astype(jnp.int32).reshape(num_q_heads), gate])
+  else:
+    bs_meta = jnp.zeros((num_q_heads + 1,), jnp.int32)
   scalar_prefetches = (
       kv_lens,
       page_indices,
       cu_q_lens,
       jnp.array((0, 0), jnp.int32),  # seq_idx, buf_idx
       num_seqs,
+      bs_meta,
   )
   kernel = pl.pallas_call(
       functools.partial(
@@ -947,6 +996,7 @@ def ragged_paged_attention_alibi(
           k_scale=k_scale,
           v_scale=v_scale,
           use_alibi=alibi_slopes is not None,
+          blocksparse=blocksparse,
       ),
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=len(scalar_prefetches),

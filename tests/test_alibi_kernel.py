@@ -117,3 +117,52 @@ def test_fork_fp8_kv_no_alibi(fp8_dtype):
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=3e-2, atol=3e-2)
+
+
+def test_blocksparse_prefill_kernel_matches_oracle():
+    """Blocksparse mask in the vendored ragged PREFILL kernel (fork):
+    local+vertical pattern with per-head phases must match the jnp
+    oracle on a mixed prefill/decode batch, and the gate-off path must
+    equal dense."""
+    import jax.numpy as jnp
+
+    from aphrodite_tpu.ops.attention import ref_ragged_paged_attention
+    from aphrodite_tpu.ops.rpa_alibi_kernel import (
+        ragged_paged_attention_alibi)
+
+    rng = np.random.default_rng(3)
+    S, PS, pages_per_seq, Hq, Hkv, D = 3, 16, 16, 4, 2, 128
+    P = S * pages_per_seq + 2
+    kv_lens = [200, 37, 150]
+    cu = [0, 1, 16, 24]  # decode + chunked prefill + prefill
+    T = cu[-1]
+    q = jnp.asarray(rng.standard_normal((T, Hq, D)), jnp.float32) * 0.3
+    kv = jnp.asarray(
+        rng.standard_normal((P, PS, 2 * Hkv, D)), jnp.float32) * 0.3
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+    pi = jnp.arange(S * pages_per_seq,
+                    dtype=jnp.int32).reshape(S, pages_per_seq)
+    cu_j = jnp.asarray(cu, jnp.int32)
+    ns = jnp.asarray([S], jnp.int32)
+    bs = (32, 1, 4)
+    offs = jnp.asarray(rng.integers(0, 4, size=Hq), jnp.int32)
+    out = ragged_paged_attention_alibi(
+        q, kv, kvl, pi, cu_j, ns, None, sm_scale=0.25,
+        num_kv_pages_per_block=2, num_queries_per_block=8,
+        blocksparse=bs, bs_head_offsets=offs, bs_on=jnp.asarray(True))
+    ref = ref_ragged_paged_attention(
+        q, kv, kvl, pi, cu_j, ns, sm_scale=0.25, blocksparse=bs,
+        bs_head_offsets=offs, bs_on=jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # Gate off == dense.
+    out_off = ragged_paged_attention_alibi(
+        q, kv, kvl, pi, cu_j, ns, None, sm_scale=0.25,
+        num_kv_pages_per_block=2, num_queries_per_block=8,
+        blocksparse=bs, bs_head_offsets=offs, bs_on=jnp.asarray(False))
+    dense = ragged_paged_attention_alibi(
+        q, kv, kvl, pi, cu_j, ns, None, sm_scale=0.25,
+        num_kv_pages_per_block=2, num_queries_per_block=8)
+    np.testing.assert_allclose(np.asarray(out_off), np.asarray(dense),
+                               rtol=1e-6, atol=1e-6)
