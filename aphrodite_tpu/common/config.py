@@ -328,6 +328,14 @@ class SchedulerConfig:
     # (multi-step decoding). 1 = classic per-token scheduling.
     num_scheduler_steps: int = 1
     preemption_mode: str = "recompute"
+    # Prefill admission hold-off (reference --scheduler-delay-factor,
+    # processing/scheduler.py:1399 _passed_delay): a waiting prompt is
+    # admitted only once its age exceeds delay_factor x the last prompt
+    # iteration's latency (or nothing is running). On TPU this matters
+    # MORE than on GPU: multi-step decode windows only fuse on
+    # pure-decode iterations, so back-to-back prompt admissions under
+    # continuous arrivals degrade decode to single-step scheduling.
+    delay_factor: float = 0.0
 
     def __post_init__(self) -> None:
         if self.max_num_batched_tokens is None:

@@ -48,6 +48,11 @@ class EngineArgs:
     max_num_seqs: int = 256
     enable_chunked_prefill: bool = True
     num_scheduler_steps: int = 1
+    # Hold new-prompt admission until the oldest waiting request's age
+    # exceeds delay_factor x the last prompt iteration's latency
+    # (reference --scheduler-delay-factor). Lets fused multi-step
+    # decode windows run between prompt batches under continuous load.
+    scheduler_delay_factor: float = 0.0
     # LoRA.
     enable_lora: bool = False
     max_loras: int = 4
@@ -94,6 +99,7 @@ class EngineArgs:
             max_model_len=model_config.max_model_len,
             enable_chunked_prefill=self.enable_chunked_prefill,
             num_scheduler_steps=self.num_scheduler_steps,
+            delay_factor=self.scheduler_delay_factor,
         )
         speculative_config = None
         if self.speculative_model is not None:

@@ -94,6 +94,27 @@ class Scheduler:
         self.num_cumulative_preemption = 0
         self._artificial_preempt_cnt = (ARTIFICIAL_PREEMPTION_PROB
                                         if ENABLE_ARTIFICIAL_PREEMPT else 0)
+        # Prefill-delay bookkeeping (reference scheduler.py:1399).
+        self.prev_time = 0.0
+        self.prev_prompt = False
+        self.last_prompt_latency = 0.0
+
+    def _passed_delay(self, now: float) -> bool:
+        """Whether waiting prompts may be admitted this iteration
+        (reference _passed_delay): once a prompt iteration ran, hold new
+        admissions until the oldest waiting request's age exceeds
+        delay_factor x the last prompt iteration's latency — letting
+        pure-decode iterations (and their fused multi-step windows) run
+        between prompt batches instead of mixing every iteration."""
+        if self.prev_prompt:
+            self.last_prompt_latency = now - self.prev_time
+        self.prev_time, self.prev_prompt = now, False
+        if self.scheduler_config.delay_factor > 0 and self.waiting:
+            earliest = min(g.metrics.arrival_time for g in self.waiting)
+            return ((now - earliest) >
+                    (self.scheduler_config.delay_factor
+                     * self.last_prompt_latency) or not self.running)
+        return True
 
     # ---- queue management ----------------------------------------------------
 
@@ -178,8 +199,11 @@ class Scheduler:
                 self.running.remove(victim)
             self.waiting.appendleft(victim)
 
-        # Phase 2: admit waiting groups.
-        while self.waiting:
+        # Phase 2: admit waiting groups (subject to the prefill delay).
+        import time as _time
+
+        admit_ok = self._passed_delay(_time.monotonic())
+        while admit_ok and self.waiting:
             group = self.waiting[0]
             seq = group.get_seqs(SequenceStatus.WAITING)[0] \
                 if group.get_seqs(SequenceStatus.WAITING) else None
@@ -249,6 +273,9 @@ class Scheduler:
                     get_cross_block_table(seq),
                 ))
             num_prefill_tokens += num_new_tokens
+
+        if num_prefill_tokens > 0:
+            self.prev_prompt = True
 
         return SchedulerOutputs(
             scheduled=scheduled,

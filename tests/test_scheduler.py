@@ -245,3 +245,46 @@ def test_unseeded_stochastic_is_chain_eligible():
                           max_tokens=8).chain_speculation_eligible
     assert not SamplingParams(temperature=0.0, dry_multiplier=0.5,
                               max_tokens=8).chain_speculation_eligible
+
+
+def test_prefill_delay_factor_holds_new_prompts():
+    """Reference --scheduler-delay-factor semantics: after a prompt
+    iteration, freshly-arrived prompts wait (decodes run pure, so the
+    fused multi-step window can engage) until their age beats
+    delay_factor x last prompt latency; delay_factor=0 admits at once."""
+    import time
+
+    sched_cfg = SchedulerConfig(
+        max_num_batched_tokens=64, max_num_seqs=8, max_model_len=128,
+        enable_chunked_prefill=True, delay_factor=10_000.0)
+    cache_cfg = CacheConfig(block_size=BLOCK)
+    cache_cfg.num_device_blocks = 64
+    s = Scheduler(sched_cfg, cache_cfg)
+    g1 = make_group("r1", prompt_len=8)
+    s.add_seq_group(g1)
+    run_step(s)   # prompt iteration (records prev_prompt)
+    time.sleep(0.01)
+    run_step(s)   # decode-only; establishes last_prompt_latency
+    g2 = make_group("r2", prompt_len=8)
+    s.add_seq_group(g2)
+    out = s.schedule()
+    # g2 is fresh and g1 is running: admission is held.
+    assert all(not ss.seq.is_prefill for ss in out.scheduled)
+    assert out.num_prefill_tokens == 0
+    s.mark_step_computed(out)
+    for ss in out.scheduled:
+        if ss.do_sample:
+            ss.seq.append_token_id(7)
+
+    # With no delay factor the same situation admits immediately.
+    sched_cfg0 = SchedulerConfig(
+        max_num_batched_tokens=64, max_num_seqs=8, max_model_len=128,
+        enable_chunked_prefill=True, delay_factor=0.0)
+    cache_cfg0 = CacheConfig(block_size=BLOCK)
+    cache_cfg0.num_device_blocks = 64
+    s0 = Scheduler(sched_cfg0, cache_cfg0)
+    s0.add_seq_group(make_group("a", prompt_len=8))
+    run_step(s0)
+    s0.add_seq_group(make_group("b", prompt_len=8))
+    out0 = s0.schedule()
+    assert out0.num_prefill_tokens > 0
