@@ -37,6 +37,11 @@ def _add_serve_args(parser: argparse.ArgumentParser) -> None:
                         help="run the engine in-process with the HTTP "
                              "server (single process; an engine crash "
                              "kills serving)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the full bucket program grid "
+                             "before serving (reference TPU warmup): "
+                             "slower start, no compile stalls under "
+                             "load; results persist in the XLA cache")
     parser.add_argument("--api-keys", type=str, default=None,
                         help="comma-separated list of accepted API keys")
     parser.add_argument("--admin-key", type=str, default=None,
@@ -71,7 +76,8 @@ def _run(args: argparse.Namespace) -> None:
                    admin_key=args.admin_key,
                    engine_in_subprocess=getattr(
                        args, "engine_subprocess", None),
-                   engine_replicas=getattr(args, "engine_replicas", 1)))
+                   engine_replicas=getattr(args, "engine_replicas", 1),
+                   warmup=getattr(args, "warmup", False)))
 
 
 def _complete(args: argparse.Namespace) -> None:

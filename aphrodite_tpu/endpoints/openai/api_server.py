@@ -934,7 +934,8 @@ async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
                      api_keys: Optional[List[str]] = None,
                      admin_key: Optional[str] = None,
                      engine_in_subprocess: Optional[bool] = None,
-                     engine_replicas: int = 1) -> None:
+                     engine_replicas: int = 1,
+                     warmup: bool = False) -> None:
     import os
 
     if admin_key is None:
@@ -969,6 +970,13 @@ async def run_server(engine_args: EngineArgs, host: str = "0.0.0.0",
         async_engine = MPAsyncEngine.from_engine_args(engine_args)
     else:
         async_engine = AsyncAphrodite.from_engine_args(engine_args)
+    if warmup:
+        # Compile the bucket grid before opening the port (engine-side
+        # via RPC for the subprocess/replica modes).
+        if hasattr(async_engine, "utility"):
+            await async_engine.utility("warmup")
+        else:
+            async_engine.engine.warmup()
     server = OpenAIServer(async_engine, served_model_names, api_keys,
                           engine_args=engine_args, admin_key=admin_key)
     app = server.build_app()

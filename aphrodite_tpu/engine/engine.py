@@ -474,6 +474,44 @@ class AphroditeEngine:
     def get_phase_timings(self) -> Dict[str, Any]:
         return dict(self.phase_timings)
 
+    def warmup(self) -> None:
+        """Compile the serving program grid ahead of traffic (reference
+        TPU warmup, tpu_model_runner.py:253-290: every (batch, seq)
+        bucket compiles before serving). Synthetic request waves walk
+        the sequence buckets at full prefill budget and decode through
+        two fused windows each, so bucket-variant XLA compiles happen
+        ONCE at startup (and persist in the on-disk cache) instead of
+        surfacing as multi-second p99 stalls under live load."""
+        import numpy as np
+
+        t0 = time.monotonic()
+        nss = max(1, self.scheduler_config.num_scheduler_steps)
+        vocab = self.model_config.get_vocab_size()
+        budget = self.scheduler_config.max_num_batched_tokens
+        rng = np.random.default_rng(0)
+        waves = [s for s in self.runner.seq_buckets
+                 if s <= self.scheduler_config.max_num_seqs]
+        for S in waves:
+            plen = int(max(16, min(budget // S,
+                                   self.model_config.max_model_len // 2,
+                                   self.model_config.max_model_len
+                                   - 2 * nss - 3)))
+            if plen <= 0:
+                continue
+            sp = SamplingParams(temperature=0.0,
+                                max_tokens=2 * nss + 2,
+                                ignore_eos=True, detokenize=False)
+            for i in range(S):
+                self.add_request(
+                    f"__warmup_{S}_{i}",
+                    prompt_token_ids=rng.integers(
+                        0, vocab, size=(plen,)).tolist(),
+                    sampling_params=sp)
+            while self.has_unfinished_requests():
+                self.step()
+        logger.info("warmup: bucket grid compiled in %.1fs (%d waves)",
+                    time.monotonic() - t0, len(waves))
+
     def load_soft_prompt(self, name: str, path: str) -> None:
         """Register a prompt-tuning adapter (reference
         /v1/soft_prompt/load, api_server.py:733)."""

@@ -137,3 +137,32 @@ def test_seeded_n_gt_1_gives_distinct_reproducible_siblings(tiny_dir):
     again = [tuple(o.token_ids)
              for o in llm.generate(["seed me"], sp)[0].outputs]
     assert sorted(seqs) == sorted(again)  # reproducible
+
+
+def test_engine_warmup_compiles_grid():
+    """engine.warmup() runs synthetic waves over the seq buckets and
+    leaves no unfinished requests behind."""
+    from aphrodite_tpu.engine.args import EngineArgs
+    from aphrodite_tpu.engine.engine import AphroditeEngine
+    from tests.utils import make_tiny_llama_checkpoint
+    import tempfile
+
+    td = tempfile.mkdtemp()
+    make_tiny_llama_checkpoint(td)
+    eng = AphroditeEngine.from_engine_args(EngineArgs(
+        model=td, dtype="float32", max_num_seqs=8,
+        num_device_blocks_override=256, block_size=8,
+        max_num_batched_tokens=64, num_scheduler_steps=2))
+    eng.warmup()
+    assert not eng.has_unfinished_requests()
+    assert eng.phase_timings["iterations"] > 0
+    # Serving still works after warmup.
+    from aphrodite_tpu.common.sampling_params import SamplingParams
+
+    eng.add_request("r", prompt_token_ids=[1, 2, 3],
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=4, ignore_eos=True))
+    outs = []
+    while eng.has_unfinished_requests():
+        outs.extend(eng.step())
+    assert any(o.finished for o in outs)
