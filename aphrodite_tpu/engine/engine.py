@@ -491,6 +491,17 @@ class AphroditeEngine:
         rng = np.random.default_rng(0)
         waves = [s for s in self.runner.seq_buckets
                  if s <= self.scheduler_config.max_num_seqs]
+        sp = SamplingParams(temperature=0.0, max_tokens=2 * nss + 2,
+                            ignore_eos=True, detokenize=False)
+
+        def add(tag, n, plen):
+            for i in range(n):
+                self.add_request(
+                    f"__warmup_{tag}_{i}",
+                    prompt_token_ids=rng.integers(
+                        0, vocab, size=(max(1, plen),)).tolist(),
+                    sampling_params=sp)
+
         for S in waves:
             plen = int(max(16, min(budget // S,
                                    self.model_config.max_model_len // 2,
@@ -498,15 +509,15 @@ class AphroditeEngine:
                                    - 2 * nss - 3)))
             if plen <= 0:
                 continue
-            sp = SamplingParams(temperature=0.0,
-                                max_tokens=2 * nss + 2,
-                                ignore_eos=True, detokenize=False)
-            for i in range(S):
-                self.add_request(
-                    f"__warmup_{S}_{i}",
-                    prompt_token_ids=rng.integers(
-                        0, vocab, size=(plen,)).tolist(),
-                    sampling_params=sp)
+            # Two staggered half-waves: the second half's PREFILL chunks
+            # schedule alongside the first half's running DECODES, so
+            # the MIXED prefill+decode program variants compile too (a
+            # sequential wave only ever produces pure-prefill then
+            # pure-decode iterations — live traffic is mostly mixed).
+            add(f"{S}a", max(1, S // 2), plen)
+            self.step()
+            self.step()
+            add(f"{S}b", S - max(1, S // 2), plen)
             while self.has_unfinished_requests():
                 self.step()
         logger.info("warmup: bucket grid compiled in %.1fs (%d waves)",
