@@ -367,13 +367,12 @@ class OpenAIServer:
         pt["avg_execute_ms"] = pt["execute_s"] / it * 1e3
         pt["avg_postprocess_ms"] = pt["postprocess_s"] / it * 1e3
         if pt.get("spec_proposed_tokens"):
-            pt["spec_acceptance_rate"] = (pt["spec_accepted_tokens"]
-                                          / pt["spec_proposed_tokens"])
-            rows = (pt["spec_emitted_tokens"]
-                    - pt["spec_accepted_tokens"])
-            pt["spec_efficiency"] = (pt["spec_emitted_tokens"]
-                                     / max(pt["spec_proposed_tokens"]
-                                           + rows, 1))
+            from aphrodite_tpu.engine.metrics import spec_rates
+
+            pt["spec_acceptance_rate"], pt["spec_efficiency"] = \
+                spec_rates(pt["spec_proposed_tokens"],
+                           pt["spec_accepted_tokens"],
+                           pt["spec_emitted_tokens"])
         return web.json_response(pt)
 
     async def root(self, request: web.Request) -> web.Response:

@@ -503,12 +503,12 @@ class AphroditeEngine:
                     sampling_params=sp)
 
         for S in waves:
-            plen = int(max(16, min(budget // S,
-                                   self.model_config.max_model_len // 2,
-                                   self.model_config.max_model_len
-                                   - 2 * nss - 3)))
-            if plen <= 0:
-                continue
+            plen = int(min(budget // S,
+                           self.model_config.max_model_len // 2,
+                           self.model_config.max_model_len
+                           - 2 * nss - 3))
+            if plen < 1:
+                continue  # context too small for this wave's decode run
             # Two staggered half-waves: the second half's PREFILL chunks
             # schedule alongside the first half's running DECODES, so
             # the MIXED prefill+decode program variants compile too (a
@@ -520,6 +520,10 @@ class AphroditeEngine:
             add(f"{S}b", S - max(1, S // 2), plen)
             while self.has_unfinished_requests():
                 self.step()
+        # Warmup traffic is compile-dominated; leaving it in the phase
+        # stats would make /stats report it as steady-state throughput.
+        for k, v in self.phase_timings.items():
+            self.phase_timings[k] = 0 if isinstance(v, int) else 0.0
         logger.info("warmup: bucket grid compiled in %.1fs (%d waves)",
                     time.monotonic() - t0, len(waves))
 
@@ -641,10 +645,19 @@ class AphroditeEngine:
             import numpy as _np
 
             k = num_steps_done - 1
-            vl = _np.clip(_np.asarray(result.valid_lens), 1,
-                          num_steps_done)
-            self._spec_iter = (k * vl.shape[0], int((vl - 1).sum()),
-                              int(vl.sum()))
+            vl = _np.asarray(result.valid_lens)
+            # Actual per-row proposal counts (ngram rows with no lookup
+            # match propose 0 and must not deflate the acceptance rate);
+            # model drafts report k for every row.
+            pl = (_np.asarray(result.proposed_lens)
+                  if result.proposed_lens is not None
+                  else _np.full(vl.shape, k, _np.int32))
+            emitted_rows = _np.minimum(_np.clip(vl, 0, None), pl + 1)
+            self._spec_iter = (
+                int(pl.sum()),
+                int(_np.clip(emitted_rows - 1, 0, None).sum()),
+                int(emitted_rows.sum()),
+            )
             pt0 = self.phase_timings
             pt0["spec_proposed_tokens"] += self._spec_iter[0]
             pt0["spec_accepted_tokens"] += self._spec_iter[1]

@@ -18,6 +18,18 @@ logger = init_logger(__name__)
 _LABEL = "model_name"
 
 
+def spec_rates(proposed: int, accepted: int,
+               emitted: int) -> "tuple[float, float]":
+    """(draft acceptance rate, system efficiency) from cumulative
+    counters. emitted = accepted + one bonus per emitting row, so
+    rows = emitted - accepted and the emission ceiling is
+    proposed + rows. Single source of truth for the /stats route and
+    the Prometheus gauges."""
+    rows = emitted - accepted
+    return (accepted / max(proposed, 1),
+            emitted / max(proposed + rows, 1))
+
+
 @dataclass
 class Stats:
     """Snapshot of one engine iteration (reference metrics_types.Stats)."""
@@ -211,15 +223,12 @@ class StatLogger:
                     stats.spec_accepted_iter)
                 self.prom.counter_spec_emitted.labels(**lbl).inc(
                     stats.spec_emitted_iter)
-                # emitted = accepted + 1 bonus per row, so rows =
-                # emitted - accepted and the emission ceiling is
-                # proposed + rows = (k+1) * rows.
-                max_possible = self._spec_proposed + \
-                    (self._spec_emitted - self._spec_accepted)
+                acc_rate, eff = spec_rates(self._spec_proposed,
+                                           self._spec_accepted,
+                                           self._spec_emitted)
                 self.prom.gauge_spec_acceptance.labels(**lbl).set(
-                    self._spec_accepted / max(self._spec_proposed, 1))
-                self.prom.gauge_spec_efficiency.labels(**lbl).set(
-                    self._spec_emitted / max(max_possible, 1))
+                    acc_rate)
+                self.prom.gauge_spec_efficiency.labels(**lbl).set(eff)
 
         now = time.monotonic()
         if now - self._last_log >= self.log_interval:

@@ -197,10 +197,16 @@ def freeze_outputs(outputs) -> dict:
         # builds embeds_override from them during prefill only), so
         # decode steps never re-broadcast image features.
         mm = None
+        mrt = None
         if ss.first_token_idx < len(seq.prompt_token_ids):
             if seq.mm_spans:
                 mm = [(start, np.asarray(feats, np.float32))
                       for start, feats in seq.mm_spans]
+            # The [3, seq_len] mrope table is only read during prefill
+            # batch build; decode uses the scalar mrope_delta — don't
+            # re-broadcast the table on every decode step.
+            if seq.mrope_table is not None:
+                mrt = np.asarray(seq.mrope_table)
         lr = ss.group.lora_request
         rows.append(dict(
             request_id=ss.group.request_id,
@@ -224,8 +230,7 @@ def freeze_outputs(outputs) -> dict:
             lora=(None if lr is None else
                   (lr.lora_name, lr.lora_int_id, lr.lora_path)),
             mm_spans=mm,
-            mrope_table=(None if seq.mrope_table is None
-                         else np.asarray(seq.mrope_table)),
+            mrope_table=mrt,
             mrope_delta=seq.mrope_delta,
         ))
     return dict(

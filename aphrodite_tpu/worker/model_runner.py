@@ -145,6 +145,10 @@ class StepResult(NamedTuple):
     # Per-row count of valid steps (speculative decode accepts a variable
     # prefix); None = all steps valid for every row.
     valid_lens: Optional[np.ndarray] = None
+    # Per-row count of draft tokens actually PROPOSED this step (ngram
+    # rows without a lookup match propose 0; model drafts propose k).
+    # Feeds the acceptance-rate metrics; None when not speculative.
+    proposed_lens: Optional[np.ndarray] = None
     # Prompt logprobs over the flat token stream (single-step prefill
     # only): (target_lp[T], rank[T], topk_ids[T, K], topk_lp[T, K]).
     prompt: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray,
@@ -214,8 +218,10 @@ class ModelRunner:
         # measured +65% queued-workload throughput and run-to-run
         # stability at x4. Token step stays x2: prefill padding is real
         # FLOPs.
-        tstep = int(os.environ.get("APHRODITE_TOKEN_BUCKET_STEP", "2"))
-        sstep = int(os.environ.get("APHRODITE_SEQ_BUCKET_STEP", "4"))
+        tstep = max(2, int(os.environ.get("APHRODITE_TOKEN_BUCKET_STEP",
+                                          "2")))
+        sstep = max(2, int(os.environ.get("APHRODITE_SEQ_BUCKET_STEP",
+                                          "4")))
         self.token_buckets = _buckets(
             max(16, self.scheduler_config.max_num_batched_tokens), 16,
             step=tstep)
@@ -1716,6 +1722,11 @@ class ModelRunner:
             topk_ids=np.zeros((k + 1, n, 0), np.int32),
             topk_logprobs=np.zeros((k + 1, n, 0), np.float32),
             valid_lens=valid,
+            # Actual (post-clamp) proposal count per row: rows without
+            # an ngram match proposed nothing and must not deflate the
+            # acceptance-rate metrics.
+            proposed_lens=(proposals[:n] >= 0).sum(axis=1).astype(
+                np.int32),
         )
 
     def _build_spec_verify_batch(self, scheduled, S: int, k: int,
@@ -1834,6 +1845,7 @@ class ModelRunner:
             topk_ids=np.zeros((kp1, n, 0), np.int32),
             topk_logprobs=np.zeros((kp1, n, 0), np.float32),
             valid_lens=valid,
+            proposed_lens=np.full((n,), kp1 - 1, np.int32),
         )
 
     def _get_spec_hidden_fn(self, k: int, flags: SamplingFlags):
@@ -1968,6 +1980,7 @@ class ModelRunner:
             topk_ids=np.zeros((kp1, n, 0), np.int32),
             topk_logprobs=np.zeros((kp1, n, 0), np.float32),
             valid_lens=valid,
+            proposed_lens=np.full((n,), kp1 - 1, np.int32),
         )
 
     def _get_spec_eagle_fn(self, k: int, flags: SamplingFlags):
@@ -2131,6 +2144,7 @@ class ModelRunner:
             topk_ids=np.zeros((kp1, n, 0), np.int32),
             topk_logprobs=np.zeros((kp1, n, 0), np.float32),
             valid_lens=valid,
+            proposed_lens=np.full((n,), kp1 - 1, np.int32),
         )
 
     def _get_spec_draft_fn(self, k: int, flags: SamplingFlags):
