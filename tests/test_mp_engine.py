@@ -114,6 +114,15 @@ async def test_mp_big_frame_while_busy_keeps_protocol_synced(mp_client):
     assert final.finished and len(final.outputs[0].token_ids) == 6
 
 
+async def test_mp_warmup_utility(mp_client):
+    """--warmup reaches a subprocess engine through the RPC utility."""
+    assert await mp_client.utility("warmup") is None
+    pt = await mp_client.utility("get_phase_timings")
+    assert pt["iterations"] == 0  # warmup resets its own traffic
+    final = await _generate(mp_client, "after_warmup")
+    assert final.finished
+
+
 async def test_mp_engine_death_fails_streams_not_server(
         mp_client, tiny_dir, aiohttp_client):
     server = OpenAIServer(mp_client, served_model_names=["tiny"])
@@ -198,3 +207,4 @@ async def test_dp_router_spreads_and_survives_replica_death(
     assert resp.status == 200, await resp.text()
     resp = await http.get("/health")
     assert resp.status == 200  # one live replica = healthy
+
