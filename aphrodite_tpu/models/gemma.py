@@ -34,6 +34,11 @@ class GemmaForCausalLM(LlamaForCausalLM):
 
 
 class Gemma2ForCausalLM(GemmaForCausalLM):
+    # The custom layer loop understands the fused wqkv/w13 keys and
+    # routes stacked quant containers (wrap_quant_stacked), so the
+    # load-time projection fusion applies despite the custom forward.
+    supports_projection_fusion = True
+
     def __init__(self, model_config: ModelConfig,
                  parallel_config: Optional[ParallelConfig] = None) -> None:
         super().__init__(model_config, parallel_config)
@@ -120,9 +125,19 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         def layer_fn(x, pages, slots, pidx, scanned):
             lp, local, k_scale, v_scale = scanned
             h = self._norm(x, lp["input_norm"])
-            q = qmatmul(h, lp["wq"]).astype(self.dtype).reshape(-1, NH, D)
-            k = qmatmul(h, lp["wk"]).astype(self.dtype).reshape(-1, NKV, D)
-            v = qmatmul(h, lp["wv"]).astype(self.dtype).reshape(-1, NKV, D)
+            if "wqkv" in lp:
+                # Load-time fused projection (fuse_projections).
+                qkv = qmatmul(h, lp["wqkv"]).astype(self.dtype)
+                q = qkv[:, :NH * D].reshape(-1, NH, D)
+                k = qkv[:, NH * D:(NH + NKV) * D].reshape(-1, NKV, D)
+                v = qkv[:, (NH + NKV) * D:].reshape(-1, NKV, D)
+            else:
+                q = qmatmul(h, lp["wq"]).astype(self.dtype).reshape(
+                    -1, NH, D)
+                k = qmatmul(h, lp["wk"]).astype(self.dtype).reshape(
+                    -1, NKV, D)
+                v = qmatmul(h, lp["wv"]).astype(self.dtype).reshape(
+                    -1, NKV, D)
             q, k = self.qk_norm(q, k, lp)
             cos = jnp.where(local, cos_l, cos_g)
             sin = jnp.where(local, sin_l, sin_g)
@@ -151,6 +166,10 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
             x = x + self._norm(ff, lp["post_ff_norm"])
             return x, pages
 
+        from aphrodite_tpu.models.llama import wrap_quant_stacked
+
+        layer_params, layer_fn = wrap_quant_stacked(
+            layer_params, layer_fn, self.num_layers)
         k_scales, v_scales = kv_scales if kv_scales is not None else (None,
                                                                       None)
         x, new_kv_pages = scan_layers_paged(

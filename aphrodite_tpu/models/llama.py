@@ -34,6 +34,35 @@ from aphrodite_tpu.quantization.qlinear import qmatmul
 logger = init_logger(__name__)
 
 
+def wrap_quant_stacked(layer_params, layer_fn, num_layers: int):
+    """Route grouped-container weights (packed int4 AND unpacked gguf
+    q5/q6/q8/iq levels) around the scan's xs slicing: a sliced operand
+    handed to a pallas matmul is materialized by XLA (a full extra
+    read+write of the quantized bytes per layer). The stacked [L, ...]
+    containers are closed over and a per-layer index rides the scan;
+    qmatmul dispatches on "_idx" (quantization/qlinear.py). int8
+    {q, scale} containers stay on the scan path: XLA's mixed dot reads
+    the sliced operand in place. Returns (layer_params', layer_fn');
+    scanned[0] must be the layer params pytree."""
+    quant_stacked = {k: v for k, v in layer_params.items()
+                     if isinstance(v, dict)
+                     and ("q4p" in v or "q4" in v)}
+    if not quant_stacked:
+        return layer_params, layer_fn
+    layer_params = {k: v for k, v in layer_params.items()
+                    if k not in quant_stacked}
+    layer_params["_lidx"] = jnp.arange(num_layers, dtype=jnp.int32)
+
+    def wrapped(x, pages, slots, pidx, scanned):
+        lp = dict(scanned[0])
+        lidx = lp.pop("_lidx")
+        for name, w in quant_stacked.items():
+            lp[name] = {**w, "_idx": lidx}
+        return layer_fn(x, pages, slots, pidx, (lp, *scanned[1:]))
+
+    return layer_params, wrapped
+
+
 class LlamaForCausalLM:
     """Functional Llama. Params are a dict pytree; see `param_shardings`.
 
@@ -399,7 +428,8 @@ class LlamaForCausalLM:
         QKVParallelLinear does this implicitly; our GSPMD slices would
         reshard). The runner gates the call accordingly.
         """
-        if not self.supports_pipelined:
+        if not (self.supports_pipelined
+                or getattr(self, "supports_projection_fusion", False)):
             return params  # custom forward: unknown layer structure
         lp = params.get("layers")
         if lp is None or "wqkv" in lp or "w13" in lp:
@@ -732,23 +762,8 @@ class LlamaForCausalLM:
         # (quantization/qlinear.py). int8 {q, scale} containers stay on
         # the scan path: XLA's mixed dot reads the sliced operand in
         # place (no pallas boundary to force a copy).
-        quant_stacked = {k: v for k, v in layer_params.items()
-                         if isinstance(v, dict)
-                         and ("q4p" in v or "q4" in v)}
-        if quant_stacked:
-            layer_params = {k: v for k, v in layer_params.items()
-                            if k not in quant_stacked}
-            layer_params["_lidx"] = jnp.arange(self.num_layers,
-                                               dtype=jnp.int32)
-            inner_layer_fn = layer_fn
-
-            def layer_fn(x, pages, slots, pidx, scanned):
-                lp = dict(scanned[0])
-                lidx = lp.pop("_lidx")
-                for name, w in quant_stacked.items():
-                    lp[name] = {**w, "_idx": lidx}
-                return inner_layer_fn(x, pages, slots, pidx,
-                                      (lp, *scanned[1:]))
+        layer_params, layer_fn = wrap_quant_stacked(
+            layer_params, layer_fn, self.num_layers)
 
         k_scales, v_scales = kv_scales if kv_scales is not None else (None,
                                                                       None)

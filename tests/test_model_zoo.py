@@ -337,3 +337,41 @@ def test_smollm3_nope_layers_match_hf(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tiny_smollm3"))
     make_tiny_checkpoint(path, cfg)
     _zoo_check(path)
+
+
+def test_gemma2_runtime_gptq_close_to_fp32(tmp_path):
+    """Gemma2's custom layer loop must honor the fused wqkv + stacked
+    quant-container routing (supports_projection_fusion): runtime-gptq
+    generation tracks the fp32 engine closely."""
+    model_dir = str(tmp_path / "gemma2q")
+    make_tiny_checkpoint(model_dir, _config("gemma2"))
+    base = LLM(model=model_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    expect = base.generate(["the quick brown fox"], sp)[0].outputs[0]
+    del base
+    q = LLM(model=model_dir, dtype="float32", quantization="gptq",
+            max_num_seqs=4, num_device_blocks_override=128, block_size=8)
+    lw = q.engine.runner.params["layers"]
+    assert any(isinstance(v, dict) and ("q4p" in v or "q4" in v)
+               for v in lw.values()), list(lw)
+    assert "wqkv" in lw, "projection fusion must apply to gemma2"
+    out = q.generate(["the quick brown fox"], sp)[0].outputs[0]
+    # Random tiny weights amplify 4-bit rounding: require prefix
+    # agreement with fp32, and EXACT equality with the unfused
+    # quantized engine (fusion must be numerically transparent —
+    # concatenation happens after per-weight group quantization).
+    agree = sum(a == b for a, b in zip(out.token_ids, expect.token_ids))
+    assert agree >= 3, (out.token_ids, expect.token_ids)
+    del q
+    import os
+
+    os.environ["APHRODITE_FUSE_PROJ"] = "0"
+    try:
+        q0 = LLM(model=model_dir, dtype="float32", quantization="gptq",
+                 max_num_seqs=4, num_device_blocks_override=128,
+                 block_size=8)
+        plain = q0.generate(["the quick brown fox"], sp)[0].outputs[0]
+    finally:
+        os.environ.pop("APHRODITE_FUSE_PROJ", None)
+    assert out.token_ids == plain.token_ids
