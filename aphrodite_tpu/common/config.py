@@ -301,6 +301,12 @@ class ParallelConfig:
     # Pipeline parallelism maps to an additional mesh axis / stage sharding;
     # kept in the config surface for parity, wired up in later stages.
     pipeline_parallel_size: int = 1
+    # Context parallelism (beyond the reference, which has no SP/CP):
+    # long-prompt PREFILL chunks shard their query tokens across chips
+    # (weights and KV pages replicated; per-layer K/V all-gather), so
+    # prefill latency scales ~cp-ways while decode runs replicated.
+    # Mutually exclusive with tp/pp/dp in this version.
+    context_parallel_size: int = 1
 
     @property
     def world_size(self) -> int:

@@ -733,8 +733,19 @@ class LlamaForCausalLM:
         use_attention_kernel: Optional[bool] = None,
         kv_scales: Optional[Tuple[jax.Array, jax.Array]] = None,
         lora: Optional[Dict[str, Any]] = None,
+        cp_axis: Optional[str] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Run the decoder. Returns (new_kv_pages, hidden[T, H]).
+
+        cp_axis: context-parallel prefill (worker _execute_cp_prefill):
+        this forward runs INSIDE a shard_map whose `cp_axis` shards the
+        chunk's query tokens; batch.token_ids/positions are the LOCAL
+        shard slice while batch.slot_mapping covers the FULL chunk. Each
+        layer all-gathers its freshly-projected K/V so every shard
+        writes the identical full-chunk KV (replicated pages stay
+        consistent) and attends its local queries against the full
+        prefix — causality holds because the shard's kv_len is
+        prefix + (rank+1) * local_len.
 
         lora: optional {module: {"A": [L, n, in, r], "B": [L, n, r, out]}}
         slot-stacked adapters; tokens route by ForwardBatch.lora_* via
@@ -749,7 +760,8 @@ class LlamaForCausalLM:
         """
         x, layer_fn = self._embed_and_layer_fn(
             params, batch, mesh=mesh,
-            use_attention_kernel=use_attention_kernel, lora=lora)
+            use_attention_kernel=use_attention_kernel, lora=lora,
+            cp_axis=cp_axis)
         layer_params = params["layers"]
         use_lora = lora is not None and batch.lora_sorted_idx is not None
 
@@ -812,6 +824,7 @@ class LlamaForCausalLM:
         mesh: Optional[Mesh] = None,
         use_attention_kernel: Optional[bool] = None,
         lora: Optional[Dict[str, Any]] = None,
+        cp_axis: Optional[str] = None,
     ):
         """Per-batch forward preamble: token embedding (+ positional
         machinery) and the layer-body closure. Factored out of `forward`
@@ -933,6 +946,11 @@ class LlamaForCausalLM:
                     s = jnp.where(rope_on, sin, 0.0)
                 q = apply_rope(q, c, s, is_neox_style=neox)
                 k = apply_rope(k, c, s, is_neox_style=neox)
+            if cp_axis is not None:
+                # Context-parallel prefill: every shard assembles the
+                # full chunk's K/V (slots already cover the full chunk).
+                k = jax.lax.all_gather(k, cp_axis, axis=0, tiled=True)
+                v = jax.lax.all_gather(v, cp_axis, axis=0, tiled=True)
             pages = write_kv(pages, k, v, slots,
                              k_scale=k_scale, v_scale=v_scale)
             if k_scale is not None:

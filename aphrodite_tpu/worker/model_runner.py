@@ -174,6 +174,25 @@ class ModelRunner:
         self.mesh = None
         if self.parallel_config.world_size > 1:
             self.mesh = build_mesh(self.parallel_config)
+        # Context parallelism (long-prompt prefill): its own mesh over a
+        # "cp" axis; weights/KV stay REPLICATED (decode runs SPMD-
+        # replicated at single-chip speed), only prefill-chunk query
+        # tokens shard.
+        self.cp_mesh = None
+        cp = getattr(self.parallel_config, "context_parallel_size", 1)
+        if cp > 1:
+            if self.parallel_config.world_size > 1:
+                raise ValueError(
+                    "context_parallel_size currently requires "
+                    "tp = pp = dp = 1")
+            devs = jax.devices()
+            if len(devs) < cp:
+                raise ValueError(
+                    f"context_parallel_size={cp} needs {cp} devices; "
+                    f"{len(devs)} visible")
+            from jax.sharding import Mesh as _Mesh
+
+            self.cp_mesh = _Mesh(np.array(devs[:cp]), ("cp",))
 
         model_cls = get_model_class(self.model_config)
         self.model = model_cls(self.model_config, self.parallel_config)
@@ -348,6 +367,14 @@ class ModelRunner:
             # TP the fused axis needs Megatron interleaving to keep
             # shard boundaries on head groups.
             self.params = self.model.fuse_projections(self.params)
+        if self.cp_mesh is not None:
+            # Replicate params over the cp devices so both the sharded
+            # prefill program and the replicated decode programs can
+            # address them.
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            self.params = jax.device_put(
+                self.params, NamedSharding(self.cp_mesh, _P()))
         self.prompt_adapter_manager = None
         pa_cfg = self.config.prompt_adapter_config
         if pa_cfg is not None:
@@ -542,6 +569,11 @@ class ModelRunner:
             # device directly (no transient full-size single-device array;
             # required for meshes spanning multiple processes).
             self.kv_pages = _sharded_zeros(shape, self.kv_dtype, sharding)
+        elif self.cp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            self.kv_pages = _sharded_zeros(
+                shape, self.kv_dtype, NamedSharding(self.cp_mesh, _P()))
         else:
             self.kv_pages = jnp.zeros(shape, dtype=self.kv_dtype)
         if self.draft_model is not None:
@@ -1262,6 +1294,17 @@ class ModelRunner:
             return self._execute_attention_free(outputs)
         if outputs.blocks_to_copy:
             self._apply_block_copies(outputs.blocks_to_copy)
+        if (self.cp_mesh is not None and len(scheduled) == 1
+                and scheduled[0].seq.is_prefill
+                and not scheduled[0].do_sample
+                and getattr(self.model, "supports_pipelined", False)
+                and scheduled[0].seq.mm_spans is None
+                and self.lora_manager is None):
+            # Context-parallel prefill: non-final chunks of a long
+            # prompt shard their query tokens over the cp mesh. The
+            # final (sampling) chunk and decode run the standard
+            # replicated path.
+            return self._execute_cp_prefill(scheduled[0])
         if self.is_encdec:
             # Run the encoder for sequences entering their first prefill
             # chunk: one program per encoder-length bucket writes the
@@ -2252,6 +2295,92 @@ class ModelRunner:
         fn = jax.jit(spec_step, donate_argnums=(2, 3))
         self._multi_step_fns[key] = fn
         return fn
+
+    def _get_cp_prefill_fn(self, T: int):
+        key = ("cp_prefill", T)
+        fn = self._multi_step_fns.get(key)
+        if fn is not None:
+            return fn
+        cp = self.cp_mesh.shape["cp"]
+        Tl = T // cp
+
+        def shard_fn(params, pages, tok, pos, slots, pidx, kvl):
+            batch = ForwardBatch(
+                token_ids=tok,  # [Tl] local query slice
+                positions=pos,
+                slot_mapping=slots,  # [T] FULL chunk (K/V gathered)
+                kv_lens=kvl,  # [1] prefix + (rank+1) * Tl
+                page_indices=pidx,
+                cu_q_lens=jnp.asarray([0, Tl], jnp.int32),
+                num_seqs=jnp.asarray([1], jnp.int32),
+                logits_indices=jnp.asarray([0], jnp.int32),
+            )
+            pages, _ = self.model.forward(
+                params, pages, batch, mesh=None, cp_axis="cp",
+                kv_scales=self.kv_scales)
+            return pages
+
+        from jax.sharding import PartitionSpec as P
+
+        body = jax.shard_map(
+            shard_fn,
+            mesh=self.cp_mesh,
+            in_specs=(P(), P(), P("cp"), P("cp"), P(), P(), P("cp")),
+            out_specs=P(),
+            axis_names={"cp"},
+            check_vma=False,
+        )
+        fn = jax.jit(body, donate_argnums=(1,))
+        self._multi_step_fns[key] = fn
+        return fn
+
+    def _execute_cp_prefill(self, ss: ScheduledSequence) -> StepResult:
+        """Sharded-query prefill for one long-prompt chunk: tokens split
+        over the cp mesh, per-layer K/V all-gather keeps the replicated
+        pages identical on every shard (models/llama.py cp_axis)."""
+        seq = ss.seq
+        cp = self.cp_mesh.shape["cp"]
+        ids = seq.get_token_ids()
+        first = ss.first_token_idx
+        n = ss.num_tokens
+        T = _pad_to_bucket(n, self.token_buckets)
+        if T % cp:
+            T = ((T + cp - 1) // cp) * cp
+        Tl = T // cp
+        token_ids = np.zeros((T,), np.int32)
+        token_ids[:n] = ids[first:first + n]
+        positions = np.zeros((T,), np.int32)
+        positions[:n] = np.arange(first, first + n)
+        # Padding rows keep ADVANCING positions (clamped) so each
+        # shard's causal kv_len stays monotone; their KV goes to trash.
+        positions[n:] = min(first + n, self.model_config.max_model_len - 1)
+        slot_mapping = np.empty((T,), np.int32)
+        table = np.asarray(ss.block_ids, np.int32)
+        pos_real = positions[:n]
+        slot_mapping[:n] = (table[pos_real // self.block_size]
+                            * self.block_size + pos_real % self.block_size)
+        slot_mapping[n:] = (self.num_pages * self.block_size
+                            + np.arange(T - n) % self.block_size)
+        page_indices = np.zeros((1, self.pages_per_seq), np.int32)
+        page_indices[0, :len(table)] = table
+        # Shard r's queries occupy global positions
+        # [first + r*Tl, first + (r+1)*Tl): causal attention needs
+        # kv_len_r = first + (r+1)*Tl (the kernel's per-row offsets
+        # derive exact per-token causality from it).
+        kv_lens = (first + (np.arange(cp, dtype=np.int32) + 1) * Tl)
+        fn = self._get_cp_prefill_fn(T)
+        self.kv_pages = fn(self.params, self.kv_pages,
+                           jnp.asarray(token_ids), jnp.asarray(positions),
+                           jnp.asarray(slot_mapping),
+                           jnp.asarray(page_indices), jnp.asarray(kv_lens))
+        # Mid-prefill chunk: no sampling; the engine ignores the row.
+        return StepResult(
+            sampled=np.zeros((1, 1), np.int32),
+            sampled_rank=np.ones((1, 1), np.int32),
+            sampled_logprob=np.zeros((1, 1), np.float32),
+            topk_ids=np.zeros((1, 1, 0), np.int32),
+            topk_logprobs=np.zeros((1, 1, 0), np.float32),
+        )
 
     # Window size of the compiled fused-decode program. Larger requests
     # chain windows with device-resident carry (tokens/positions/KV), so
