@@ -1299,7 +1299,11 @@ class ModelRunner:
                 and not scheduled[0].do_sample
                 and getattr(self.model, "supports_pipelined", False)
                 and scheduled[0].seq.mm_spans is None
-                and self.lora_manager is None):
+                and self.lora_manager is None
+                # Spec decode writes DRAFT KV during prefill; the CP
+                # program only advances the target cache.
+                and self.draft_model is None
+                and self.hidden_proposer is None):
             # Context-parallel prefill: non-final chunks of a long
             # prompt shard their query tokens over the cp mesh. The
             # final (sampling) chunk and decode run the standard

@@ -75,3 +75,26 @@ def test_cp_decode_still_batches(tiny_dir):
     for o, b in zip(outs, base_outs):
         assert list(o.outputs[0].token_ids) == \
             list(b.outputs[0].token_ids)
+
+
+def test_cp_with_ngram_spec(tiny_dir):
+    """ngram speculation needs only the TARGET cache, which CP prefill
+    fully writes — the combination must stay lossless. (Model-draft
+    spec configs bypass CP: the draft cache is only advanced by the
+    standard prefill program.)"""
+    rng = np.random.default_rng(11)
+    base_seg = rng.integers(4, 250, size=40).tolist()
+    prompt = base_seg * 3  # repetitive -> real ngram hits
+    kw = dict(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=256, block_size=8,
+              max_model_len=512, max_num_batched_tokens=64,
+              speculative_model="[ngram]", num_speculative_tokens=4)
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    base = LLM(**kw)
+    expect = base.generate(prompt_token_ids=[prompt],
+                           sampling_params=sp)[0].outputs[0].token_ids
+    del base
+    cp = LLM(**kw, context_parallel_size=2)
+    got = cp.generate(prompt_token_ids=[prompt],
+                      sampling_params=sp)[0].outputs[0].token_ids
+    assert list(got) == list(expect)
