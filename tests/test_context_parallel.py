@@ -98,3 +98,28 @@ def test_cp_with_ngram_spec(tiny_dir):
     got = cp.generate(prompt_token_ids=[prompt],
                       sampling_params=sp)[0].outputs[0].token_ids
     assert list(got) == list(expect)
+
+
+def test_cp_with_prefix_cache_and_fp8_kv(tiny_dir):
+    """CP chunks starting mid-sequence (prefix-cache hits shift
+    first_token_idx) and quantize-on-write KV must stay lossless."""
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(4, 250, size=160).tolist()
+    ext = prompt + rng.integers(4, 250, size=40).tolist()
+
+    def run(cp):
+        llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+                  num_device_blocks_override=256, block_size=8,
+                  max_model_len=512, max_num_batched_tokens=64,
+                  enable_prefix_caching=True, kv_cache_dtype="fp8",
+                  context_parallel_size=cp)
+        sp = SamplingParams(temperature=0.0, max_tokens=6,
+                            ignore_eos=True)
+        # Two passes: the second hits the prefix cache, so its CP
+        # chunks start at a nonzero first_token_idx.
+        llm.generate(prompt_token_ids=[prompt], sampling_params=sp)
+        out = llm.generate(prompt_token_ids=[ext],
+                           sampling_params=sp)[0].outputs[0]
+        return list(out.token_ids)
+
+    assert run(2) == run(1)
