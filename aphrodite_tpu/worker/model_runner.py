@@ -1300,6 +1300,10 @@ class ModelRunner:
                 and getattr(self.model, "supports_pipelined", False)
                 and scheduled[0].seq.mm_spans is None
                 and self.lora_manager is None
+                # Prompt logprobs need the full per-chunk logit stream,
+                # which the CP program does not compute.
+                and scheduled[0].group.sampling_params.prompt_logprobs
+                is None
                 # Spec decode writes DRAFT KV during prefill; the CP
                 # program only advances the target cache.
                 and self.draft_model is None
@@ -2355,15 +2359,16 @@ class ModelRunner:
         token_ids[:n] = ids[first:first + n]
         positions = np.zeros((T,), np.int32)
         positions[:n] = np.arange(first, first + n)
-        # Padding rows keep ADVANCING positions (clamped) so each
-        # shard's causal kv_len stays monotone; their KV goes to trash.
+        # Padding rows: positions only feed rope (any in-range value
+        # works — causality comes from the per-shard kv_len, and their
+        # KV lands in the trash page); clamp to a valid table index.
         positions[n:] = min(first + n, self.model_config.max_model_len - 1)
         slot_mapping = np.empty((T,), np.int32)
         table = np.asarray(ss.block_ids, np.int32)
         pos_real = positions[:n]
         slot_mapping[:n] = (table[pos_real // self.block_size]
                             * self.block_size + pos_real % self.block_size)
-        slot_mapping[n:] = (self.num_pages * self.block_size
+        slot_mapping[n:] = (self.trash_slot_base
                             + np.arange(T - n) % self.block_size)
         page_indices = np.zeros((1, self.pages_per_seq), np.int32)
         page_indices[0, :len(table)] = table

@@ -123,3 +123,21 @@ def test_cp_with_prefix_cache_and_fp8_kv(tiny_dir):
         return list(out.token_ids)
 
     assert run(2) == run(1)
+
+
+def test_cp_prompt_logprobs_fall_back_to_standard_path(tiny_dir):
+    """prompt_logprobs needs every chunk's full logit stream, which the
+    CP program doesn't compute — such requests must take the standard
+    path and return logprobs for the WHOLE prompt."""
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(4, 250, size=150).tolist()
+    llm = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+              num_device_blocks_override=256, block_size=8,
+              max_model_len=512, max_num_batched_tokens=64,
+              context_parallel_size=2)
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True,
+                        prompt_logprobs=1)
+    out = llm.generate(prompt_token_ids=[prompt], sampling_params=sp)[0]
+    # One entry per prompt token (first is None by convention).
+    assert out.prompt_logprobs is not None
+    assert len(out.prompt_logprobs) == len(prompt)
