@@ -34,6 +34,10 @@ class RequestOutput:
     finished: bool
     prompt_logprobs: Optional[List[Optional[Dict[int, Logprob]]]] = None
     metrics: Optional[object] = None
+    # Request-level failure (e.g. async guided-FSM compilation error):
+    # the request finished WITHOUT generating; frontends surface this as
+    # an error response instead of an empty completion.
+    error: Optional[str] = None
 
     @classmethod
     def from_seq_group(cls, seq_group: SequenceGroup) -> "RequestOutput":
@@ -71,6 +75,7 @@ class RequestOutput:
             finished=seq_group.is_finished(),
             prompt_logprobs=seqs[0].prompt_logprobs,
             metrics=seq_group.metrics,
+            error=getattr(seq_group, "error", None),
         )
 
 

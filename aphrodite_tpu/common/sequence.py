@@ -256,6 +256,9 @@ class SequenceGroup:
             time.monotonic())
         self.lora_request = lora_request
         self.prompt_logprobs_done = False
+        # Set when the request failed before/without generating (e.g.
+        # async guided-FSM compilation error); surfaced on RequestOutput.
+        self.error: Optional[str] = None
 
     @property
     def prompt_token_ids(self) -> List[int]:

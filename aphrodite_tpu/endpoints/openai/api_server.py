@@ -48,6 +48,19 @@ def _request_error(e: BaseException) -> web.Response:
     return _error(str(e))
 
 
+def _sse_error(message: str) -> bytes:
+    """Mid-stream error event (OpenAI stream error framing)."""
+    return (b"data: " + json.dumps({"error": {
+        "message": message, "type": "invalid_request_error"}}).encode()
+        + b"\n\n")
+
+
+class RequestFailedError(Exception):
+    """A request finished with a request-level error (RequestOutput
+    .error, e.g. async guided-FSM compilation failure) — a client
+    problem, surfaced as 400 rather than 500."""
+
+
 def _error(message: str, status: int = 400,
            err_type: str = "invalid_request_error") -> web.Response:
     body = ErrorResponse(message=message, type=err_type,
@@ -559,6 +572,8 @@ class OpenAIServer:
         try:
             finals = await asyncio.gather(
                 *[self._collect(stream) for _, stream, _, _ in streams])
+        except RequestFailedError as e:
+            return _error(str(e))
         except Exception as e:
             return _error(str(e), status=500, err_type="internal_error")
         choices = []
@@ -609,6 +624,8 @@ class OpenAIServer:
         async for out in stream:
             final = out
         assert final is not None
+        if final.error:
+            raise RequestFailedError(final.error)
         return final
 
     async def _stream_completion(self, request, req, request_id, model_name,
@@ -621,6 +638,9 @@ class OpenAIServer:
         async def pump(gi, rid, stream, prompt_ids):
             sent_len = [0] * (streams[gi][3].n or 1)
             async for out in stream:
+                if out.error:
+                    await response.write(_sse_error(out.error))
+                    return
                 for ci, comp in enumerate(out.outputs):
                     delta = comp.text[sent_len[ci]:]
                     sent_len[ci] = len(comp.text)
@@ -854,6 +874,8 @@ class OpenAIServer:
 
         try:
             final = await self._collect(stream)
+        except RequestFailedError as e:
+            return _error(str(e))
         except Exception as e:
             return _error(str(e), status=500, err_type="internal_error")
         choices = []
@@ -902,6 +924,9 @@ class OpenAIServer:
         sent_len = [0] * (sp.n or 1)
         try:
             async for out in stream:
+                if out.error:
+                    await response.write(_sse_error(out.error))
+                    break
                 for ci, comp in enumerate(out.outputs):
                     delta = comp.text[sent_len[ci]:]
                     sent_len[ci] = len(comp.text)

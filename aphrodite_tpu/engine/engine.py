@@ -92,6 +92,9 @@ class AphroditeEngine:
 
         self._seq_counter = 0
         self._groups: Dict[str, SequenceGroup] = {}
+        # Guided requests parked while their token FSM compiles on the
+        # build pool: (request_id, group, seqs, to_schedule, future).
+        self._fsm_parked: List[tuple] = []
         self._generation_config = self._load_generation_config()
         self.stat_logger = StatLogger(self.model_config.model)
         # Per-phase wall time of engine iterations (schedule / execute /
@@ -203,6 +206,14 @@ class AphroditeEngine:
                     prompt_adapter_request.prompt_adapter_name,
                     prompt_adapter_request.prompt_adapter_id,
                     prompt_adapter_request.prompt_adapter_local_path)
+                if not multihost.agree_adapter_load(True):
+                    pam.unload(
+                        prompt_adapter_request.prompt_adapter_name)
+                    raise ValueError(
+                        f"soft prompt "
+                        f"{prompt_adapter_request.prompt_adapter_name!r}"
+                        " failed to load on one or more follower hosts;"
+                        " rolled back pod-wide")
         if request_id in self._groups:
             raise ValueError(f"duplicate request_id {request_id!r}")
         if sampling_params is None:
@@ -399,14 +410,27 @@ class AphroditeEngine:
                     prompt_token_ids, ordered_items)
 
         fsm = None
+        fsm_future = None
         guided = sampling_params.guided_spec
         if guided is not None:
             if self.tokenizer is None:
                 raise ValueError("guided decoding needs a tokenizer")
-            from aphrodite_tpu.guided.token_fsm import get_token_fsm
+            from aphrodite_tpu.guided.token_fsm import get_token_fsm_future
 
-            fsm = get_token_fsm(guided[0], guided[1], self.tokenizer,
-                                self.model_config.get_vocab_size())
+            fut = get_token_fsm_future(guided[0], guided[1],
+                                       self.tokenizer,
+                                       self.model_config.get_vocab_size())
+            if fut.done():
+                # Cached spec (or a build that failed fast): resolve
+                # synchronously so bad specs still raise straight out of
+                # add_request (the frontends' 400 path).
+                fsm = fut.result()
+            else:
+                # Compilation runs on the build pool; the request parks
+                # until the FSM is ready so in-flight requests' steps are
+                # unaffected (reference compiles outlines FSMs
+                # asynchronously, guided_decoding/__init__.py:11-40).
+                fsm_future = fut
 
         # Beam search: one seq prefills; beams fork after the first
         # sampling step (joint pruning in _process_beam_group).
@@ -453,10 +477,11 @@ class AphroditeEngine:
             group.completed_beams = []
         self._groups[request_id] = group
         if len(seqs) == 1:
-            self.scheduler.add_seq_group(group)
+            to_schedule = [group]
         else:
             # Each sequence is scheduled as its own single-seq group sharing
             # the parent SequenceGroup bookkeeping.
+            to_schedule = []
             for seq in seqs:
                 sub = SequenceGroup(
                     request_id=request_id,
@@ -466,7 +491,52 @@ class AphroditeEngine:
                     lora_request=lora_request,
                 )
                 sub.metrics = group.metrics
-                self.scheduler.add_seq_group(sub)
+                to_schedule.append(sub)
+        if fsm_future is not None:
+            self._fsm_parked.append((request_id, group, seqs,
+                                     to_schedule, fsm_future))
+        else:
+            for g in to_schedule:
+                self.scheduler.add_seq_group(g)
+
+    def _admit_ready_fsms(self) -> List[str]:
+        """Move parked guided requests whose FSM finished compiling into
+        the scheduler; fail requests whose compilation errored. Returns
+        request_ids that finished WITH an error (they need an output
+        emitted this step). Non-blocking unless the engine is otherwise
+        idle, in which case we wait briefly instead of busy-spinning."""
+        if not self._fsm_parked:
+            return []
+        if not self.scheduler.has_unfinished_seqs():
+            import concurrent.futures as _cf
+
+            _cf.wait([e[4] for e in self._fsm_parked], timeout=0.01)
+        errored: List[str] = []
+        still_parked = []
+        for entry in self._fsm_parked:
+            request_id, group, seqs, to_schedule, fut = entry
+            if request_id not in self._groups:
+                continue  # aborted while parked
+            if not fut.done():
+                still_parked.append(entry)
+                continue
+            try:
+                fsm = fut.result()
+            except Exception as e:  # noqa: BLE001
+                logger.error("guided FSM build failed for request %s: %s",
+                             request_id, e)
+                group.error = f"guided decoding compilation failed: {e}"
+                for seq in seqs:
+                    seq.status = SequenceStatus.FINISHED_ABORTED
+                errored.append(request_id)
+                continue
+            for seq in seqs:
+                seq.fsm = fsm
+                seq.fsm_state = fsm.initial_state()
+            for g in to_schedule:
+                self.scheduler.add_seq_group(g)
+        self._fsm_parked = still_parked
+        return errored
 
     # ---- frontend-callable utilities (in-process or over the MP
     # socket protocol — engine/multiproc.py) -----------------------------
@@ -546,6 +616,11 @@ class AphroditeEngine:
 
             multihost.primary_broadcast_padapt(
                 req.prompt_adapter_name, req.prompt_adapter_id, path)
+            if not multihost.agree_adapter_load(True):
+                pam.unload(req.prompt_adapter_name)
+                raise ValueError(
+                    f"soft prompt {name!r} failed to load on one or "
+                    "more follower hosts; rolled back pod-wide")
 
     def soft_prompt_slots(self) -> Dict[str, int]:
         pam = self.runner.prompt_adapter_manager
@@ -575,6 +650,15 @@ class AphroditeEngine:
             from aphrodite_tpu.parallel import multihost
 
             multihost.primary_broadcast_lora("add", name, path)
+            if not multihost.agree_adapter_load(True):
+                # Some follower couldn't load it (e.g. non-shared
+                # storage). Every host rolled back; surface the error
+                # instead of serving with diverged adapter state.
+                self.runner.lora_manager.remove_adapter(name)
+                raise ValueError(
+                    f"LoRA {name!r} failed to load on one or more "
+                    "follower hosts; rolled back pod-wide (is the "
+                    "adapter path readable from every host?)")
 
     def remove_lora(self, name: str) -> bool:
         if self.runner.lora_manager is None:
@@ -599,7 +683,8 @@ class AphroditeEngine:
             self._groups.pop(rid, None)
 
     def has_unfinished_requests(self) -> bool:
-        return self.scheduler.has_unfinished_seqs()
+        return (self.scheduler.has_unfinished_seqs()
+                or bool(self._fsm_parked))
 
     def get_num_unfinished_requests(self) -> int:
         return sum(1 for g in self._groups.values() if not g.is_finished())
@@ -613,11 +698,13 @@ class AphroditeEngine:
 
         trace = os.environ.get("APHRODITE_TPU_STEP_TIMING") == "1"
         t0 = time.monotonic()
+        fsm_errored = self._admit_ready_fsms()
         scheduler_outputs = self.scheduler.schedule()
         t_sched = time.monotonic()
         now = t_sched
         if scheduler_outputs.is_empty():
-            return self._make_outputs(scheduler_outputs.ignored, set())
+            return self._make_outputs(scheduler_outputs.ignored,
+                                      set(fsm_errored))
 
         for ss in scheduler_outputs.scheduled:
             ss.group.maybe_set_first_scheduled_time(now)
@@ -730,7 +817,7 @@ class AphroditeEngine:
                         (t_post - t_exec) * 1e3,
                         self._tokens_appended_iter)
         ignored = scheduler_outputs.ignored
-        return self._make_outputs(ignored, touched)
+        return self._make_outputs(ignored, touched | set(fsm_errored))
 
     def _append_window_bulk(self, seq, sp, result, i: int,
                             num_steps_done: int) -> None:

@@ -301,13 +301,11 @@ class GrammarTokenFSM:
         self.cfg = cfg
         self.vocab_size = vocab_size
         self.eos_token_id = tokenizer.eos_token_id
-        from aphrodite_tpu.guided.token_fsm import (TokenFSM,
-                                                    _build_vocab_trie)
+        from aphrodite_tpu.guided.token_fsm import _get_vocab_index
 
-        self._decode = TokenFSM._build_token_strings(tokenizer,
-                                                     vocab_size)
-        self._trie = _build_vocab_trie(
-            [(tid, s) for tid, s in enumerate(self._decode) if s])
+        vocab = _get_vocab_index(tokenizer, vocab_size)
+        self._decode = vocab.token_strings
+        self._trie = vocab.trie
         self.mask_words = (vocab_size + 31) // 32
         c0 = _Chart()
         for ai in range(len(cfg.rules[cfg.start])):

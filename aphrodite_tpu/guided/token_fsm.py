@@ -12,6 +12,8 @@ product, and its host-side logits masking (we upload packed masks and
 mask on device instead).
 """
 
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -41,19 +43,23 @@ def _build_vocab_trie(vocab: List[Tuple[int, str]]) -> _TrieNode:
     return root
 
 
-class TokenFSM:
-    """Per-request guided-decoding automaton."""
+class _VocabIndex:
+    """Spec-independent tokenizer artifacts, shared by every FSM built
+    against the same tokenizer: decoded token strings, the vocab trie,
+    and the character alphabet. Building these costs two O(vocab)
+    single-token decode scans — per TOKENIZER, not per spec (the r4
+    version re-scanned the vocabulary for every new guided spec)."""
 
-    def __init__(self, dfa: DFA, tokenizer, vocab_size: int) -> None:
-        self.dfa = dfa
+    def __init__(self, tokenizer, vocab_size: int) -> None:
         self.vocab_size = vocab_size
-        self.eos_token_id = tokenizer.eos_token_id
-        self._decode = self._build_token_strings(tokenizer, vocab_size)
-        self._trie = _build_vocab_trie(
-            [(tid, s) for tid, s in enumerate(self._decode) if s])
-        self.mask_words = (vocab_size + 31) // 32
-        # state -> (packed mask uint32[mask_words], {token_id: next_state})
-        self._cache: Dict[int, Tuple[np.ndarray, Dict[int, int]]] = {}
+        self.token_strings = self._build_token_strings(
+            tokenizer, vocab_size)
+        self.trie = _build_vocab_trie(
+            [(tid, s) for tid, s in enumerate(self.token_strings) if s])
+        self.alphabet = set()
+        for s in self.token_strings:
+            self.alphabet.update(s)
+        self.alphabet.discard("�")
 
     @staticmethod
     def _build_token_strings(tokenizer, vocab_size: int) -> List[str]:
@@ -75,6 +81,36 @@ class TokenFSM:
                 s = ""
             strings[tid] = s
         return strings
+
+
+_VOCAB_CACHE: Dict[Tuple[int, int], _VocabIndex] = {}
+_VOCAB_LOCK = threading.Lock()
+
+
+def _get_vocab_index(tokenizer, vocab_size: int) -> _VocabIndex:
+    key = (id(tokenizer), vocab_size)
+    with _VOCAB_LOCK:
+        idx = _VOCAB_CACHE.get(key)
+    if idx is not None:
+        return idx
+    idx = _VocabIndex(tokenizer, vocab_size)
+    with _VOCAB_LOCK:
+        return _VOCAB_CACHE.setdefault(key, idx)
+
+
+class TokenFSM:
+    """Per-request guided-decoding automaton."""
+
+    def __init__(self, dfa: DFA, tokenizer, vocab_size: int) -> None:
+        self.dfa = dfa
+        self.vocab_size = vocab_size
+        self.eos_token_id = tokenizer.eos_token_id
+        vocab = _get_vocab_index(tokenizer, vocab_size)
+        self._decode = vocab.token_strings
+        self._trie = vocab.trie
+        self.mask_words = (vocab_size + 31) // 32
+        # state -> (packed mask uint32[mask_words], {token_id: next_state})
+        self._cache: Dict[int, Tuple[np.ndarray, Dict[int, int]]] = {}
 
     def _compute_state(self, state: int) -> Tuple[np.ndarray,
                                                   Dict[int, int]]:
@@ -124,13 +160,7 @@ def get_token_fsm(kind: str, spec: str, tokenizer,
     fsm = _FSM_CACHE.get(key)
     if fsm is not None:
         return fsm
-    alphabet = set()
-    for tid in range(vocab_size):
-        try:
-            alphabet.update(tokenizer.decode([tid]))
-        except Exception:
-            pass
-    alphabet.discard("�")
+    alphabet = _get_vocab_index(tokenizer, vocab_size).alphabet
     if kind == "regex":
         pattern = spec
     elif kind == "choice":
@@ -162,6 +192,44 @@ def get_token_fsm(kind: str, spec: str, tokenizer,
     fsm = TokenFSM(dfa, tokenizer, vocab_size)
     _FSM_CACHE[key] = fsm
     return fsm
+
+
+# ---------------------------------------------------------------------------
+# Off-thread compilation (reference builds outlines FSMs asynchronously,
+# guided_decoding/__init__.py:11-40). The engine parks guided requests
+# until the future resolves so a large JSON schema never stalls the step
+# loop for in-flight requests.
+# ---------------------------------------------------------------------------
+
+_BUILD_POOL: Optional[ThreadPoolExecutor] = None
+_PENDING: Dict[Tuple[int, str], Future] = {}
+_PENDING_LOCK = threading.Lock()
+
+
+def get_token_fsm_future(kind: str, spec: str, tokenizer,
+                         vocab_size: int) -> "Future[TokenFSM]":
+    """Single-flight async build: a completed future for cached specs,
+    one shared in-flight future otherwise. Thread-safe."""
+    global _BUILD_POOL
+    key = (id(tokenizer), f"{kind}:{spec}")
+    fsm = _FSM_CACHE.get(key)
+    if fsm is not None:
+        f: Future = Future()
+        f.set_result(fsm)
+        return f
+    with _PENDING_LOCK:
+        f = _PENDING.get(key)
+        if f is not None:
+            return f
+        if _BUILD_POOL is None:
+            _BUILD_POOL = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="fsm-build")
+        f = _BUILD_POOL.submit(get_token_fsm, kind, spec, tokenizer,
+                               vocab_size)
+        _PENDING[key] = f
+        f.add_done_callback(
+            lambda _f, _k=key: _PENDING.pop(_k, None))
+        return f
 
 
 def _escape(text: str) -> str:

@@ -35,6 +35,28 @@ KVALUES_IQ4NL = np.array(
     [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69,
      89, 113], dtype=np.int8)
 
+# Epsilon scale substituted for zero-scale groups that still carry a
+# min offset (power of two: (q - m/eps)*eps == q*eps - m exactly in
+# f32 up to one subtraction rounding).
+_EPS_SCALE = 2.0 ** -20
+
+
+def _min_offset_zero(scale: np.ndarray, offset: np.ndarray):
+    """Container (scale, zero) for ggml's  w = scale*q - offset  form.
+
+    zero = offset/scale, EXCEPT groups where d*sc == 0 but the dmin*m
+    offset isn't: the reference CUDA dequant still emits y = -m for
+    those (e.g. kernels/quantization/gguf CUDA paths), so a plain 0
+    scale would drop the constant. Clamp such groups' scale to
+    2^-20 with zero = offset/2^-20, which decodes to
+    q*2^-20 - offset ~= -offset (error <= 31*2^-20, far below f16
+    weight precision)."""
+    need_eps = (scale == 0) & (offset != 0)
+    scale = np.where(need_eps, _EPS_SCALE, scale)
+    zero = np.where(scale != 0,
+                    offset / np.where(scale == 0, 1.0, scale), 0.0)
+    return scale, zero
+
 # Metadata value types.
 _T_U8, _T_I8, _T_U16, _T_I16, _T_U32, _T_I32 = 0, 1, 2, 3, 4, 5
 _T_F32, _T_BOOL, _T_STR, _T_ARR, _T_U64, _T_I64, _T_F64 = (
@@ -275,10 +297,8 @@ def decode_q4_k_container(raw: np.ndarray, row_len: int):
     hi = (qs >> 4).astype(np.int8)  # sub-blocks 1,3,5,7
     q = np.stack([lo, hi], axis=3)  # [rows, nsb, 4, 2, 32]
     q = q.reshape(rows, nsb, 8, 32).reshape(rows, row_len)
-    scale = d[:, :, None] * sc  # [rows, nsb, 8]
-    zero = np.where(scale != 0,
-                    (dmin[:, :, None] * mn) / np.where(scale == 0, 1.0,
-                                                       scale), 0.0)
+    scale, zero = _min_offset_zero(d[:, :, None] * sc,
+                                   dmin[:, :, None] * mn)
     scale = scale.reshape(rows, -1)  # group = 32
     zero = zero.reshape(rows, -1)
     return q, scale.astype(np.float32), zero.astype(np.float32)
@@ -361,10 +381,8 @@ def decode_q5_k_container(raw: np.ndarray, row_len: int):
         parts.append(np.stack([lo, hi], axis=2))  # [rows, nsb, 2, 32]
     q = np.concatenate(parts, axis=2).astype(np.int8)  # [rows,nsb,8,32]
     q = q.reshape(rows, row_len)
-    scale = d[:, :, None] * sc
-    zero = np.where(scale != 0,
-                    (dmin[:, :, None] * mn) / np.where(scale == 0, 1.0,
-                                                       scale), 0.0)
+    scale, zero = _min_offset_zero(d[:, :, None] * sc,
+                                   dmin[:, :, None] * mn)
     return (q, scale.reshape(rows, -1).astype(np.float32),
             zero.reshape(rows, -1).astype(np.float32))
 
@@ -389,10 +407,8 @@ def decode_q2_k_container(raw: np.ndarray, row_len: int):
     q = q.astype(np.int8)
     sc = (scales & 0xF).astype(np.float32)
     mn = (scales >> 4).astype(np.float32)
-    scale = d[:, :, None] * sc  # [rows, nsb, 16]
-    zero = np.where(scale != 0,
-                    (dmin[:, :, None] * mn) / np.where(scale == 0, 1.0,
-                                                       scale), 0.0)
+    scale, zero = _min_offset_zero(d[:, :, None] * sc,
+                                   dmin[:, :, None] * mn)
     return (q, scale.reshape(rows, -1).astype(np.float32),
             zero.reshape(rows, -1).astype(np.float32))
 
@@ -707,8 +723,26 @@ def decode_iq3_s_container(raw: np.ndarray, row_len: int):
 
 
 def decode_iq1_s_container(raw: np.ndarray, row_len: int):
-    """IQ1_S (512-grid layout): 8-value int8 grid rows, 3-bit scale
-    per 8 values; G=8."""
+    """IQ1_S (LEGACY 512-grid layout): 8-value int8 grid rows, 3-bit
+    scale per 8 values; G=8.
+
+    Modern llama.cpp IQ1_S files (Mar 2024+) switched to a
+    2048-entry grid + IQ1S_DELTA superblock-sign format with the SAME
+    type id and 50-byte block, and the two layouts cannot be told
+    apart from the tensor bytes. We only carry the 512-entry lattice
+    (the one the reference's vendored ggml tables define), so decoding
+    a modern file here would silently produce garbage weights. Refuse
+    by default; APHRODITE_GGUF_IQ1S_LEGACY=1 asserts the file really
+    is legacy-layout and re-enables this decoder."""
+    import os
+    if os.environ.get("APHRODITE_GGUF_IQ1S_LEGACY", "0") != "1":
+        raise ValueError(
+            "IQ1_S: only the legacy 512-grid layout is supported, and "
+            "modern llama.cpp IQ1_S files (2048-grid + delta, same "
+            "type id and block size) are indistinguishable from it. "
+            "If this file predates the format change, set "
+            "APHRODITE_GGUF_IQ1S_LEGACY=1 to decode it; otherwise "
+            "requantize to IQ1_M/IQ2_XXS or a k-quant.")
     t = _iq_tables()
     rows = raw.shape[0]
     blocks = raw.reshape(rows, -1, 50)

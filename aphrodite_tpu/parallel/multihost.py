@@ -154,6 +154,23 @@ def broadcast_obj(obj: Any = None) -> Any:
     return pickle.loads(buf[:n].tobytes())
 
 
+def agree_adapter_load(local_ok: bool) -> bool:
+    """All-gather one adapter-load success flag across the pod; returns
+    True iff EVERY host loaded. Collective: every process must call it
+    exactly once per broadcast adapter-ADD op (primary included) so the
+    pod stays in lockstep. This is the follower→primary back-channel
+    that makes adapter loads pod-atomic — a host-local failure (e.g.
+    non-shared storage) rolls back everywhere instead of leaving one
+    host's adapter state silently diverged (advisor r4 finding)."""
+    if not is_active():
+        return local_ok
+    from jax.experimental import multihost_utils
+
+    flags = np.asarray(multihost_utils.process_allgather(
+        np.array([1 if local_ok else 0], np.int64)))
+    return bool(flags.min() == 1)
+
+
 def agree_num_pages(local_num_pages: int) -> int:
     """Min-reduce the per-host KV page budget so all processes build
     identically shaped caches (reference DistributedGPUExecutor takes the
@@ -365,6 +382,7 @@ def run_follower(engine_config) -> None:
             continue
         if op == OP_PADAPT:
             name, adapter_id, path = payload
+            ok = True
             try:
                 from aphrodite_tpu.prompt_adapter.request import (
                     PromptAdapterRequest)
@@ -377,10 +395,24 @@ def run_follower(engine_config) -> None:
                 runner.params = pam.load(req, runner.params,
                                          runner.model.dtype)
             except Exception:
+                ok = False
                 logger.exception(
-                    "follower %d: soft-prompt load '%s' failed; adapter "
-                    "state has DIVERGED from the primary",
+                    "follower %d: soft-prompt load '%s' failed",
                     _process_index(), name)
+            # Pod-atomic load: if ANY host failed, every host unloads
+            # and the primary errors the admin call — adapter state
+            # never diverges silently.
+            if not agree_adapter_load(ok):
+                try:
+                    if ok and runner.prompt_adapter_manager is not None:
+                        runner.prompt_adapter_manager.unload(name)
+                except Exception:
+                    logger.exception(
+                        "follower %d: soft-prompt rollback of '%s' "
+                        "failed", _process_index(), name)
+                logger.error(
+                    "follower %d: soft-prompt '%s' rolled back pod-wide "
+                    "(load failed on some host)", _process_index(), name)
             continue
         if op == OP_LORA:
             action, name, path = payload
@@ -388,7 +420,8 @@ def run_follower(engine_config) -> None:
             # primary validated the adapter before broadcasting, but the
             # path may still be unreadable from THIS host (non-shared
             # storage). A dead follower wedges every later step
-            # broadcast; log loudly and keep replaying instead.
+            # broadcast; instead the pod agrees on the outcome below.
+            ok = True
             try:
                 if runner.lora_manager is None:
                     raise ValueError("follower built without enable_lora")
@@ -397,11 +430,24 @@ def run_follower(engine_config) -> None:
                 else:
                     runner.lora_manager.remove_adapter(name)
             except Exception:
+                ok = False
                 logger.exception(
-                    "follower %d: LoRA %s '%s' failed; adapter state has "
-                    "DIVERGED from the primary — requests using it will "
-                    "misroute on this host", _process_index(), action,
-                    name)
+                    "follower %d: LoRA %s '%s' failed", _process_index(),
+                    action, name)
+            if action == "add" and not agree_adapter_load(ok):
+                # Pod-atomic: any host's failure rolls the adapter back
+                # on EVERY host (the primary errors the admin call), so
+                # slot/LRU state never diverges silently.
+                try:
+                    if ok and runner.lora_manager is not None:
+                        runner.lora_manager.remove_adapter(name)
+                except Exception:
+                    logger.exception(
+                        "follower %d: LoRA rollback of '%s' failed",
+                        _process_index(), name)
+                logger.error(
+                    "follower %d: LoRA '%s' rolled back pod-wide (load "
+                    "failed on some host)", _process_index(), name)
             continue
         outputs = thaw_outputs(payload)
         if op == OP_EXECUTE:

@@ -82,6 +82,22 @@ class PromptAdapterManager:
                     "slot %d", name, emb.shape[0], slot)
         return params
 
+    def unload(self, name: str) -> bool:
+        """Free an adapter's slot (its embed rows stay until the slot
+        is overwritten by the next load). Used for pod-wide rollback of
+        a partially-failed multi-host load; only the most recently
+        loaded adapter can be unloaded (slots allocate densely)."""
+        slot = self._name_to_slot.get(name)
+        if slot is None:
+            return False
+        if slot != len(self._name_to_slot) - 1:
+            raise ValueError(
+                "only the most recently loaded prompt adapter can be "
+                "unloaded")
+        del self._name_to_slot[name]
+        self._slot_len.pop(slot, None)
+        return True
+
     def virtual_token_ids(self,
                           request: Optional[PromptAdapterRequest]
                           ) -> List[int]:

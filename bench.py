@@ -225,13 +225,14 @@ def main() -> None:
     if kv_dtype != "auto":
         suffix += f"_kv{kv_dtype}"
     stats = getattr(run_once, "last_stats", {})
+    if stats:  # diagnostics go to stderr; the JSON stays at the
+        print(f"diagnostics: {stats}", file=sys.stderr)  # 4-key contract
     print(json.dumps({
         "metric": (f"decode_throughput_1p4b_bf16{suffix}" if on_tpu else
                    f"decode_throughput_1p4b_cpu_smoke{suffix}"),
         "value": round(toks_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(toks_per_s / NORTH_STAR_TOKS_PER_S, 3),
-        **stats,
     }))
 
 

@@ -442,8 +442,13 @@ def _scalar_iq_dequant(gtype, blk):
 @pytest.mark.parametrize("gtype", [G.GGML_IQ2_XXS, G.GGML_IQ2_XS,
                                    G.GGML_IQ2_S, G.GGML_IQ3_XXS,
                                    G.GGML_IQ3_S, G.GGML_IQ1_S])
-def test_iq_codebook_container_matches_scalar_reference(gtype, tmp_path):
+def test_iq_codebook_container_matches_scalar_reference(
+        gtype, tmp_path, monkeypatch):
     rows, n = 2, 512
+    if gtype == G.GGML_IQ1_S:
+        # Legacy-layout decode is opt-in (modern 2048-grid files are
+        # byte-indistinguishable and would mis-decode).
+        monkeypatch.setenv("APHRODITE_GGUF_IQ1S_LEGACY", "1")
     _, bbytes = G.BLOCK_INFO[gtype]
     raw = RNG.integers(0, 256, size=(rows, n // 256, bbytes)).astype(
         np.uint8)
@@ -461,3 +466,42 @@ def test_iq_codebook_container_matches_scalar_reference(gtype, tmp_path):
             np.testing.assert_allclose(
                 w[r, s * 256:(s + 1) * 256], want, rtol=1e-4,
                 atol=1e-5, err_msg=f"type {gtype} row {r} block {s}")
+
+
+def test_q4_k_zero_scale_group_keeps_min_offset(tmp_path):
+    """ggml emits y = d*sc*q - dmin*m; a sub-block with sc == 0 must
+    still decode to -dmin*m (the container clamps scale to 2^-20 so
+    the constant survives), matching the reference CUDA dequant."""
+    rows, n = 1, 256
+    q = RNG.integers(0, 16, size=(rows, n)).astype(np.uint8)
+    d = np.full((rows, 1), 0.02, np.float32)
+    dmin = np.full((rows, 1), 0.5, np.float32)
+    sc = RNG.integers(1, 40, size=(rows, 1, 8)).astype(np.uint8)
+    mn = RNG.integers(1, 40, size=(rows, 1, 8)).astype(np.uint8)
+    sc[0, 0, 0] = 0  # zero-scale sub-block with a live min offset
+    w = _roundtrip(tmp_path, G.GGML_Q4_K,
+                   pack_q4_k(q, d, dmin, sc, mn), rows, n)
+    want = -_f16(dmin)[0, 0] * mn[0, 0, 0]
+    np.testing.assert_allclose(w[0, :32], want, rtol=1e-4, atol=1e-4)
+    # The other sub-blocks keep the plain formula.
+    p = np.arange(32, 256)
+    want_rest = (_f16(d)[0, 0] * sc[0, 0, p // 32]
+                 * q[0, 32:256].astype(np.float32)
+                 - _f16(dmin)[0, 0] * mn[0, 0, p // 32])
+    np.testing.assert_allclose(w[0, 32:], want_rest, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_iq1_s_refuses_without_legacy_optin(tmp_path, monkeypatch):
+    """Modern llama.cpp IQ1_S (2048-grid + delta) is byte-compatible
+    with the legacy layout we decode; default must be a clear error,
+    not silent garbage."""
+    monkeypatch.delenv("APHRODITE_GGUF_IQ1S_LEGACY", raising=False)
+    rows, n = 1, 256
+    _, bbytes = G.BLOCK_INFO[G.GGML_IQ1_S]
+    raw = RNG.integers(0, 256, size=(rows, 1, bbytes)).astype(np.uint8)
+    path = str(tmp_path / "iq1.gguf")
+    write_gguf(path, {}, [("t", [n, rows], G.GGML_IQ1_S, raw.tobytes())])
+    gg = G.GGUFFile(path)
+    with pytest.raises(ValueError, match="legacy 512-grid"):
+        G.to_int4_pieces(gg, gg.tensors["t"])

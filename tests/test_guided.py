@@ -221,3 +221,100 @@ NUM: /[0-9]+/
                         guided_grammar=grammar)
     out = tiny_llm.generate(["list:"], sp)[0].outputs[0]
     assert re.fullmatch(r"\([0-9]+(,[0-9]+)*\)", out.text), out.text
+
+
+# ---------------------------------------------------------------------------
+# Async FSM compilation (r5): a slow guided-spec build must not stall the
+# engine step loop, and build failures surface as request errors.
+# ---------------------------------------------------------------------------
+
+
+def test_async_fsm_slow_build_does_not_stall_other_requests(
+        tiny_llm, monkeypatch):
+    import time
+
+    from aphrodite_tpu import SamplingParams
+    from aphrodite_tpu.guided import token_fsm as tf
+
+    real = tf.get_token_fsm
+
+    def slow(*a, **k):
+        time.sleep(1.2)
+        return real(*a, **k)
+
+    monkeypatch.setattr(tf, "get_token_fsm", slow)
+    eng = tiny_llm.engine
+    eng.add_request("plain-r5", prompt="hello",
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=4, ignore_eos=True))
+    # Unique spec so the module FSM cache can't serve it instantly.
+    eng.add_request("guided-r5", prompt="d:",
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=6,
+                        guided_regex=r"[0-8]{2}-[0-8]{2}"))
+    t0 = time.monotonic()
+    done = {}
+    while eng.has_unfinished_requests():
+        for out in eng.step():
+            if out.finished:
+                done[out.request_id] = time.monotonic() - t0
+        assert time.monotonic() - t0 < 30.0
+    assert "plain-r5" in done and "guided-r5" in done
+    # The plain request finished while the FSM was still compiling.
+    assert done["plain-r5"] < 1.0, done
+    assert done["guided-r5"] >= 1.0, done
+
+
+def test_async_fsm_build_failure_surfaces_as_request_error(
+        tiny_llm, monkeypatch):
+    from aphrodite_tpu import SamplingParams
+    from aphrodite_tpu.guided import token_fsm as tf
+
+    def boom(*a, **k):
+        import time
+
+        time.sleep(0.05)  # force the parked (async) path
+        raise RuntimeError("synthetic FSM build failure")
+
+    monkeypatch.setattr(tf, "get_token_fsm", boom)
+    eng = tiny_llm.engine
+    eng.add_request("bad-guided-r5", prompt="x:",
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=4,
+                        guided_regex=r"[0-7]{9}"))
+    finals = []
+    while eng.has_unfinished_requests():
+        finals.extend(o for o in eng.step() if o.finished)
+    assert len(finals) == 1
+    out = finals[0]
+    assert out.request_id == "bad-guided-r5"
+    assert out.error and "synthetic FSM build failure" in out.error
+    assert not out.outputs or not out.outputs[0].token_ids
+
+
+def test_async_fsm_abort_while_parked(tiny_llm, monkeypatch):
+    import time
+
+    from aphrodite_tpu import SamplingParams
+    from aphrodite_tpu.guided import token_fsm as tf
+
+    real = tf.get_token_fsm
+
+    def slow(*a, **k):
+        time.sleep(0.5)
+        return real(*a, **k)
+
+    monkeypatch.setattr(tf, "get_token_fsm", slow)
+    eng = tiny_llm.engine
+    eng.add_request("abort-guided-r5", prompt="x:",
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=4,
+                        guided_regex=r"[1-5]{8}"))
+    assert eng.has_unfinished_requests()
+    eng.abort_request("abort-guided-r5")
+    # Engine must drain cleanly: the parked entry is dropped once its
+    # future resolves, without scheduling or crashing.
+    t0 = time.monotonic()
+    while eng.has_unfinished_requests():
+        eng.step()
+        assert time.monotonic() - t0 < 10.0
