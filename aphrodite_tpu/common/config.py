@@ -120,13 +120,19 @@ class ModelConfig:
                 and not self.skip_tokenizer_init
                 and not os.path.isfile(os.path.join(
                     str(self.tokenizer), "tokenizer_config.json"))):
-            # Mistral releases ship tekken/sentencepiece tokenizers the
-            # HF stack can't read; serve token-id-only unless the user
-            # points --tokenizer at an HF-format twin.
-            logger.warning("mistral-format checkpoint without an HF "
-                           "tokenizer: pass prompt_token_ids (or set "
-                           "tokenizer=<hf dir>)")
-            self.skip_tokenizer_init = True
+            if os.path.isfile(os.path.join(str(self.tokenizer),
+                                           "tekken.json")):
+                # tekken.json parses natively (transformers_utils/
+                # tekken.py) — full text serving.
+                pass
+            else:
+                # Sentencepiece .model.v* tokenizers still need an HF
+                # twin; serve token-id-only.
+                logger.warning(
+                    "mistral-format checkpoint without an HF or tekken "
+                    "tokenizer: pass prompt_token_ids (or set "
+                    "tokenizer=<hf dir>)")
+                self.skip_tokenizer_init = True
         if ("llm_config" in self.hf_config
                 and "vision_config" in self.hf_config
                 and "text_config" not in self.hf_config):
@@ -207,6 +213,15 @@ class ModelConfig:
                     qc = json.load(f)
                 if "wbits" in qc:
                     self.quantization = "squeezellm"
+            # QuIP# ships a side quantization_config.json with a
+            # codebook key (reference quip.py get_config_filenames).
+            qp_path = os.path.join(self.model, "quantization_config.json")
+            if self.quantization is None and os.path.isfile(qp_path):
+                with open(qp_path) as f:
+                    qp = json.load(f)
+                if "codebook" in qp:
+                    self.quantization = "quip"
+                    self.quip_config = qp
 
     # ---- derived architecture accessors ------------------------------------
 

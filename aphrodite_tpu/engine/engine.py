@@ -165,25 +165,13 @@ class AphroditeEngine:
         multi_modal_data: Optional[Dict[str, Any]] = None,
         decoder_prompt_token_ids: Optional[List[int]] = None,
     ) -> None:
-        if self.runner._multihost and (
-                sampling_params is not None
-                and (sampling_params.logits_processors
-                     or sampling_params.guided_regex
-                     or sampling_params.guided_json
-                     or sampling_params.guided_choice
-                     or getattr(sampling_params, "guided_grammar",
-                                None))):
-            # Guided FSMs and logits processors carry host-side
-            # CALLABLE state that lives only on the primary; followers
-            # could not replay the step (parallel/multihost.py feature
-            # gates). LoRA / soft prompts / multimodal are fine: their
-            # state is computed-once-then-static and broadcasts (LoRA
-            # lazy-loads from shared storage; soft-prompt loads mirror
-            # via OP_PADAPT; image features ride the step mirror after
-            # a pod-wide tower run via OP_MM_ENCODE).
-            raise ValueError(
-                "guided-decoding / logits_processors requests are not "
-                "supported on multi-host deployments")
+        # Multi-host note: guided decoding and host logits processors
+        # ARE served — FSM state and callables live on the primary;
+        # followers get this step's packed allow-mask in the step
+        # mirror and the edited logits over a mid-execute broadcast
+        # (parallel/multihost.py freeze_outputs / MIRRORED_PROCS, the
+        # TPU equivalent of the reference's driver-side logits
+        # processing under Ray multi-node).
         if lora_request is not None and self.runner.lora_manager is None:
             raise ValueError(
                 "LoRA request received but enable_lora=False")

@@ -752,6 +752,27 @@ def load_model_params(
                                                    nbits))
             return place_params_on_mesh(model, host, mesh,
                                         jnp.dtype(model_config.dtype))
+        if quant and quant.lower() == "quip":
+            # QuIP# E8P12: decode + fold the incoherence pipeline to a
+            # dense weight at load (quantization/quip.py; reference
+            # serves via CUDA decompress kernels instead).
+            from aphrodite_tpu.quantization.quip import (
+                quip_dequant_iterator)
+
+            qcfg = (getattr(model_config, "quip_config", None)
+                    or model_config.hf_config.get("quantization_config")
+                    or {})
+            if qcfg.get("codebook", "E8P12") != "E8P12":
+                raise ValueError(
+                    f"QuIP codebook {qcfg.get('codebook')!r} not "
+                    "supported (only E8P12, matching the reference)")
+            host = load_hf_params_to_host(
+                model, model_config.model,
+                weights_iter=quip_dequant_iterator(
+                    model_config.model,
+                    use_rand=bool(qcfg.get("use_rand", True))))
+            return place_params_on_mesh(model, host, mesh,
+                                        jnp.dtype(model_config.dtype))
         if quant and quant.lower() == "squeezellm":
             from aphrodite_tpu.loader.bnb import squeezellm_dequant_iterator
 

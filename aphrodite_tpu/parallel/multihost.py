@@ -195,20 +195,53 @@ def agree_num_pages(local_num_pages: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+# Marker standing in for host logits-processor callables in the frozen
+# step mirror: truthy (so followers pick the same split program) and
+# picklable (the callables themselves are not). Followers never invoke
+# it — they receive the primary's edited logits over the broadcast
+# instead (ModelRunner._apply_logits_processors).
+MIRRORED_PROCS = ["__mirrored_logits_processors__"]
+
+
+class _MirrorFSM:
+    """Follower-side stand-in for a primary-resident guided-decoding
+    FSM: exposes the ONE step's packed allow-mask, which rode the step
+    mirror. State advancement happens on the primary only (the engine
+    owns FSM state); followers just need the identical mask input and
+    SamplingFlags, so batch assembly stays a pure function of the
+    broadcast metadata. (Reference runs guided logits processors on the
+    driver under Ray multi-node the same way.)"""
+
+    def __init__(self, mask) -> None:
+        self._mask = mask
+
+    def allowed_mask(self, state):
+        return self._mask
+
+
 def freeze_outputs(outputs) -> dict:
     rows = []
     for ss in outputs.scheduled:
         seq = ss.seq
         sp = ss.group.sampling_params
         if sp.logits_processors:
+            # Callables can't pickle; swap in a truthy marker so the
+            # follower runs the identical split (logits) program and
+            # receives the edited logits from host 0 mid-execute.
+            sp = sp.clone()
+            sp.logits_processors = MIRRORED_PROCS
+        if seq.encoder_token_ids is not None:
             raise ValueError(
-                "host logits processors are not supported on multi-host "
-                "deployments (primary-only state)")
-        if seq.fsm is not None or seq.encoder_token_ids is not None:
-            raise ValueError(
-                "guided decoding / encoder-decoder requests are "
-                "primary-only; reject them at admission on multi-host "
-                "deployments")
+                "encoder-decoder requests are primary-only; reject "
+                "them at admission on multi-host deployments")
+        # Guided decoding: the FSM object lives on the primary; ship
+        # this step's packed allow-mask (u32[ceil(V/32)], ~4KB) so the
+        # follower builds the identical guided_mask input.
+        fsm_mask = None
+        has_fsm = seq.fsm is not None
+        if has_fsm and ss.do_sample:
+            fsm_mask = np.asarray(
+                seq.fsm.allowed_mask(seq.fsm_state), np.uint32)
         # Multimodal splice spans ride the mirror only while the
         # sequence still has uncomputed PROMPT positions (the runner
         # builds embeds_override from them during prefill only), so
@@ -249,6 +282,8 @@ def freeze_outputs(outputs) -> dict:
             mm_spans=mm,
             mrope_table=mrt,
             mrope_delta=seq.mrope_delta,
+            has_fsm=has_fsm,
+            fsm_mask=fsm_mask,
         ))
     return dict(
         rows=rows,
@@ -281,6 +316,9 @@ def thaw_outputs(payload: dict):
                             for start, feats in r["mm_spans"]]
         seq.mrope_table = r.get("mrope_table")
         seq.mrope_delta = r.get("mrope_delta", 0)
+        if r.get("has_fsm"):
+            seq.fsm = _MirrorFSM(r.get("fsm_mask"))
+            seq.fsm_state = 0
         group = SequenceGroup(
             request_id=r["request_id"],
             seqs=[seq],

@@ -31,7 +31,7 @@ def get_quantization_method(name: Optional[str]):
         return m
     if name in ("bitsandbytes", "squeezellm", "aqlm", "hqq", "qqq",
                 "marlin", "gptq_marlin_24", "quant_llm", "fp2", "fp3",
-                "fp4", "fp5", "fp6", "fp7"):
+                "fp4", "fp5", "fp6", "fp7", "quip"):
         # Handled entirely by the loader (dequantize-at-load or
         # quantize-at-load); no runtime quant method.
         return None

@@ -16,6 +16,21 @@ def get_tokenizer(
     trust_remote_code: bool = False,
     revision: Optional[str] = None,
 ):
+    import os
+
+    from aphrodite_tpu.transformers_utils.tekken import (TekkenTokenizer,
+                                                         find_tekken_file)
+
+    # Mistral-format checkpoints ship tekken.json instead of an HF
+    # tokenizer (reference tokenizers/mistral.py); parse it natively.
+    if os.path.isdir(tokenizer_name):
+        tk = find_tekken_file(tokenizer_name)
+        if tk is not None and not os.path.exists(
+                os.path.join(tokenizer_name, "tokenizer_config.json")):
+            return TekkenTokenizer(tk)
+    elif tokenizer_name.endswith("tekken.json"):
+        return TekkenTokenizer(tokenizer_name)
+
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(

@@ -776,7 +776,7 @@ class ModelRunner:
         return fn
 
     @staticmethod
-    def _apply_logits_processors(
+    def _apply_logits_processors_local(
             logits: np.ndarray,
             scheduled: List[ScheduledSequence]) -> np.ndarray:
         """Apply per-request host callables to raw logits rows.
@@ -816,6 +816,27 @@ class ModelRunner:
                     "logits processor failed for request "
                     f"{ss.group.request_id!r}: {e}") from e
         return logits
+
+    def _apply_logits_processors(
+            self, logits: np.ndarray,
+            scheduled: List[ScheduledSequence]) -> np.ndarray:
+        """Host-callable logits editing, multi-host aware: the callables
+        live only on the primary (followers carry the MIRRORED_PROCS
+        marker), so host 0 applies them and broadcasts the edited
+        logits; followers receive instead of computing. Both sides
+        reach this point exactly once per has_procs step (the split
+        program is selected from the mirrored sampling_params), keeping
+        the broadcast in lockstep."""
+        if self._multihost:
+            from aphrodite_tpu.parallel import multihost
+
+            if multihost.is_primary():
+                logits = self._apply_logits_processors_local(
+                    logits, scheduled)
+                multihost.broadcast_obj(logits)
+                return logits
+            return multihost.broadcast_obj()
+        return self._apply_logits_processors_local(logits, scheduled)
 
     def _get_multi_step_fn(self, flags: SamplingFlags, num_steps: int):
         """N decode iterations fused into one device program.
@@ -1560,7 +1581,21 @@ class ModelRunner:
                  self.params, self.kv_pages, batch, target_ids,
                  lora_params, self.draft_params, self.draft_kv,
                  self.eagle_carry, carry_keys, self.cross_kv)
-            logits_np = np.asarray(logits).astype(np.float32, copy=True)
+            if self._multihost:
+                # Global (mesh-sharded) logits span non-addressable
+                # devices on multi-host; assemble the global value on
+                # every process (collective — all hosts reach this
+                # point for the same has_procs step).
+                from jax.experimental import multihost_utils
+
+                logits_np = np.array(
+                    multihost_utils.process_allgather(logits,
+                                                      tiled=True),
+                    dtype=np.float32, copy=True)  # allgather output is
+                # read-only; processors edit rows in place
+            else:
+                logits_np = np.asarray(logits).astype(np.float32,
+                                                      copy=True)
             logits_np = self._apply_logits_processors(logits_np, scheduled)
             out = self._get_sample_fn(flags)(
                 jnp.asarray(logits_np), tensors_dev, history=history,

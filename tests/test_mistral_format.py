@@ -170,3 +170,28 @@ def test_mistral_format_greedy_matches_hf(dirs):
               max_model_len=128)
     got = [list(o.outputs[0].token_ids) for o in llm.generate(req, sp)]
     assert got == expect
+
+
+def test_mistral_format_with_tekken_serves_text(dirs, tmp_path):
+    """A mistral-format dir that carries tekken.json serves TEXT
+    (r5: native tekken parsing lifts the token-id-only restriction)."""
+    import shutil
+
+    from aphrodite_tpu.common.config import ModelConfig
+    from aphrodite_tpu.transformers_utils.tekken import TekkenTokenizer
+    from tests.test_tekken import _write_tekken
+
+    _, mi_dir = dirs
+    d = str(tmp_path / "mi_tekken")
+    shutil.copytree(mi_dir, d)
+    _write_tekken(os.path.join(d, "tekken.json"))
+
+    mc = ModelConfig(model=d, dtype="float32")
+    assert not mc.skip_tokenizer_init  # text serving enabled
+
+    from aphrodite_tpu.transformers_utils.tokenizer import get_tokenizer
+
+    t = get_tokenizer(d)
+    assert isinstance(t, TekkenTokenizer)
+    ids = t.encode("hello world")
+    assert t.decode(ids) == "hello world"

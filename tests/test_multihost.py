@@ -360,3 +360,99 @@ def test_two_process_multimodal_matches_single_process(llava_mh_dir):
                 if ln.startswith("TOKENS=")]
     assert tok_line, p_out
     assert json.loads(tok_line[0][len("TOKENS="):]) == expect
+
+
+_PRIMARY_GUIDED = """
+import json, sys
+from aphrodite_tpu import LLM, SamplingParams
+
+def ban_token_7(token_ids, logits):
+    logits[7] = -1e9
+    return logits
+
+llm = LLM(model=sys.argv[1], dtype="float32", max_num_seqs=4,
+          num_device_blocks_override=96, block_size=8,
+          tensor_parallel_size=4)
+toks = []
+sp = SamplingParams(temperature=0.0, max_tokens=8,
+                    guided_regex=r"[0-9]{3}-[0-9]{4}")
+outs = llm.generate(["phone:"], sp)
+toks.append(outs[0].outputs[0].token_ids)
+sp2 = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                     logits_processors=[ban_token_7])
+outs = llm.generate(["the quick brown fox"], sp2)
+toks.append(outs[0].outputs[0].token_ids)
+# json-schema guided after a plain request (mixed traffic lockstep)
+sp3 = SamplingParams(temperature=0.0, max_tokens=24,
+                     guided_json=json.dumps({
+                         "type": "object",
+                         "properties": {"ok": {"type": "boolean"}},
+                         "required": ["ok"]}))
+outs = llm.generate(["result:"], sp3)
+toks.append(outs[0].outputs[0].token_ids)
+print("TOKENS=" + json.dumps(toks), flush=True)
+"""
+
+
+def test_two_process_guided_and_procs_match_single_process(tiny_dir):
+    """VERDICT r4 item 4 (second half): guided decoding + host logits
+    processors served across hosts — the FSM/callables live on the
+    primary; followers get packed allow-masks in the step mirror and
+    edited logits over the mid-execute broadcast. Token-exact vs a
+    single-process tp=4 run."""
+    import json as _json
+
+    from aphrodite_tpu import LLM, SamplingParams
+
+    def ban_token_7(token_ids, logits):
+        logits[7] = -1e9
+        return logits
+
+    base = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=96, block_size=8,
+               tensor_parallel_size=4)
+    expect = []
+    sp = SamplingParams(temperature=0.0, max_tokens=8,
+                        guided_regex=r"[0-9]{3}-[0-9]{4}")
+    expect.append(
+        base.generate(["phone:"], sp)[0].outputs[0].token_ids)
+    sp2 = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                         logits_processors=[ban_token_7])
+    expect.append(
+        base.generate(["the quick brown fox"], sp2)[0]
+        .outputs[0].token_ids)
+    sp3 = SamplingParams(temperature=0.0, max_tokens=24,
+                         guided_json=_json.dumps({
+                             "type": "object",
+                             "properties": {"ok": {"type": "boolean"}},
+                             "required": ["ok"]}))
+    expect.append(
+        base.generate(["result:"], sp3)[0].outputs[0].token_ids)
+    del base
+
+    port = _free_port()
+    primary = subprocess.Popen(
+        [sys.executable, "-c", _PRIMARY_GUIDED, tiny_dir],
+        env=_env(0, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    follower = subprocess.Popen(
+        [sys.executable, "-c", _FOLLOWER, tiny_dir],
+        env=_env(1, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        p_out, _ = primary.communicate(timeout=600)
+        f_out, _ = follower.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        primary.kill()
+        follower.kill()
+        p_out = primary.communicate()[0]
+        f_out = follower.communicate()[0]
+        pytest.fail(f"multi-host guided run timed out.\nPRIMARY:\n{p_out}"
+                    f"\nFOLLOWER:\n{f_out}")
+    assert primary.returncode == 0, f"primary failed:\n{p_out}"
+    assert follower.returncode == 0, f"follower failed:\n{f_out}"
+    tok_line = [ln for ln in p_out.splitlines()
+                if ln.startswith("TOKENS=")]
+    assert tok_line, p_out
+    got = json.loads(tok_line[0][len("TOKENS="):])
+    assert got == expect

