@@ -108,8 +108,16 @@ def paged_decode_attention(
     bs_on: Optional[jax.Array] = None,  # scalar bool (per-layer gate)
     rel_bias: Optional[jax.Array] = None,  # f32[QH, NB] bucket bias (T5)
     rel_bias_meta: Optional[tuple] = None,  # (num_buckets, max_distance)
+    return_stats: bool = False,
     interpret: bool = False,
-) -> jax.Array:
+):
+    """return_stats=True (context-parallel sharded-KV decode): page
+    index -1 marks a REMOTE page (DMA skipped AND its score columns
+    masked), and the kernel returns (acc_unnormalized f32[S, QH, D],
+    stats f32[S, QH, 128]) with stats[..., 0] = running max m and
+    stats[..., 1] = softmax denominator l — the per-shard flash
+    partials that merge across shards (paged_decode_attention_sharded).
+    """
     del num_seqs
     S, QH, D = q.shape
     P, ps, CKV, _ = kv_pages.shape
@@ -151,6 +159,18 @@ def paged_decode_attention(
         bs_off_in = jnp.zeros((QH,), jnp.int32)
         bs_on_in = jnp.zeros((1,), jnp.int32)
 
+    out_specs = pl.BlockSpec((G, QH, D), lambda i, *_: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((S, QH, D), q.dtype)
+    if return_stats:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((G, QH, 128), lambda i, *_: (i, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((S, QH, D), jnp.float32),
+            jax.ShapeDtypeStruct((S, QH, 128), jnp.float32),
+        ]
+
     kernel = pl.pallas_call(
         functools.partial(
             _decode_kernel,
@@ -162,6 +182,7 @@ def paged_decode_attention(
             blocksparse=blocksparse,
             rel_bias_meta=rel_bias_meta if rel_bias is not None else None,
             max_waves=max_waves,
+            return_stats=return_stats,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,  # kv_lens, page_indices, bs_off, bs_on
@@ -172,7 +193,7 @@ def paged_decode_attention(
                              lambda i, *_: (0, 0)),  # rel-bias table
                 pl.BlockSpec(memory_space=pltpu.ANY),  # kv_pages (HBM)
             ],
-            out_specs=pl.BlockSpec((G, QH, D), lambda i, *_: (i, 0, 0)),
+            out_specs=out_specs,
             grid=(S // G,),
             scratch_shapes=[
                 pltpu.VMEM((2, G, C, ps, CKV, D), kv_pages.dtype),
@@ -187,7 +208,7 @@ def paged_decode_attention(
             # production head counts; v5e has 128M physical VMEM.
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-        out_shape=jax.ShapeDtypeStruct((S, QH, D), q.dtype),
+        out_shape=out_shape,
         name="paged_decode_attention",
         interpret=interpret,
     )
@@ -206,16 +227,17 @@ def _decode_kernel(
     slopes_ref,  # f32[1, QH]
     bias_ref,  # f32[QH, NB] relative-bucket bias table (zeros if unused)
     kv_hbm_ref,  # [P, ps, CKV, D]
-    # output
+    # output(s)
     o_ref,  # [G, QH, D]
-    # scratch
-    kv_bufs,  # [2, G, C, ps, CKV, D]
-    sems,  # DMA[2]
-    start_slot_ref,  # SMEM i32[1]: this block's first wave's buffer slot
-    *,
+    *rest,  # [stats_ref [G, QH, 128] if return_stats,] then scratch
     G, C, KV, QG, ps, sm_scale, sliding_window, soft_cap, use_alibi,
-    blocksparse, rel_bias_meta, max_waves,
+    blocksparse, rel_bias_meta, max_waves, return_stats=False,
 ):
+    if return_stats:
+        stats_ref, kv_bufs, sems, start_slot_ref = rest
+    else:
+        stats_ref = None
+        kv_bufs, sems, start_slot_ref = rest
     blk = pl.program_id(0)
     seq0 = blk * G
     D = q_ref.shape[-1]
@@ -270,12 +292,20 @@ def _decode_kernel(
         [2N, D] jnp.where sanitization pass this replaces (measured
         ~40% of kernel time at bench shapes).
         """
+        npg = page_idx_sref.shape[1]
         for g in range(G):
             for c in range(C):
                 pidx = wave * C + c
                 kvl = kv_lens_sref[base + g]
                 valid = jnp.logical_and(pidx * ps < kvl,
                                         page_live(pidx, kvl))
+                if return_stats:
+                    # CP sharded-KV mode: -1 marks a REMOTE page (its
+                    # KV lives on another shard) — skip the DMA; its
+                    # score columns are masked in the wave body.
+                    valid = jnp.logical_and(
+                        valid,
+                        page_idx_sref[base + g, jnp.minimum(pidx, npg - 1)] >= 0)
 
                 @pl.when(valid)
                 def _():
@@ -291,13 +321,19 @@ def _decode_kernel(
                     kv_bufs[slot, g, c] = jnp.zeros_like(kv_bufs[slot, g, c])
 
     def wait_wave(wave, slot):
+        npg = page_idx_sref.shape[1]
         for g in range(G):
             for c in range(C):
                 pidx = wave * C + c
                 kvl = kv_lens_sref[seq0 + g]
+                valid = jnp.logical_and(pidx * ps < kvl,
+                                        page_live(pidx, kvl))
+                if return_stats:
+                    valid = jnp.logical_and(
+                        valid,
+                        page_idx_sref[seq0 + g, jnp.minimum(pidx, npg - 1)] >= 0)
 
-                @pl.when(jnp.logical_and(pidx * ps < kvl,
-                                         page_live(pidx, kvl)))
+                @pl.when(valid)
                 def _():
                     page = page_idx_sref[seq0 + g, pidx]
                     pltpu.make_async_copy(
@@ -499,6 +535,18 @@ def _decode_kernel(
             for (k, v), (same_head, col_tok) in zip(kv_lanes, lanes_meta):
                 col_pos = wave * Tw + col_tok  # [1, NL]
                 valid = jnp.logical_and(same_head, col_pos < len_g)
+                if return_stats:
+                    # Mask columns of remote (-1 sentinel) pages: their
+                    # buffer slots are zero-filled, and a 0 score must
+                    # not leak into this shard's softmax partial.
+                    npg = page_idx_sref.shape[1]
+                    for c in range(C):
+                        live_c = page_idx_sref[
+                            seq0 + g, jnp.minimum(wave * C + c, npg - 1)] >= 0
+                        in_c = (col_tok // ps) == c
+                        valid = jnp.logical_and(
+                            valid, jnp.logical_or(
+                                jnp.logical_not(in_c), live_c))
                 if sliding_window is not None:
                     valid = jnp.logical_and(
                         valid, col_pos >= len_g - sliding_window)
@@ -557,5 +605,101 @@ def _decode_kernel(
     ms, ls, accs = lax.fori_loop(0, num_waves, wave_body, init)
 
     for g in range(G):
-        l_safe = jnp.where(ls[g] == 0.0, 1.0, ls[g])
-        o_ref[g] = (accs[g] / l_safe).astype(o_ref.dtype)  # [QH, D]
+        if return_stats:
+            # Flash partials for the cross-shard merge: unnormalized
+            # accumulator + (m, l) packed into stats cols 0/1.
+            o_ref[g] = accs[g].astype(o_ref.dtype)
+            col = lax.broadcasted_iota(jnp.int32, (QH, 128), 1)
+            m_safe = jnp.where(jnp.isfinite(ms[g]), ms[g], -3.0e38)
+            stats_ref[g] = jnp.where(
+                col == 0, m_safe,
+                jnp.where(col == 1, ls[g], 0.0)).astype(stats_ref.dtype)
+        else:
+            l_safe = jnp.where(ls[g] == 0.0, 1.0, ls[g])
+            o_ref[g] = (accs[g] / l_safe).astype(o_ref.dtype)  # [QH, D]
+
+
+# ---------------------------------------------------------------------------
+# Context-parallel decode over SHARDED KV pages (beyond the reference:
+# contexts larger than one chip's HBM). Each shard owns a contiguous
+# range of pages; global page id p lives on shard p // pages_per_shard.
+# Per-shard flash partials merge with ONE all-gather of
+# (acc [S, QH, D], m, l) — for decode (q = one token/seq) a map-reduce
+# merge strictly dominates a literal ring: there is no per-hop compute
+# to overlap with cp ppermute steps, and the gathered stats are tiny
+# next to the KV traffic each shard already reads locally.
+# ---------------------------------------------------------------------------
+
+
+def _partial_decode_ref(q, kv_pages, kv_lens, page_indices, *,
+                        sm_scale: float):
+    """jnp reference of the kernel's return_stats mode: flash partials
+    over the LOCAL pages only (-1 page index = remote, masked)."""
+    S, QH, D = q.shape
+    P, ps, CKV, _ = kv_pages.shape
+    KV = CKV // 2
+    QG = QH // KV
+    pps = page_indices.shape[1]
+    live = page_indices >= 0  # [S, pps]
+    g = kv_pages[jnp.clip(page_indices, 0, P - 1)]  # [S, pps, ps, CKV, D]
+    k = g[..., 0::2, :].astype(jnp.float32)  # [S, pps, ps, KV, D]
+    v = g[..., 1::2, :].astype(jnp.float32)
+    qf = q.astype(jnp.float32) * sm_scale
+    # Query head h attends kv head h // QG: expand K/V to q heads.
+    kq = jnp.repeat(k, QG, axis=3)  # [S, pps, ps, QH, D]
+    scores = jnp.einsum("shd,sjthd->shjt", qf, kq)  # [S, QH, pps, ps]
+    pos = (jnp.arange(pps)[:, None] * ps
+           + jnp.arange(ps)[None, :])  # [pps, ps]
+    valid = ((pos[None] < kv_lens[:, None, None])
+             & live[:, :, None])  # [S, pps, ps]
+    scores = jnp.where(valid[:, None], scores, -jnp.inf)
+    flat = scores.reshape(S, QH, pps * ps)
+    m = flat.max(axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, -3.0e38)
+    p = jnp.where(jnp.isfinite(flat), jnp.exp(flat - m), 0.0)
+    l = p.sum(axis=-1, keepdims=True)
+    vq = jnp.repeat(v, QG, axis=3).reshape(S, pps * ps, QH, D)
+    acc = jnp.einsum("shn,snhd->shd", p, vq)
+    return acc, m, l
+
+
+def paged_decode_attention_sharded(
+    q: jax.Array,  # [S, QH, D]
+    kv_pages_local: jax.Array,  # this shard's [P_local, ps, CKV, D]
+    kv_lens: jax.Array,  # i32[S] GLOBAL kv length
+    page_indices: jax.Array,  # i32[S, pps] GLOBAL page ids
+    num_seqs: jax.Array,
+    *,
+    axis_name: str,
+    pages_per_shard: int,
+    sm_scale: float = 1.0,
+    use_kernel: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Runs INSIDE shard_map over `axis_name`. Returns the full
+    (merged) attention output, replicated across the cp axis."""
+    if use_kernel is None:
+        use_kernel = jax.default_backend() in ("tpu", "axon")
+    rank = lax.axis_index(axis_name)
+    lo = rank * pages_per_shard
+    in_range = jnp.logical_and(page_indices >= lo,
+                               page_indices < lo + pages_per_shard)
+    local_idx = jnp.where(in_range, page_indices - lo, -1)
+    if use_kernel:
+        acc, stats = paged_decode_attention(
+            q, kv_pages_local, kv_lens, local_idx, num_seqs,
+            sm_scale=sm_scale, return_stats=True, interpret=interpret)
+        m = stats[..., 0:1]
+        l = stats[..., 1:2]
+    else:
+        acc, m, l = _partial_decode_ref(q, kv_pages_local, kv_lens,
+                                        local_idx, sm_scale=sm_scale)
+    accs = lax.all_gather(acc.astype(jnp.float32), axis_name)
+    ms = lax.all_gather(m, axis_name)  # [cp, S, QH, 1]
+    ls = lax.all_gather(l, axis_name)
+    m_star = ms.max(axis=0)
+    w = jnp.exp(ms - m_star)  # dead shards: exp(-3e38 - m*) -> 0
+    l_tot = (w * ls).sum(axis=0)
+    num = (w * accs).sum(axis=0)  # [S, QH, D] (w broadcasts over D)
+    out = num / jnp.where(l_tot == 0.0, 1.0, l_tot)
+    return out.astype(q.dtype)

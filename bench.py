@@ -23,7 +23,10 @@ os.environ.setdefault("APHRODITE_TPU_LOG_LEVEL", "WARNING")
 
 def build_model_dir(tmpdir: str, small: bool) -> str:
     """Write a config.json for a Llama-like model (no weights —
-    load_format='dummy'). ~1.4B params on TPU; tiny on CPU smoke runs."""
+    load_format='dummy'). ~1.4B params on TPU; tiny on CPU smoke runs.
+    APHRODITE_BENCH_SHAPE=8b selects the north-star Llama-3.1-8B
+    geometry (BASELINE.json metric: tok/s/chip at 8B INT4+FP8-KV) —
+    int4 weights ~4.3GB fit one v5e chip."""
     cfg = {
         "architectures": ["LlamaForCausalLM"],
         "hidden_size": 2048,
@@ -39,6 +42,12 @@ def build_model_dir(tmpdir: str, small: bool) -> str:
         "tie_word_embeddings": False,
         "torch_dtype": "bfloat16",
     }
+    if os.environ.get("APHRODITE_BENCH_SHAPE") == "8b":
+        cfg.update(hidden_size=4096, intermediate_size=14336,
+                   num_hidden_layers=32, num_attention_heads=32,
+                   num_key_value_heads=8, head_dim=128,
+                   vocab_size=128256, max_position_embeddings=4096,
+                   rope_theta=500000.0)
     if small:
         cfg.update(hidden_size=256, intermediate_size=512,
                    num_hidden_layers=4, num_attention_heads=8,
@@ -227,9 +236,12 @@ def main() -> None:
     stats = getattr(run_once, "last_stats", {})
     if stats:  # diagnostics go to stderr; the JSON stays at the
         print(f"diagnostics: {stats}", file=sys.stderr)  # 4-key contract
+    shape_tag = ("8b" if os.environ.get("APHRODITE_BENCH_SHAPE") == "8b"
+                 else "1p4b")
     print(json.dumps({
-        "metric": (f"decode_throughput_1p4b_bf16{suffix}" if on_tpu else
-                   f"decode_throughput_1p4b_cpu_smoke{suffix}"),
+        "metric": (f"decode_throughput_{shape_tag}_bf16{suffix}"
+                   if on_tpu else
+                   f"decode_throughput_{shape_tag}_cpu_smoke{suffix}"),
         "value": round(toks_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(toks_per_s / NORTH_STAR_TOKS_PER_S, 3),

@@ -134,6 +134,54 @@ def main() -> int:
           f"int4_dequant={t_deq:.0f}us int4_groupwise={t_grp:.0f}us "
           f"int4_packed={t_pck:.0f}us")
 
+    # 1d. W4A8 (int8-activation) packed kernel vs its exact oracle.
+    from aphrodite_tpu.ops.quant_matmul import (int4p_matmul_w4a8_pallas,
+                                                int4p_matmul_w4a8_ref)
+
+    got = jax.jit(
+        lambda *a: int4p_matmul_w4a8_pallas(*a, group=128))(
+            xb2, q4pb, scb, zb)
+    want = int4p_matmul_w4a8_ref(xb2, q4pb, scb, zb, 128)
+    ok &= check("w4a8_packed_kernel", got, want, rtol=5e-3)
+    t_a8 = timeit(jax.jit(
+        lambda *a: int4p_matmul_w4a8_pallas(*a, group=128)),
+        xb2, q4pb, scb, zb)
+    print(f"INFO w4a8 T=64 K=2048 N=8192: {t_a8:.0f}us "
+          f"(vs int4_packed {t_pck:.0f}us)")
+
+    # 1e. Grouped decode kernel's CP stats mode (-1 sentinel + flash
+    # partials) merges to the full kernel output.
+    from aphrodite_tpu.ops.decode_attention import paged_decode_attention
+
+    Sd2, QHd, KVd, Dd, PSd = 8, 8, 4, 128, 16
+    q_cp = jnp.asarray(rng.standard_normal((Sd2, QHd, Dd)), jnp.bfloat16)
+    pg_cp = jnp.asarray(rng.standard_normal((32, PSd, 2 * KVd, Dd)) * .3,
+                        jnp.bfloat16)
+    kvl_cp = jnp.asarray(rng.integers(1, 120, size=(Sd2,)), jnp.int32)
+    pi_cp = np.zeros((Sd2, 8), np.int32)
+    for i in range(Sd2):
+        pi_cp[i] = rng.choice(31, size=8, replace=False)
+    pi_cp = jnp.asarray(pi_cp)
+    ns_cp = jnp.asarray([Sd2], jnp.int32)
+    full = paged_decode_attention(q_cp, pg_cp, kvl_cp, pi_cp, ns_cp,
+                                  sm_scale=Dd ** -0.5)
+    lo_i = jnp.where(pi_cp < 16, pi_cp, -1)
+    hi_i = jnp.where(pi_cp >= 16, pi_cp - 16, -1)
+    a0, st0 = paged_decode_attention(q_cp, pg_cp[:16], kvl_cp, lo_i,
+                                     ns_cp, sm_scale=Dd ** -0.5,
+                                     return_stats=True)
+    a1, st1 = paged_decode_attention(q_cp, pg_cp[16:], kvl_cp, hi_i,
+                                     ns_cp, sm_scale=Dd ** -0.5,
+                                     return_stats=True)
+    m0, l0 = st0[..., 0:1], st0[..., 1:2]
+    m1, l1 = st1[..., 0:1], st1[..., 1:2]
+    m_star = jnp.maximum(m0, m1)
+    w0, w1 = jnp.exp(m0 - m_star), jnp.exp(m1 - m_star)
+    l_tot = w0 * l0 + w1 * l1
+    merged = (w0 * a0 + w1 * a1) / jnp.where(l_tot == 0, 1.0, l_tot)
+    ok &= check("cp_sharded_decode_merge", merged.astype(jnp.float32),
+                full.astype(jnp.float32), rtol=3e-2, atol=3e-2)
+
     # 2. Ragged paged attention kernel vs jnp oracle (mixed batch).
     from aphrodite_tpu.ops.attention import (_kernel_attention,
                                              ref_ragged_paged_attention)
