@@ -10,7 +10,7 @@ intentionally absent.
 import argparse
 import dataclasses
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Tuple
 
 from aphrodite_tpu.common.config import (CacheConfig, DeviceConfig,
                                          EngineConfig, LoadConfig,
@@ -58,6 +58,11 @@ class EngineArgs:
     enable_lora: bool = False
     max_loras: int = 4
     max_lora_rank: int = 16
+    # Long-context LoRA: rope scaling factors to preallocate table
+    # regions for (reference long_lora_scaling_factors); adapters
+    # declaring context_length = factor * max_position_embeddings can
+    # then be served (models/llama.py long_lora_rope_offsets).
+    long_lora_scaling_factors: Optional[Tuple[float, ...]] = None
     # Prompt adapters (soft prompts).
     enable_prompt_adapter: bool = False
     max_prompt_adapters: int = 4
@@ -81,6 +86,9 @@ class EngineArgs:
             trust_remote_code=self.trust_remote_code,
             skip_tokenizer_init=self.skip_tokenizer_init,
         )
+        if self.long_lora_scaling_factors:
+            model_config.long_lora_scaling_factors = tuple(
+                float(f) for f in self.long_lora_scaling_factors)
         cache_config = CacheConfig(
             block_size=self.block_size,
             hbm_utilization=self.hbm_utilization,

@@ -530,7 +530,11 @@ class AphroditeEngine:
     # socket protocol — engine/multiproc.py) -----------------------------
 
     def get_phase_timings(self) -> Dict[str, Any]:
-        return dict(self.phase_timings)
+        out = dict(self.phase_timings)
+        pp = getattr(self.runner, "pp_stats", None)
+        if pp and pp.get("pp_steps"):
+            out.update(pp)
+        return out
 
     def warmup(self) -> None:
         """Compile the serving program grid ahead of traffic (reference

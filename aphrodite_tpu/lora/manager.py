@@ -39,8 +39,9 @@ _TARGET_TO_PATH = {
 }
 
 
-def load_peft_adapter(path: str) -> Tuple[Dict[str, Any], int, float]:
-    """Read a PEFT LoRA checkpoint: returns (tensors, r, scaling)."""
+def load_peft_adapter(path: str
+                      ) -> Tuple[Dict[str, Any], int, float, Dict]:
+    """Read a PEFT LoRA checkpoint: (tensors, r, scaling, config)."""
     cfg_path = os.path.join(path, "adapter_config.json")
     with open(cfg_path) as f:
         cfg = json.load(f)
@@ -55,7 +56,7 @@ def load_peft_adapter(path: str) -> Tuple[Dict[str, Any], int, float]:
         for name in f.keys():
             tensors[name] = np.asarray(f.get_tensor(name),
                                        dtype=np.float32)
-    return tensors, r, scaling
+    return tensors, r, scaling, cfg
 
 
 class LoRAManager:
@@ -71,6 +72,8 @@ class LoRAManager:
         self._name_to_slot: Dict[str, int] = {}
         self._slot_to_name: Dict[int, str] = {}
         self._lru: List[int] = []  # slot ids, most recent last
+        # Per-slot long-context rope scaling factor (1.0 = plain).
+        self._slot_factor: Dict[int, float] = {}
 
         L = model.num_layers
         H = model.hidden_size
@@ -118,11 +121,31 @@ class LoRAManager:
         if slot is not None:
             self._touch(slot)
             return slot
-        tensors, r, scaling = load_peft_adapter(path)
+        tensors, r, scaling, cfg = load_peft_adapter(path)
         if r > self.max_rank:
             raise ValueError(
                 f"adapter rank {r} exceeds max_lora_rank {self.max_rank}")
+        # Long-context (LongLoRA-style) adapters declare the context
+        # they were tuned for; factor = context / base max positions
+        # (reference lora/models.py from_local_checkpoint
+        # scaling_factor). The model must have preallocated the
+        # factor's rope region (long_lora_scaling_factors).
+        factor = 1.0
+        ctx = cfg.get("context_length")
+        if ctx:
+            base_max = float(getattr(self.model, "orig_max_position",
+                                     self.model.max_position))
+            factor = float(ctx) / base_max
+            offsets = getattr(self.model, "long_lora_rope_offsets",
+                              {1.0: 0})
+            if factor > 1.0 and factor not in offsets:
+                raise ValueError(
+                    f"adapter {name!r} needs rope scaling factor "
+                    f"{factor} (context_length {ctx}); declare it in "
+                    f"long_lora_scaling_factors (have "
+                    f"{sorted(offsets)})")
         slot = self._allocate_slot()
+        self._slot_factor[slot] = factor
         # Zero the slot, then fill from the checkpoint.
         for m in self.host_A:
             self.host_A[m][:, slot] = 0.0
@@ -161,11 +184,20 @@ class LoRAManager:
                     slot)
         return slot
 
+    def rope_offsets_by_slot(self) -> List[int]:
+        """Per-slot offset into the model's appended long-context rope
+        regions (0 for plain adapters and the null slot)."""
+        offsets = getattr(self.model, "long_lora_rope_offsets",
+                          {1.0: 0})
+        return [offsets.get(self._slot_factor.get(s, 1.0), 0)
+                for s in range(self.num_slots)]
+
     def remove_adapter(self, name: str) -> bool:
         slot = self._name_to_slot.pop(name, None)
         if slot is None:
             return False
         del self._slot_to_name[slot]
+        self._slot_factor.pop(slot, None)
         if slot in self._lru:
             self._lru.remove(slot)
         for m in self.host_A:
@@ -189,16 +221,51 @@ class LoRAManager:
         self._touch(slot)
         return slot
 
-    def device_params(self, model_dtype) -> Dict[str, Any]:
-        """Stacked device arrays {module: {"A": ..., "B": ...}}."""
+    def device_params(self, model_dtype, mesh=None) -> Dict[str, Any]:
+        """Stacked device arrays {module: {"A": ..., "B": ...}}.
+
+        With a tp mesh the adapters are FULLY SHARDED like the base
+        weights (reference lora/fully_sharded_layers.py): column-wise
+        modules (wq/wk/wv/gate/up) shard B's output dim over "model";
+        row-wise modules (wo/down) shard A's input dim, so each rank
+        holds and computes only its slice of the adapter delta (the
+        [T, r] intermediate partial-sums across ranks exactly like the
+        base row-parallel matmul). Rank-r dims stay replicated."""
         if self._device_params is None:
+            import jax
             import jax.numpy as jnp
 
-            self._device_params = {
-                m: {
-                    "A": jnp.asarray(self.host_A[m], model_dtype),
-                    "B": jnp.asarray(self.host_B[m], model_dtype),
+            use_mesh = (mesh is not None
+                        and "model" in getattr(mesh, "axis_names", ())
+                        and mesh.shape.get("model", 1) > 1)
+            if use_mesh:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                tp = mesh.shape["model"]
+                self._device_params = {}
+                for m in self.host_A:
+                    a_np = self.host_A[m].astype(model_dtype)
+                    b_np = self.host_B[m].astype(model_dtype)
+                    row_wise = m in ("wo", "down")
+                    a_spec = (P(None, None, "model", None)
+                              if row_wise and a_np.shape[2] % tp == 0
+                              else P())
+                    b_spec = (P(None, None, None, "model")
+                              if not row_wise and b_np.shape[3] % tp == 0
+                              else P())
+                    self._device_params[m] = {
+                        "A": jax.device_put(
+                            a_np, NamedSharding(mesh, a_spec)),
+                        "B": jax.device_put(
+                            b_np, NamedSharding(mesh, b_spec)),
+                    }
+            else:
+                self._device_params = {
+                    m: {
+                        "A": jnp.asarray(self.host_A[m], model_dtype),
+                        "B": jnp.asarray(self.host_B[m], model_dtype),
+                    }
+                    for m in self.host_A
                 }
-                for m in self.host_A
-            }
         return self._device_params

@@ -53,3 +53,8 @@ class ForwardBatch(NamedTuple):
     # mapping / KV bookkeeping are unaffected). Reference:
     # modeling/layers/rotary_embedding.py MRotaryEmbedding.
     mrope_positions: Optional[jax.Array] = None  # i32[3, T]
+    # Long-context LoRA (reference LinearScalingRotaryEmbeddingWithLora):
+    # per-token offset into the model's appended per-factor rope-table
+    # regions. rope lookup uses positions + rope_offsets; slot mapping /
+    # KV bookkeeping keep the true positions. None = no offsets.
+    rope_offsets: Optional[jax.Array] = None  # i32[T]

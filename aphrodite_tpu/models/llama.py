@@ -164,6 +164,10 @@ class LlamaForCausalLM:
         self.rope_theta = float(hf.get("rope_theta", 10000.0))
         self.rope_scaling = hf.get("rope_scaling")
         self.max_position = model_config.max_model_len
+        # The checkpoint's trained context (long-lora factors scale
+        # relative to THIS, not the serving max_model_len).
+        self.orig_max_position = int(
+            hf.get("max_position_embeddings") or self.max_position)
         # Partial rotary (gpt-neox rotary_pct, phi partial_rotary_factor):
         # RoPE applies to the leading rotary_dim dims of each head.
         pct = float(hf.get("rotary_pct")
@@ -263,6 +267,40 @@ class LlamaForCausalLM:
             rope_scaling=self.rope_scaling,
             dtype=jnp.float32,
         )
+        # Long-context LoRA (reference lora/models.py:37 long_lora
+        # scaling + LinearScalingRotaryEmbeddingWithLora): per-factor
+        # linear-scaled rope regions appended to the base table; a
+        # request served by a long-lora adapter offsets its rope
+        # positions into its factor's region (runner rope_positions).
+        self.long_lora_rope_offsets: Dict[float, int] = {1.0: 0}
+        factors = getattr(model_config, "long_lora_scaling_factors",
+                          None)
+        if factors:
+            if self.rope_scaling:
+                raise ValueError(
+                    "long_lora_scaling_factors compose linear scaling "
+                    "over the BASE rope; the checkpoint already has "
+                    f"rope_scaling={self.rope_scaling}")
+            import numpy as _np
+
+            cos_parts, sin_parts = [self._cos], [self._sin]
+            offset = int(self._cos.shape[0])
+            for f in sorted(set(float(f) for f in factors)):
+                if f <= 1.0:
+                    continue
+                ext_len = int(round(f * self.orig_max_position))
+                c2, s2 = compute_rope_tables(
+                    self.rotary_dim, ext_len, base=self.rope_theta,
+                    rope_scaling={"type": "linear", "factor": f},
+                    dtype=jnp.float32)
+                self.long_lora_rope_offsets[f] = offset
+                offset += ext_len
+                cos_parts.append(c2)
+                sin_parts.append(s2)
+            self._cos = jnp.asarray(
+                _np.concatenate([_np.asarray(c) for c in cos_parts]))
+            self._sin = jnp.asarray(
+                _np.concatenate([_np.asarray(s) for s in sin_parts]))
 
     # ------------------------------------------------------------------
     # Params: shapes + shardings
@@ -862,8 +900,13 @@ class LlamaForCausalLM:
                 for i in range(3)
             ], axis=-1)
         else:
-            cos = self._cos[batch.positions]  # [T, D/2]
-            sin = self._sin[batch.positions]
+            rope_pos = batch.positions
+            if batch.rope_offsets is not None:
+                # Long-context LoRA: offset into the adapter factor's
+                # appended linear-scaled rope region.
+                rope_pos = rope_pos + batch.rope_offsets
+            cos = self._cos[rope_pos]  # [T, D/2]
+            sin = self._sin[rope_pos]
 
         alibi = self.alibi_slopes
         if alibi is not None and alibi.shape[0] != NH:

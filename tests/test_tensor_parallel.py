@@ -106,6 +106,12 @@ def test_pp2_microbatched_prefill_matches_pp1(tiny_dir):
     got = [o.outputs[0].token_ids for o in pp2.generate(long_prompts, sp)]
     assert pp2.engine.runner._pp_pipelined_steps > 0
     assert got == expect
+    # Per-microbatch phase stats surface through the engine (r5): step
+    # count, microbatch count (pp per step), wall time, token volume.
+    pt = pp2.engine.get_phase_timings()
+    assert pt["pp_steps"] == pp2.engine.runner._pp_pipelined_steps
+    assert pt["pp_microbatches"] == 2 * pt["pp_steps"]
+    assert pt["pp_step_s"] > 0 and pt["pp_tokens"] > 0
 
 
 def test_pp2_tp2_matches_single(tiny_dir):

@@ -1,0 +1,117 @@
+"""When does PP microbatching pay? Calibrated bubble model.
+
+One v5e chip cannot run pp=2, but the quantity that decides whether
+microbatching helps is single-stage: how a stage's per-step time
+scales when the token batch is cut into M pieces. Pipeline math:
+
+    plain pp:        T_step = pp * t(B)            (one bubble-free
+                                                    pass, stages serial
+                                                    per step)
+    microbatched:    T_step = (M + pp - 1) * t(B/M)
+
+so microbatching pays iff t(B/M) < t(B) * pp / (M + pp - 1). If the
+per-microbatch compute is MXU-row-bound (t(B/M) ~= t(B) for B/M below
+the 128-row MXU tile), the bubble win is eaten by padding waste.
+
+This tool measures t(B) on the real chip for the bench model's fused
+transformer stack at B in {32, 64, 128, 256} (bf16, per-layer device
+time), then prints the pay/no-pay table for pp in {2, 4} x M in {2, 4}.
+Output is committed to benchmarks/results/pp_microbatch.json and the
+guidance lands in docs/parity.md (VERDICT r4 weak-6 / next-8).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
+    python tools/pp_microbatch_model.py
+"""
+
+import functools
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+H, I, L = 2048, 5632, 24
+BATCHES = [32, 64, 128, 256]
+
+
+def main():
+    from aphrodite_tpu.worker.model_runner import _enable_compilation_cache
+
+    _enable_compilation_cache()
+    from tools.trace_util import trace_device_ms
+
+    rng = np.random.default_rng(0)
+    # One transformer block's matmul skeleton (qkv/o/gate-up/down),
+    # bf16 — attention omitted (it is HBM-bound and scales ~linearly
+    # with B, so it neither helps nor hurts the microbatch ratio).
+    wq = jnp.asarray(rng.standard_normal((L, H, 2 * H)) * .02,
+                     jnp.bfloat16)
+    wo = jnp.asarray(rng.standard_normal((L, H, H)) * .02, jnp.bfloat16)
+    wg = jnp.asarray(rng.standard_normal((L, H, 2 * I)) * .02,
+                     jnp.bfloat16)
+    wd = jnp.asarray(rng.standard_normal((L, I, H)) * .02, jnp.bfloat16)
+
+    times = {}
+    for B in BATCHES:
+        x0 = jnp.asarray(rng.standard_normal((B, H)) * .1, jnp.bfloat16)
+
+        def stack(x):
+            def layer(carry, l):
+                qkv = jnp.dot(carry, wq[l],
+                              preferred_element_type=jnp.float32)
+                o = jnp.dot(qkv[:, :H].astype(jnp.bfloat16), wo[l],
+                            preferred_element_type=jnp.float32)
+                gu = jnp.dot(o[:, :H].astype(jnp.bfloat16), wg[l],
+                             preferred_element_type=jnp.float32)
+                g, u = gu[:, :I], gu[:, I:]
+                d = jnp.dot((jax.nn.silu(g) * u).astype(jnp.bfloat16),
+                            wd[l], preferred_element_type=jnp.float32)
+                return d.astype(jnp.bfloat16), None
+
+            out, _ = jax.lax.scan(layer, x,
+                                  jnp.arange(L, dtype=jnp.int32))
+            return out
+
+        def many(x):
+            return jax.lax.fori_loop(
+                0, 8, lambda i, a: stack(a + x * 0), x)
+
+        f = jax.jit(many)
+        agg, _ = trace_device_ms(f, (x0,), n_calls=1)
+        total = sum(v for v in agg.values())
+        times[B] = total / (8 * L) * 1e3  # us per layer
+        print(f"B={B:4d}: {times[B]:7.1f} us/layer "
+              f"({times[B] / B * 1e3:6.1f} ns/token)", flush=True)
+
+    table = []
+    for pp in (2, 4):
+        for M in (2, 4):
+            for B in BATCHES:
+                if B // M < BATCHES[0]:
+                    continue
+                t_full = times[B]
+                t_mb = times[B // M]
+                plain = pp * t_full
+                micro = (M + pp - 1) * t_mb
+                table.append(dict(pp=pp, M=M, B=B,
+                                  plain_us=round(plain, 1),
+                                  micro_us=round(micro, 1),
+                                  speedup=round(plain / micro, 3)))
+                print(f"pp={pp} M={M} B={B:4d}: plain {plain:7.1f} "
+                      f"micro {micro:7.1f} -> x{plain / micro:.2f}")
+
+    out = dict(per_layer_us=times, model=table,
+               note="t(B) measured on v5e for the bench model's fused "
+                    "matmul stack; pipeline math in the tool docstring")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "results",
+        "pp_microbatch.json")
+    with open(path, "w") as f2:
+        json.dump(out, f2, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
