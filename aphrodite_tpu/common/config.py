@@ -213,6 +213,11 @@ class ModelConfig:
                     qc = json.load(f)
                 if "wbits" in qc:
                     self.quantization = "squeezellm"
+                elif "bits" in qc:
+                    # DeepSpeedFP side file (reference deepspeedfp.py
+                    # get_config_filenames: quant_config.json with
+                    # bits/group_size).
+                    self.quantization = "deepspeedfp"
             # QuIP# ships a side quantization_config.json with a
             # codebook key (reference quip.py get_config_filenames).
             qp_path = os.path.join(self.model, "quantization_config.json")

@@ -87,8 +87,11 @@ class EngineArgs:
             skip_tokenizer_init=self.skip_tokenizer_init,
         )
         if self.long_lora_scaling_factors:
+            factors = self.long_lora_scaling_factors
+            if isinstance(factors, str):
+                factors = [p for p in factors.split(",") if p.strip()]
             model_config.long_lora_scaling_factors = tuple(
-                float(f) for f in self.long_lora_scaling_factors)
+                float(f) for f in factors)
         cache_config = CacheConfig(
             block_size=self.block_size,
             hbm_utilization=self.hbm_utilization,
@@ -183,6 +186,9 @@ class EngineArgs:
             if "bool" in ftype:
                 parser.add_argument(name, action="store_true",
                                     default=f.default)
+            elif "Tuple" in ftype:
+                # e.g. --long-lora-scaling-factors 2.0,4.0
+                parser.add_argument(name, type=str, default=f.default)
             elif "int" in ftype:
                 parser.add_argument(name, type=int, default=f.default)
             elif "float" in ftype:

@@ -187,3 +187,85 @@ def aqlm_dequant_iterator(model_dir: str,
         else:
             yield name, arr
     logger.info("aqlm: dequantized %d additive-codebook tensors", n_deq)
+
+
+def _safetensors_raw_entries(path: str):
+    """Header dict {name: (dtype_str, shape, (start, end))} + data
+    offset — lets us read dtypes the safetensors numpy backend can't
+    (fp8)."""
+    import json as _json
+    import struct
+
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        header = _json.loads(f.read(n))
+    return header, 8 + n
+
+
+def modelopt_dequant_iterator(model_dir: str
+                              ) -> Iterable[Tuple[str, np.ndarray]]:
+    """ModelOpt FP8 checkpoints -> dense weights at load.
+
+    Format (reference quantization/modelopt.py): X.weight stored
+    fp8_e4m3fn with per-tensor X.weight_scale (f32); X.input_scale is
+    the static activation scale (dropped — our fp8 path quantizes
+    activations dynamically). The numpy safetensors backend can't map
+    F8_E4M3, so fp8 tensors read raw and view via ml_dtypes."""
+    import os as _os
+
+    import ml_dtypes
+
+    index_path = _os.path.join(model_dir, "model.safetensors.index.json")
+    if _os.path.exists(index_path):
+        import json as _json
+
+        with open(index_path) as f:
+            files = sorted(set(_json.load(f)["weight_map"].values()))
+    else:
+        files = sorted(fn for fn in _os.listdir(model_dir)
+                       if fn.endswith(".safetensors"))
+
+    # Pass 1: scales + fp8 entries from raw headers.
+    scales: Dict[str, np.ndarray] = {}
+    fp8_entries: Dict[str, Tuple[str, tuple, tuple, int]] = {}
+    for fn in files:
+        path = _os.path.join(model_dir, fn)
+        header, base = _safetensors_raw_entries(path)
+        for name, meta in header.items():
+            if name == "__metadata__":
+                continue
+            if meta["dtype"] in ("F8_E4M3", "F8_E5M2"):
+                fp8_entries[name] = (meta["dtype"],
+                                     tuple(meta["shape"]),
+                                     tuple(meta["data_offsets"]), base,
+                                     path)
+
+    n_deq = 0
+    from safetensors import safe_open
+
+    for fn in files:
+        path = _os.path.join(model_dir, fn)
+        with safe_open(path, framework="np") as f:
+            for name in f.keys():
+                if name in fp8_entries:
+                    continue  # raw-read below (np backend can't map)
+                arr = f.get_tensor(name)
+                if name.endswith(".input_scale"):
+                    continue
+                if name.endswith(".weight_scale"):
+                    scales[name] = np.asarray(arr, np.float32)
+                    continue
+                yield name, arr
+    for name, (dt, shape, (lo, hi), base, path) in fp8_entries.items():
+        with open(path, "rb") as f:
+            f.seek(base + lo)
+            raw = f.read(hi - lo)
+        ftype = (ml_dtypes.float8_e4m3fn if dt == "F8_E4M3"
+                 else ml_dtypes.float8_e5m2)
+        w = np.frombuffer(raw, dtype=ftype).reshape(shape)
+        scale = scales.get(name + "_scale")
+        sval = float(scale.reshape(-1)[0]) if scale is not None else 1.0
+        n_deq += 1
+        yield name, np.ascontiguousarray(
+            w.astype(np.float32) * sval)
+    logger.info("modelopt: dequantized %d fp8 tensors", n_deq)

@@ -459,7 +459,15 @@ def quantize_params_at_load(model, host_params: Dict[str, Any],
                             method) -> Dict[str, Any]:
     """Runtime weight quantization of a full-precision checkpoint
     (reference tpu_int8.py:93-100 pattern, generalized)."""
-    for path in model.quantizable_weights():
+    if getattr(method, "EXPERT_ONLY", False):
+        paths = getattr(model, "expert_weights", lambda: None)()
+        if not paths:
+            raise ValueError(
+                f"quantization {method.NAME!r} targets MoE expert "
+                f"weights, but {type(model).__name__} declares none")
+    else:
+        paths = model.quantizable_weights()
+    for path in paths:
         w = _get_path(host_params, path)
         _set_path(host_params, path, method.quantize_from_float(w))
         logger.info("quantized %s at load (%s)", path, method.NAME)
@@ -821,6 +829,40 @@ def load_model_params(
                     int(qcfg.get("group_size", -1)))
             host = load_hf_params_to_host(model, model_config.model,
                                           weights_iter=it)
+            return place_params_on_mesh(model, host, mesh,
+                                        jnp.dtype(model_config.dtype))
+        if quant and quant.lower() == "modelopt":
+            # ModelOpt FP8 checkpoints: fp8_e4m3 weights + per-tensor
+            # weight_scale (+ static input_scale, unused — we quantize
+            # activations dynamically). Dequantize at load, then
+            # re-quantize through our fp8 W8A8 path so serving keeps
+            # the int8/fp8 matmul perf (reference modelopt.py serves
+            # via apply_fp8_linear).
+            from aphrodite_tpu.loader.bnb import modelopt_dequant_iterator
+            from aphrodite_tpu.quantization import fp8 as fp8_mod
+
+            host = load_hf_params_to_host(
+                model, model_config.model,
+                weights_iter=modelopt_dequant_iterator(model_config.model))
+            host = quantize_params_at_load(model, host, fp8_mod)
+            return place_params_on_mesh(model, host, mesh,
+                                        jnp.dtype(model_config.dtype))
+        if quant and quant.lower() == "deepspeedfp":
+            # DeepSpeedFP quantizes a NORMAL checkpoint to fp6/fp8 at
+            # load for memory (reference deepspeedfp.py create_weights
+            # + quantizer); the eXmY rounding of our quant_llm path is
+            # the same capability (bits from quant_config.json).
+            from aphrodite_tpu.quantization import quant_llm
+
+            bits = int((qcfg or {}).get("bits", 6))
+            ebits, mbits = {4: (2, 1), 6: (3, 2), 8: (4, 3),
+                            12: (4, 7)}.get(bits, (3, 2))
+            host = load_hf_params_to_host(model, model_config.model)
+            for path in model.quantizable_weights():
+                w = _get_path(host, path)
+                _set_path(host, path,
+                          quant_llm.round_to_fpx(w, ebits, mbits,
+                                                 reduce_axis=-2))
             return place_params_on_mesh(model, host, mesh,
                                         jnp.dtype(model_config.dtype))
         if quant and (quant.lower() == "quant_llm"

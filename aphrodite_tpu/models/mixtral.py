@@ -55,6 +55,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
     def quantizable_weights(self) -> List[str]:
         return ["layers.wq", "layers.wk", "layers.wv", "layers.wo"]
 
+    def expert_weights(self) -> List[str]:
+        """MoE expert stacks (experts_int8 load-time quantization)."""
+        return ["layers.w1", "layers.w3", "layers.w2"]
+
     # ---- loading ---------------------------------------------------------
 
     def hf_param_mappings(self) -> List[Tuple[str, str, bool]]:

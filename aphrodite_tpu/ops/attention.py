@@ -398,7 +398,11 @@ def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
             soft_cap=soft_cap, k_scale=k_scale, v_scale=v_scale,
             num_kv_pages_per_block=bkv, num_queries_per_block=bq,
             blocksparse=blocksparse, bs_head_offsets=bs_head_offsets,
-            bs_on=bs_on)
+            bs_on=bs_on,
+            # The default 16M scoped-vmem cap overflows at production
+            # head counts (observed: bf16[2048, 32, 128] q/out block =
+            # 16.8M at the 8B shape); v5e has 128M physical VMEM.
+            vmem_limit_bytes=64 * 1024 * 1024)
     return rpa_kernel(
         q,
         kv_pages,
@@ -413,4 +417,5 @@ def _kernel_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
         v_scale=v_scale,
         num_kv_pages_per_block=bkv,
         num_queries_per_block=bq,
+        vmem_limit_bytes=64 * 1024 * 1024,
     )

@@ -78,6 +78,17 @@ def sparsemixer_routing(
             jnp.stack([e1, e2], axis=-1))
 
 
+def materialize_experts(w, dtype):
+    """Dense expert stack from an experts_int8 container ({q, scale})
+    or a dense array (pass-through). Dequant happens per LAYER inside
+    the model's lax.scan, so HBM holds the int8 form and only one
+    layer's experts materialize at a time (the capacity win of the
+    reference's experts_int8.py)."""
+    if isinstance(w, dict):
+        return (w["q"].astype(jnp.float32) * w["scale"]).astype(dtype)
+    return w
+
+
 def grouped_expert_mlp(
     x: jax.Array,  # [T, H]
     w1: jax.Array,  # [E, H, F]  (gate proj)
@@ -158,6 +169,9 @@ def apply_experts(
     """Grouped expert application with optional EP over the mesh (the
     routing-agnostic half of moe_mlp; deepseek's sigmoid/group router
     computes its own weights and reuses this)."""
+    w1 = materialize_experts(w1, x.dtype)
+    w3 = materialize_experts(w3, x.dtype)
+    w2 = materialize_experts(w2, x.dtype)
     if mesh is None:
         return grouped_expert_mlp(x, w1, w3, w2, weights, expert_ids)
 

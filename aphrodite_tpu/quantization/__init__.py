@@ -21,8 +21,15 @@ def get_quantization_method(name: Optional[str]):
     if name is None:
         return None
     name = name.lower()
-    if name in ("int8", "tpu_int8"):
+    if name in ("int8", "tpu_int8", "eetq"):
+        # eetq is int8 weight-only quantized AT LOAD from a normal
+        # checkpoint (reference eetq.py quantizes via the EETQ lib);
+        # per-channel int8 at load is the same capability here.
         from aphrodite_tpu.quantization import int8 as m
+
+        return m
+    if name == "experts_int8":
+        from aphrodite_tpu.quantization import experts_int8 as m
 
         return m
     if name in ("fp8", "fbgemm_fp8"):
@@ -31,7 +38,8 @@ def get_quantization_method(name: Optional[str]):
         return m
     if name in ("bitsandbytes", "squeezellm", "aqlm", "hqq", "qqq",
                 "marlin", "gptq_marlin_24", "quant_llm", "fp2", "fp3",
-                "fp4", "fp5", "fp6", "fp7", "quip"):
+                "fp4", "fp5", "fp6", "fp7", "quip", "modelopt",
+                "deepspeedfp"):
         # Handled entirely by the loader (dequantize-at-load or
         # quantize-at-load); no runtime quant method.
         return None

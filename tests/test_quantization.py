@@ -273,3 +273,176 @@ def test_w4a8_quantization_error_bounded():
     a8 = np.asarray(int4p_matmul_w4a8_ref(x, q4p, s, z, G))
     rel = np.abs(a8 - a16).max() / (np.abs(a16).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_experts_int8_mixtral_close(tmp_path):
+    """experts_int8 (reference quantization/experts_int8.py): MoE
+    expert stacks quantize to int8 containers at load; generation
+    stays close to the f32 engine and the expert leaves are int8."""
+    import transformers as tf
+
+    from tests.utils import make_tiny_checkpoint
+
+    kw = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+              num_hidden_layers=2, num_attention_heads=4,
+              num_key_value_heads=2, max_position_embeddings=128,
+              tie_word_embeddings=False, num_local_experts=4,
+              num_experts_per_tok=2)
+    model_dir = str(tmp_path / "mixtral8")
+    make_tiny_checkpoint(model_dir, tf.MixtralConfig(**kw))
+
+    from aphrodite_tpu import LLM, SamplingParams
+
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    base = LLM(model=model_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8)
+    prompt = base.get_tokenizer().encode("the quick brown fox")
+    expect = base.generate(prompt_token_ids=[prompt],
+                           sampling_params=sp)[0].outputs[0].token_ids
+    del base
+
+    qllm = LLM(model=model_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=128, block_size=8,
+               quantization="experts_int8")
+    layers = qllm.engine.runner.params["layers"]
+    w1 = layers["w1"]
+    assert isinstance(w1, dict) and str(w1["q"].dtype) == "int8"
+    # Everything non-expert stays dense (attention may be fused qkv).
+    for k, v in layers.items():
+        if k not in ("w1", "w2", "w3"):
+            assert not isinstance(v, dict), k
+    got = qllm.generate(prompt_token_ids=[prompt],
+                        sampling_params=sp)[0].outputs[0].token_ids
+    agree = sum(a == b for a, b in zip(got, expect))
+    assert agree >= 9, (got, expect)
+
+
+def test_eetq_aliases_int8(tmp_path):
+    """eetq = int8 weight-only quantized at load (reference eetq.py);
+    token-identical to quantization='int8'."""
+    from tests.utils import make_tiny_llama_checkpoint
+
+    model_dir = str(tmp_path / "tl")
+    make_tiny_llama_checkpoint(model_dir)
+    from aphrodite_tpu import LLM, SamplingParams
+
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    a = LLM(model=model_dir, dtype="float32", max_num_seqs=2,
+            num_device_blocks_override=64, block_size=8,
+            quantization="int8")
+    prompt = a.get_tokenizer().encode("hello world")
+    expect = a.generate(prompt_token_ids=[prompt],
+                        sampling_params=sp)[0].outputs[0].token_ids
+    del a
+    b = LLM(model=model_dir, dtype="float32", max_num_seqs=2,
+            num_device_blocks_override=64, block_size=8,
+            quantization="eetq")
+    got = b.generate(prompt_token_ids=[prompt],
+                     sampling_params=sp)[0].outputs[0].token_ids
+    assert got == expect
+
+
+def test_modelopt_fp8_checkpoint(tmp_path):
+    """ModelOpt FP8 checkpoints (fp8_e4m3 weights + per-tensor
+    weight_scale + static input_scale): dequantize at load and serve
+    through the fp8 W8A8 path; close to the f32 baseline."""
+    import json
+    import os
+    import shutil
+
+    import ml_dtypes
+    import safetensors.numpy as stnp
+
+    from aphrodite_tpu.loader.weights import safetensors_weight_iterator
+    from tests.utils import make_tiny_llama_checkpoint
+
+    src = str(tmp_path / "f32src")
+    make_tiny_llama_checkpoint(src)
+    dst = str(tmp_path / "modelopt")
+    shutil.copytree(src, dst)
+    tensors = {}
+    for name, arr in safetensors_weight_iterator(src):
+        w = np.asarray(arr, np.float32)
+        is_proj = (name.endswith(".weight") and w.ndim == 2
+                   and ("self_attn" in name or "mlp" in name))
+        if not is_proj:
+            tensors[name] = w
+            continue
+        scale = float(np.abs(w).max() / 448.0 + 1e-12)
+        wq = (w / scale).astype(ml_dtypes.float8_e4m3fn)
+        tensors[name] = wq
+        tensors[name + "_scale"] = np.asarray(scale, np.float32)
+        tensors[name[:-len(".weight")] + ".input_scale"] = np.asarray(
+            1.0, np.float32)
+    stnp.save_file(tensors, os.path.join(dst, "model.safetensors"))
+    cfg_path = os.path.join(dst, "config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["quantization_config"] = {"quant_method": "modelopt"}
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    # Exact oracle: a twin checkpoint holding the DEQUANTIZED dense
+    # weights served through the same fp8 W8A8 runtime path must be
+    # token-identical (isolates the modelopt format parsing from fp8
+    # numerics).
+    from aphrodite_tpu.loader.bnb import modelopt_dequant_iterator
+
+    twin = str(tmp_path / "twin")
+    shutil.copytree(src, twin)
+    stnp.save_file(
+        {k: np.ascontiguousarray(np.asarray(v, np.float32))
+         for k, v in modelopt_dequant_iterator(dst)},
+        os.path.join(twin, "model.safetensors"))
+
+    from aphrodite_tpu import LLM, SamplingParams
+
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    base = LLM(model=twin, dtype="float32", max_num_seqs=2,
+               num_device_blocks_override=64, block_size=8,
+               quantization="fp8")
+    prompt = base.get_tokenizer().encode("the quick brown fox")
+    expect = base.generate(prompt_token_ids=[prompt],
+                           sampling_params=sp)[0].outputs[0].token_ids
+    del base
+    q = LLM(model=dst, dtype="float32", max_num_seqs=2,
+            num_device_blocks_override=64, block_size=8)
+    assert q.engine.model_config.quantization == "modelopt"
+    got = q.generate(prompt_token_ids=[prompt],
+                     sampling_params=sp)[0].outputs[0].token_ids
+    assert got == expect
+
+
+def test_deepspeedfp_side_config(tmp_path):
+    """DeepSpeedFP: quant_config.json {bits, group_size} beside a
+    normal checkpoint -> fpX rounding at load (capability of the
+    reference's load-time quantizer); engine output close to f32."""
+    import json
+    import os
+    import shutil
+
+    from tests.utils import make_tiny_llama_checkpoint
+
+    src = str(tmp_path / "f32ds")
+    make_tiny_llama_checkpoint(src)
+    dst = str(tmp_path / "ds")
+    shutil.copytree(src, dst)
+    with open(os.path.join(dst, "quant_config.json"), "w") as f:
+        json.dump({"bits": 8, "group_size": 64}, f)
+
+    from aphrodite_tpu import LLM, SamplingParams
+
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    base = LLM(model=src, dtype="float32", max_num_seqs=2,
+               num_device_blocks_override=64, block_size=8)
+    prompt = base.get_tokenizer().encode("hello world this is")
+    expect = base.generate(prompt_token_ids=[prompt],
+                           sampling_params=sp)[0].outputs[0].token_ids
+    del base
+    q = LLM(model=dst, dtype="float32", max_num_seqs=2,
+            num_device_blocks_override=64, block_size=8)
+    assert q.engine.model_config.quantization == "deepspeedfp"
+    got = q.generate(prompt_token_ids=[prompt],
+                     sampling_params=sp)[0].outputs[0].token_ids
+    agree = sum(a == b for a, b in zip(got, expect))
+    assert agree >= 9, (got, expect)
