@@ -124,6 +124,10 @@ def int4_matmul_pallas(x, q4, scale, zero, group: int,
         scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Large-model tiles (8B: bt=256/bn=1024 f32 out blocks +
+            # dequantized bf16 planes) exceed the 16M default scoped-
+            # vmem cap; v5e has 128M physical.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * N * K,
@@ -209,6 +213,10 @@ def int4_matmul_pallas_groupwise(x, q4, scale, zero, group: int,
         scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Large-model tiles (8B: bt=256/bn=1024 f32 out blocks +
+            # dequantized bf16 planes) exceed the 16M default scoped-
+            # vmem cap; v5e has 128M physical.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * N * K,
@@ -491,6 +499,10 @@ def int4p_matmul_w4a8_pallas(x, q4p, scale, zero, group: int,
         out_shape=jax.ShapeDtypeStruct((T, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Large-model tiles (8B: bt=256/bn=1024 f32 out blocks +
+            # dequantized bf16 planes) exceed the 16M default scoped-
+            # vmem cap; v5e has 128M physical.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * N * K,
@@ -601,6 +613,10 @@ def int4p_matmul_pallas(x, q4p, scale, zero, group: int,
         out_shape=jax.ShapeDtypeStruct((T, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Large-model tiles (8B: bt=256/bn=1024 f32 out blocks +
+            # dequantized bf16 planes) exceed the 16M default scoped-
+            # vmem cap; v5e has 128M physical.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * N * K,
@@ -725,6 +741,10 @@ def int4_matmul_pallas_stacked(x, q4, scale, zero, group: int,
         out_shape=jax.ShapeDtypeStruct((T, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Large-model tiles (8B: bt=256/bn=1024 f32 out blocks +
+            # dequantized bf16 planes) exceed the 16M default scoped-
+            # vmem cap; v5e has 128M physical.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * N * K,

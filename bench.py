@@ -184,15 +184,21 @@ def run_variants(on_tpu: bool) -> None:
             continue
         results[name] = {"tok_per_s": round(toks, 1)}
         print(f"variant {name}: {toks:.1f} tok/s", file=sys.stderr)
+    shape = ("8B llama-3.1-shaped (4096h/32L/GQA-8/128k vocab)"
+             if os.environ.get("APHRODITE_BENCH_SHAPE") == "8b"
+             else "1.4B llama-shaped")
     out = {
-        "config": ("1.4B llama-shaped, batch 128, prompt 128, decode 128,"
-                   " 1 chip" if on_tpu else "cpu smoke shape"),
+        "config": (f"{shape}, batch 128, prompt 128, decode 128, 1 chip"
+                   if on_tpu else "cpu smoke shape"),
         "unit": "tok/s/chip",
         "on_tpu": on_tpu,
         "results": results,
     }
+    fname = ("variants_8b.json"
+             if os.environ.get("APHRODITE_BENCH_SHAPE") == "8b"
+             else "variants.json")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "benchmarks", "results", "variants.json")
+                        "benchmarks", "results", fname)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
