@@ -114,6 +114,9 @@ class KoboldServer:
             final = None
             async for out in stream:
                 final = out
+            if final is not None and final.error:
+                return web.json_response({"detail": final.error},
+                                         status=400)
         except Exception as e:
             return web.json_response({"detail": str(e)}, status=400)
         results = [{"text": c.text} for c in final.outputs]
