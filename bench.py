@@ -171,16 +171,38 @@ VARIANTS = [
 
 
 def run_variants(on_tpu: bool) -> None:
-    """Measure every quant/KV variant in ONE session and commit the
-    numbers to benchmarks/results/variants.json (VERDICT r2 weak-2: perf
-    claims must live in a tracked artifact, not commit messages)."""
+    """Measure every quant/KV variant and commit the numbers to
+    benchmarks/results/variants*.json (VERDICT r2 weak-2: perf claims
+    must live in a tracked artifact, not commit messages).
+
+    Each variant runs in its OWN SUBPROCESS: a failing config (e.g. 8B
+    bf16 weights exceed one v5e's HBM) must not poison device memory
+    for the configs after it."""
+    import subprocess
+
     results = {}
     for name, quant, kv in VARIANTS:
+        env = dict(os.environ)
+        if quant:
+            env["APHRODITE_BENCH_QUANT"] = quant
+        else:
+            env.pop("APHRODITE_BENCH_QUANT", None)
+        env["APHRODITE_BENCH_KV"] = kv
         try:
-            toks = run_once(quant, kv, on_tpu)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=3000)
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            payload = json.loads(line)
+            if r.returncode != 0 or "error" in payload:
+                raise RuntimeError(payload.get(
+                    "error", r.stderr.strip().splitlines()[-1:]))
+            toks = float(payload["value"])
         except Exception as e:  # noqa: BLE001
-            results[name] = {"error": f"{type(e).__name__}: {e}"}
-            print(f"variant {name}: FAILED {e}", file=sys.stderr)
+            msg = str(e)
+            results[name] = {"error": f"{type(e).__name__}: {msg[:300]}"}
+            print(f"variant {name}: FAILED {msg[:300]}", file=sys.stderr)
             continue
         results[name] = {"tok_per_s": round(toks, 1)}
         print(f"variant {name}: {toks:.1f} tok/s", file=sys.stderr)

@@ -260,9 +260,11 @@ def test_async_fsm_slow_build_does_not_stall_other_requests(
                 done[out.request_id] = time.monotonic() - t0
         assert time.monotonic() - t0 < 30.0
     assert "plain-r5" in done and "guided-r5" in done
-    # The plain request finished while the FSM was still compiling.
-    assert done["plain-r5"] < 1.0, done
-    assert done["guided-r5"] >= 1.0, done
+    # The plain request finished while the FSM was still compiling
+    # (slack below the 1.2s build sleep absorbs CI load jitter).
+    assert done["plain-r5"] < 1.1, done
+    assert done["guided-r5"] >= 1.2, done
+    assert done["plain-r5"] < done["guided-r5"]
 
 
 def test_async_fsm_build_failure_surfaces_as_request_error(
