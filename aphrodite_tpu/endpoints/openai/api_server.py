@@ -111,6 +111,8 @@ class OpenAIServer:
         app.router.add_get("/", self.root)
         app.router.add_get("/.well-known/serviceinfo", self.serviceinfo)
         app.router.add_post("/v1/soft_prompt/load", self.load_soft_prompt)
+        app.router.add_post("/v1/soft_prompt/unload",
+                            self.unload_soft_prompt)
         app.router.add_post("/v1/lora/load", self.load_lora)
         app.router.add_post("/v1/lora/unload", self.unload_lora)
         app.router.add_post("/v1/model/load", self.load_model)
@@ -447,6 +449,22 @@ class OpenAIServer:
         except Exception as e:
             return _error(str(e), status=500, err_type="internal_error")
         return web.json_response({"status": "ok", "loaded": name})
+
+    async def unload_soft_prompt(self,
+                                 request: web.Request) -> web.Response:
+        """Admin route (reference /v1/soft_prompt/unload): frees the
+        adapter's slot for reuse; requests naming it then 404."""
+        denied = self._check_admin(request)
+        if denied is not None:
+            return denied
+        try:
+            body = await request.json()
+            name = body.get("soft_prompt_name", body.get("name"))
+            assert name
+        except Exception as e:
+            return _error(str(e))
+        removed = await self._eng("unload_soft_prompt", name)
+        return web.json_response({"status": "ok", "removed": removed})
 
     async def unload_lora(self, request: web.Request) -> web.Response:
         denied = self._check_admin(request)

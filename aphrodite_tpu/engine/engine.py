@@ -614,6 +614,18 @@ class AphroditeEngine:
                     f"soft prompt {name!r} failed to load on one or "
                     "more follower hosts; rolled back pod-wide")
 
+    def unload_soft_prompt(self, name: str) -> bool:
+        """Free a soft-prompt slot (reference /v1/soft_prompt/unload)."""
+        pam = self.runner.prompt_adapter_manager
+        if pam is None:
+            return False
+        removed = pam.unload(name)
+        if removed and self.runner._multihost:
+            from aphrodite_tpu.parallel import multihost
+
+            multihost.primary_broadcast_padapt(name, -1, None)
+        return removed
+
     def soft_prompt_slots(self) -> Dict[str, int]:
         pam = self.runner.prompt_adapter_manager
         return {} if pam is None else dict(pam._name_to_slot)

@@ -420,6 +420,12 @@ def run_follower(engine_config) -> None:
             continue
         if op == OP_PADAPT:
             name, adapter_id, path = payload
+            if path is None:
+                # Admin unload: free the slot on every host.
+                pam = runner.prompt_adapter_manager
+                if pam is not None:
+                    pam.unload(name)
+                continue
             ok = True
             try:
                 from aphrodite_tpu.prompt_adapter.request import (

@@ -53,6 +53,10 @@ class PromptAdapterManager:
         if len(self._name_to_slot) >= self.max_adapters:
             raise ValueError(
                 f"prompt-adapter slots exhausted ({self.max_adapters})")
+        # First free slot (unload returns slots for reuse).
+        free = [s for s in range(self.max_adapters)
+                if s not in self._name_to_slot.values()]
+        slot = free[0]
         from safetensors import safe_open
 
         st = os.path.join(request.prompt_adapter_local_path,
@@ -69,7 +73,6 @@ class PromptAdapterManager:
             raise ValueError(
                 f"adapter has {emb.shape[0]} virtual tokens > "
                 f"max_virtual_tokens {self.max_virtual}")
-        slot = len(self._name_to_slot)
         self._name_to_slot[name] = slot
         self._slot_len[slot] = emb.shape[0]
         rows = self.slot_rows(slot)
@@ -83,18 +86,13 @@ class PromptAdapterManager:
         return params
 
     def unload(self, name: str) -> bool:
-        """Free an adapter's slot (its embed rows stay until the slot
-        is overwritten by the next load). Used for pod-wide rollback of
-        a partially-failed multi-host load; only the most recently
-        loaded adapter can be unloaded (slots allocate densely)."""
-        slot = self._name_to_slot.get(name)
+        """Free an adapter's slot for reuse (its embed rows stay until
+        the next load overwrites them — requests naming the adapter
+        fail with 'not loaded' immediately). Serves the reference's
+        /v1/soft_prompt/unload route and the multi-host rollback."""
+        slot = self._name_to_slot.pop(name, None)
         if slot is None:
             return False
-        if slot != len(self._name_to_slot) - 1:
-            raise ValueError(
-                "only the most recently loaded prompt adapter can be "
-                "unloaded")
-        del self._name_to_slot[name]
         self._slot_len.pop(slot, None)
         return True
 

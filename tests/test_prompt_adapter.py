@@ -83,3 +83,37 @@ def test_prompt_adapter_disabled_rejects(setup):
             "x", prompt="hi", sampling_params=SamplingParams(max_tokens=2),
             prompt_adapter_request=PromptAdapterRequest("t", 1,
                                                         adapter_dir))
+
+
+def test_soft_prompt_unload_and_slot_reuse(setup):
+    """r5: /v1/soft_prompt/unload semantics — unload frees the slot,
+    requests naming the adapter fail, and a reload reuses the slot
+    with identical outputs."""
+    base_dir, adapter_dir = setup
+    llm = LLM(model=base_dir, dtype="float32",
+              enable_prompt_adapter=True, max_prompt_adapters=1,
+              max_prompt_adapter_token=16, max_num_seqs=4,
+              num_device_blocks_override=128, block_size=8)
+    eng = llm.engine
+    eng.load_soft_prompt("tune", adapter_dir)
+    assert "tune" in eng.soft_prompt_slots()
+    assert eng.unload_soft_prompt("tune")
+    assert "tune" not in eng.soft_prompt_slots()
+    assert not eng.unload_soft_prompt("tune")  # idempotent
+
+    # Slot budget was 1: reload must succeed (slot reused).
+    eng.load_soft_prompt("tune2", adapter_dir)
+    assert eng.soft_prompt_slots() == {"tune2": 0}
+
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    req = PromptAdapterRequest("tune2", 2, adapter_dir)
+    eng.add_request("pa-r", prompt="hello", sampling_params=sp,
+                    prompt_adapter_request=req)
+    got = {}
+    while eng.has_unfinished_requests():
+        for out in eng.step():
+            if out.finished:
+                got[out.request_id] = out.outputs[0].token_ids
+    ids = llm.get_tokenizer().encode("hello")
+    expect = hf_soft_prompt_greedy(base_dir, adapter_dir, ids, 6)
+    assert got["pa-r"] == expect
