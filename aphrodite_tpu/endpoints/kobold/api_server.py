@@ -57,6 +57,7 @@ class KoboldServer:
         self.model_name = served_model_name
 
     def add_routes(self, app: web.Application) -> None:
+        self._gen_cache = {}
         app.router.add_post("/api/v1/generate", self.generate)
         app.router.add_get("/api/v1/model", self.model)
         app.router.add_get("/api/v1/info/version", self.version)
@@ -68,6 +69,10 @@ class KoboldServer:
                             self.generate_stream)
         app.router.add_post("/api/extra/tokencount", self.tokencount)
         app.router.add_post("/api/extra/abort", self.abort)
+        app.router.add_post("/api/extra/generate/check",
+                            self.generate_check)
+        app.router.add_get("/api/extra/generate/check",
+                           self.generate_check)
 
     async def model(self, request: web.Request) -> web.Response:
         return web.json_response({"result": f"aphrodite/{self.model_name}"})
@@ -95,6 +100,19 @@ class KoboldServer:
         ids = self.tokenizer.encode(body.get("prompt", ""))
         return web.json_response({"value": len(ids), "ids": ids})
 
+    async def generate_check(self,
+                             request: web.Request) -> web.Response:
+        """Poll in-progress output for a genkey (reference
+        kobold /generate/check: clients poll while a non-stream
+        generate runs)."""
+        text = ""
+        try:
+            body = await request.json()
+            text = self._gen_cache.get(body.get("genkey", ""), "")
+        except Exception:
+            pass
+        return web.json_response({"results": [{"text": text}]})
+
     async def abort(self, request: web.Request) -> web.Response:
         body = await request.json()
         genkey = body.get("genkey")
@@ -112,8 +130,13 @@ class KoboldServer:
             stream = await self.async_engine.add_request(
                 rid, prompt=prompt, sampling_params=sp)
             final = None
+            genkey = body.get("genkey")
             async for out in stream:
                 final = out
+                if genkey and out.outputs:
+                    self._gen_cache[genkey] = out.outputs[0].text
+            if genkey:
+                self._gen_cache.pop(genkey, None)
             if final is not None and final.error:
                 return web.json_response({"detail": final.error},
                                          status=400)
@@ -136,13 +159,18 @@ class KoboldServer:
         stream = await self.async_engine.add_request(
             rid, prompt=prompt, sampling_params=sp)
         sent = 0
+        genkey = body.get("genkey")
         async for out in stream:
             text = out.outputs[0].text
+            if genkey:
+                self._gen_cache[genkey] = text
             delta = text[sent:]
             sent = len(text)
             if delta:
                 payload = json.dumps({"token": delta})
                 await response.write(
                     f"event: message\ndata: {payload}\n\n".encode())
+        if genkey:
+            self._gen_cache.pop(genkey, None)
         await response.write_eof()
         return response
