@@ -121,6 +121,13 @@ class LoRAManager:
         if slot is not None:
             self._touch(slot)
             return slot
+        if os.environ.get("APHRODITE_TPU_TEST_LORA_FAIL") == name:
+            # Test hook (multi-host pod-atomic rollback): simulates a
+            # host-local load failure, e.g. non-shared adapter storage
+            # (the APHRODITE_TPU_TEST_ENABLE_ARTIFICIAL_PREEMPT
+            # pattern).
+            raise RuntimeError(
+                f"test hook: simulated LoRA load failure for {name!r}")
         tensors, r, scaling, cfg = load_peft_adapter(path)
         if r > self.max_rank:
             raise ValueError(

@@ -456,3 +456,107 @@ def test_two_process_guided_and_procs_match_single_process(tiny_dir):
     assert tok_line, p_out
     got = json.loads(tok_line[0][len("TOKENS="):])
     assert got == expect
+
+
+_PRIMARY_LORA_FAIL = """
+import json, sys
+from aphrodite_tpu import LLM, SamplingParams
+
+llm = LLM(model=sys.argv[1], dtype="float32", max_num_seqs=4,
+          num_device_blocks_override=96, block_size=8,
+          tensor_parallel_size=4, enable_lora=True, max_loras=2,
+          max_lora_rank=8)
+# Admin add of an adapter whose path only exists on THIS host: the
+# follower's load fails -> pod-atomic rollback -> the admin call errors
+# and the adapter is NOT registered anywhere.
+try:
+    llm.engine.add_lora("ghost", sys.argv[2])
+    print("ADD_RESULT=ok", flush=True)
+except ValueError as e:
+    print("ADD_RESULT=rolled_back:" + str(e)[:60], flush=True)
+print("LORAS=" + json.dumps(llm.engine.list_loras()), flush=True)
+# The pod must still serve normally afterwards (no wedge, no desync).
+sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+outs = llm.generate(["the quick brown fox"], sp)
+print("TOKENS=" + json.dumps(outs[0].outputs[0].token_ids), flush=True)
+"""
+
+_FOLLOWER_LORA_FAIL = """
+import sys
+from aphrodite_tpu.engine.args import EngineArgs
+from aphrodite_tpu.parallel import multihost
+
+multihost.maybe_initialize()
+args = EngineArgs(model=sys.argv[1], dtype="float32", max_num_seqs=4,
+                  num_device_blocks_override=96, block_size=8,
+                  tensor_parallel_size=4, skip_tokenizer_init=True,
+                  enable_lora=True, max_loras=2, max_lora_rank=8)
+multihost.run_follower(args.create_engine_config())
+print("FOLLOWER_DONE", flush=True)
+"""
+
+
+def test_two_process_lora_load_failure_rolls_back_pod_wide(
+        lora_setup, tmp_path):
+    """Advisor r4: a follower-side adapter load failure must NOT leave
+    the pod serving with diverged adapter state. The all-gathered
+    success flag rolls the load back on every host, the admin call
+    errors, and the pod keeps serving base traffic token-exactly."""
+    import shutil
+
+    tiny_dir, lora_adapter = lora_setup
+    # An adapter path readable by the primary but NOT by the follower:
+    # copy it, then make the follower fail by pointing the follower at
+    # the same path and DELETING it after the primary has cached...
+    # simpler: primary loads from a path we delete the safetensors
+    # from AFTER... Deterministic approach: give the primary a path
+    # whose adapter_model.safetensors is REPLACED by a directory on
+    # disk-read — instead simulate via a path that only the primary
+    # can parse is impossible on one filesystem, so use an adapter
+    # with a CORRUPT safetensors file: the PRIMARY validates first and
+    # raises locally without broadcasting; that exercises the local-
+    # first guard. To exercise the FOLLOWER failure path, the follower
+    # env points APHRODITE_TPU_TEST_LORA_FAIL at the adapter name.
+    bad_dir = str(tmp_path / "ghost_adapter")
+    shutil.copytree(lora_adapter, bad_dir)
+
+    from aphrodite_tpu import LLM, SamplingParams
+
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    base = LLM(model=tiny_dir, dtype="float32", max_num_seqs=4,
+               num_device_blocks_override=96, block_size=8,
+               tensor_parallel_size=4)
+    expect = base.generate(["the quick brown fox"],
+                           sp)[0].outputs[0].token_ids
+    del base
+
+    port = _free_port()
+    env_f = _env(1, port)
+    env_f["APHRODITE_TPU_TEST_LORA_FAIL"] = "ghost"
+    primary = subprocess.Popen(
+        [sys.executable, "-c", _PRIMARY_LORA_FAIL, tiny_dir, bad_dir],
+        env=_env(0, port), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    follower = subprocess.Popen(
+        [sys.executable, "-c", _FOLLOWER_LORA_FAIL, tiny_dir],
+        env=env_f, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        p_out, _ = primary.communicate(timeout=600)
+        f_out, _ = follower.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        primary.kill()
+        follower.kill()
+        p_out = primary.communicate()[0]
+        f_out = follower.communicate()[0]
+        pytest.fail(f"rollback run timed out.\nPRIMARY:\n{p_out}\n"
+                    f"FOLLOWER:\n{f_out}")
+    assert primary.returncode == 0, f"primary failed:\n{p_out}"
+    assert follower.returncode == 0, f"follower failed:\n{f_out}"
+    assert "ADD_RESULT=rolled_back" in p_out, p_out
+    lora_line = [ln for ln in p_out.splitlines()
+                 if ln.startswith("LORAS=")][0]
+    assert json.loads(lora_line[len("LORAS="):]) == []
+    tok_line = [ln for ln in p_out.splitlines()
+                if ln.startswith("TOKENS=")][0]
+    assert json.loads(tok_line[len("TOKENS="):]) == expect
