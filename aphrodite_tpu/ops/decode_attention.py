@@ -703,3 +703,91 @@ def paged_decode_attention_sharded(
     num = (w * accs).sum(axis=0)  # [S, QH, D] (w broadcasts over D)
     out = num / jnp.where(l_tot == 0.0, 1.0, l_tot)
     return out.astype(q.dtype)
+
+
+def _partial_ragged_ref(q, kv_pages, kv_lens, page_indices, cu_q_lens,
+                        *, sm_scale: float):
+    """Flash partials of RAGGED (prefill) attention over LOCAL pages
+    (-1 = remote): row i of sequence s attends positions
+    < kv_len_s - q_len_s + i + 1 (the ragged kernel's causal rule).
+    Returns (acc [T, QH, D], m [T, QH, 1], l [T, QH, 1]) — the prefill
+    half of sharded-KV context parallelism; merge is identical to the
+    decode case (merge_attention_partials)."""
+    T, QH, D = q.shape
+    P, ps, CKV, _ = kv_pages.shape
+    KV = CKV // 2
+    QG = QH // KV
+    S, pps = page_indices.shape
+    live = page_indices >= 0  # [S, pps]
+    g = kv_pages[jnp.clip(page_indices, 0, P - 1)]  # [S, pps, ps, CKV, D]
+    k = jnp.repeat(g[..., 0::2, :].astype(jnp.float32), QG, axis=3)
+    v = jnp.repeat(g[..., 1::2, :].astype(jnp.float32), QG, axis=3)
+    #
+
+    # Row metadata: seq id + in-seq row index per flat token.
+    tok = jnp.arange(T)
+    seq_of = jnp.searchsorted(cu_q_lens, tok, side="right") - 1
+    seq_of = jnp.clip(seq_of, 0, S - 1)
+    row_in_seq = tok - cu_q_lens[seq_of]
+    q_len = cu_q_lens[seq_of + 1] - cu_q_lens[seq_of]
+    limit = kv_lens[seq_of] - q_len + row_in_seq + 1  # [T]
+
+    qf = q.astype(jnp.float32) * sm_scale
+    kq = k[seq_of]  # [T, pps, ps, QH, D]
+    scores = jnp.einsum("thd,tjshd->thjs", qf, kq)  # [T, QH, pps, ps]
+    pos = (jnp.arange(pps)[:, None] * ps + jnp.arange(ps)[None, :])
+    valid = ((pos[None] < limit[:, None, None])
+             & live[seq_of][:, :, None])  # [T, pps, ps]
+    scores = jnp.where(valid[:, None], scores, -jnp.inf)
+    flat = scores.reshape(T, QH, pps * ps)
+    m = flat.max(axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, -3.0e38)
+    p = jnp.where(jnp.isfinite(flat), jnp.exp(flat - m), 0.0)
+    l = p.sum(axis=-1, keepdims=True)
+    vq = v[seq_of].reshape(T, pps * ps, QH, D)
+    acc = jnp.einsum("thn,tnhd->thd", p, vq)
+    return acc, m, l
+
+
+def merge_attention_partials(accs, ms, ls, out_dtype):
+    """Merge flash partials gathered over shards: accs [R, ..., D],
+    ms/ls [R, ..., 1] -> normalized output [..., D]."""
+    m_star = ms.max(axis=0)
+    w = jnp.exp(ms - m_star)
+    l_tot = (w * ls).sum(axis=0)
+    num = (w * accs).sum(axis=0)
+    return (num / jnp.where(l_tot == 0.0, 1.0, l_tot)).astype(out_dtype)
+
+
+def ragged_paged_attention_sharded(
+    q: jax.Array,  # [T, QH, D] flat prefill token stream
+    kv_pages_local: jax.Array,
+    kv_lens: jax.Array,  # i32[S] GLOBAL post-chunk kv length
+    page_indices: jax.Array,  # i32[S, pps] GLOBAL page ids
+    cu_q_lens: jax.Array,  # i32[S+1]
+    num_seqs: jax.Array,
+    *,
+    axis_name: str,
+    pages_per_shard: int,
+    sm_scale: float = 1.0,
+) -> jax.Array:
+    """Prefill attention over cp-SHARDED KV pages (inside shard_map).
+
+    Same map-reduce merge as the decode op; the gathered partials are
+    [cp, T, QH, D + 2] — for prefill chunks this is small next to the
+    per-shard KV reads each shard already performs locally. The Pallas
+    partial-stats kernel for the ragged case is round-6 work; this jnp
+    path defines the semantics and serves the virtual-mesh tests."""
+    del num_seqs
+    rank = lax.axis_index(axis_name)
+    lo = rank * pages_per_shard
+    in_range = jnp.logical_and(page_indices >= lo,
+                               page_indices < lo + pages_per_shard)
+    local_idx = jnp.where(in_range, page_indices - lo, -1)
+    acc, m, l = _partial_ragged_ref(q, kv_pages_local, kv_lens,
+                                    local_idx, cu_q_lens,
+                                    sm_scale=sm_scale)
+    accs = lax.all_gather(acc, axis_name)
+    ms = lax.all_gather(m, axis_name)
+    ls = lax.all_gather(l, axis_name)
+    return merge_attention_partials(accs, ms, ls, q.dtype)
