@@ -46,18 +46,23 @@ def main():
     # One transformer block's matmul skeleton (qkv/o/gate-up/down),
     # bf16 — attention omitted (it is HBM-bound and scales ~linearly
     # with B, so it neither helps nor hurts the microbatch ratio).
-    wq = jnp.asarray(rng.standard_normal((L, H, 2 * H)) * .02,
-                     jnp.bfloat16)
-    wo = jnp.asarray(rng.standard_normal((L, H, H)) * .02, jnp.bfloat16)
-    wg = jnp.asarray(rng.standard_normal((L, H, 2 * I)) * .02,
-                     jnp.bfloat16)
-    wd = jnp.asarray(rng.standard_normal((L, I, H)) * .02, jnp.bfloat16)
+    # device_put ONCE and pass as jit ARGUMENTS: closure-captured
+    # weights would be re-embedded as constants in every per-B program
+    # (4 x 2.26 GB re-uploads through the device relay).
+    wq = jax.device_put(jnp.asarray(
+        rng.standard_normal((L, H, 2 * H)) * .02, jnp.bfloat16))
+    wo = jax.device_put(jnp.asarray(
+        rng.standard_normal((L, H, H)) * .02, jnp.bfloat16))
+    wg = jax.device_put(jnp.asarray(
+        rng.standard_normal((L, H, 2 * I)) * .02, jnp.bfloat16))
+    wd = jax.device_put(jnp.asarray(
+        rng.standard_normal((L, I, H)) * .02, jnp.bfloat16))
 
     times = {}
     for B in BATCHES:
         x0 = jnp.asarray(rng.standard_normal((B, H)) * .1, jnp.bfloat16)
 
-        def stack(x):
+        def stack(x, wq, wo, wg, wd):
             def layer(carry, l):
                 qkv = jnp.dot(carry, wq[l],
                               preferred_element_type=jnp.float32)
@@ -74,12 +79,12 @@ def main():
                                   jnp.arange(L, dtype=jnp.int32))
             return out
 
-        def many(x):
+        def many(x, wq, wo, wg, wd):
             return jax.lax.fori_loop(
-                0, 8, lambda i, a: stack(a + x * 0), x)
+                0, 8, lambda i, a: stack(a + x * 0, wq, wo, wg, wd), x)
 
         f = jax.jit(many)
-        agg, _ = trace_device_ms(f, (x0,), n_calls=1)
+        agg, _ = trace_device_ms(f, (x0, wq, wo, wg, wd), n_calls=1)
         total = sum(v for v in agg.values())
         times[B] = total / (8 * L) * 1e3  # us per layer
         print(f"B={B:4d}: {times[B]:7.1f} us/layer "
